@@ -1,0 +1,212 @@
+"""Deduplication operators for training-data pipelines.
+
+All four strategies are pure DataFrame compositions — no UDFs — so they run
+inside whole-stage codegen and scale by shuffle width:
+
+- exact:        one shuffle on the content hash.
+- ngram_jaccard: inverted-index candidate generation (shuffle on shingle) +
+                exact verify. Pair space bounded by shingle co-occurrence;
+                at 100 TB, cap hot shingles (stopword-shingle skew) by
+                filtering shingles whose doc-frequency exceeds a bound —
+                they only generate candidate pairs that other, rarer
+                shingles also generate.
+- minhash_lsh:  fixed-size signatures (n_hashes rows per doc) + banded
+                bucket join — the linear-ish scale path for fuzzy dedup.
+- simhash:      fixed 16-bit signature; sf-scale verify is pairwise, scale
+                path joins on signature bands (hamming<=3 ⇒ at least one of
+                4 4-bit bands equal, pigeonhole).
+
+Hashes are md5-based (engine-portable: the DuckDB oracle computes identical
+values). A string-min of md5(seed|shingle) is a valid minhash: md5 is a
+uniform permutation of shingle space, so the min over a doc's shingle set is
+the same order statistic a numeric minhash uses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _tokens(text_col: str):
+    return F.split(F.trim(F.col(text_col)), " ")
+
+
+def _shingles(toks, k: int):
+    """k-token shingles; for size<k yields clamped prefixes exactly like the
+    oracle's list-slice (both engines clamp slices to the array end)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+
+
+def shingle_set(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """(id, shingle) distinct — the inverted-index input."""
+    return (
+        df.select(F.col(id_col), F.explode(_shingles(_tokens(text_col), k)).alias("shingle"))
+        .distinct()
+    )
+
+
+def exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup by content hash: groupBy(md5(text)) keeping min id.
+    Output: content_hash, keep_id, dup_ct."""
+    return df.groupBy(F.md5(F.col(text_col)).alias("content_hash")).agg(
+        F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("dup_ct")
+    )
+
+
+def ngram_jaccard(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, threshold_pct: int = 50
+) -> DataFrame:
+    """Near-dup pairs by exact Jaccard over k-token shingle sets, candidates
+    from shared shingles. Integer-only threshold: inter*100 >= union*pct.
+    Output: doc_a, doc_b, inter_ct, union_ct."""
+    sh = shingle_set(df, id_col, text_col, k)
+    card = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter_ct"))
+    )
+    ca = card.select(F.col(id_col).alias("doc_a"), F.col("n").alias("na"))
+    cb = card.select(F.col(id_col).alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        pairs.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .withColumn("union_ct", F.col("na") + F.col("nb") - F.col("inter_ct"))
+        .filter(F.col("inter_ct") * 100 >= F.col("union_ct") * threshold_pct)
+        .select("doc_a", "doc_b", "inter_ct", "union_ct")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, k: int, n_hashes: int
+) -> DataFrame:
+    """(id, seed, mh): per-seed minhash over the shingle set. Seeds are the
+    strings 's0'..'s{n-1}'; mh = min(md5(seed|'|'|shingle))."""
+    sh = shingle_set(df, id_col, text_col, k)
+    seeds = F.array(*[F.lit(f"s{i}") for i in range(n_hashes)])
+    return (
+        sh.select(F.col(id_col), F.explode(seeds).alias("seed"), "shingle")
+        .groupBy(id_col, "seed")
+        .agg(F.min(F.md5(F.concat(F.col("seed"), F.lit("|"), F.col("shingle")))).alias("mh"))
+    )
+
+
+def minhash_lsh(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    n_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """MinHash + LSH banding: docs sharing any full band of minhashes become
+    candidate pairs; output the per-pair count of matching minhashes
+    (match_ct/n_hashes estimates Jaccard). Output: doc_a, doc_b, match_ct."""
+    sig = minhash_signatures(df, id_col, text_col, k, n_hashes)
+    # band id from the seed ordinal; band key = ordered concat of the band's
+    # minhashes (sort_array on struct(seed, mh) gives deterministic seed order).
+    banded = (
+        sig.withColumn("band", (F.substring("seed", 2, 2).cast("int") / band_size).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(
+            F.concat_ws(
+                "|",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("seed", "mh"))), lambda s: s["mh"]
+                ),
+            ).alias("band_key")
+        )
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col(id_col).alias("doc_a"), F.col("seed").alias("seed"), F.col("mh").alias("mh_a"))
+    sb = sig.select(F.col(id_col).alias("doc_b"), F.col("seed").alias("seed"), F.col("mh").alias("mh_b"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "seed"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(F.when(F.col("mh_a") == F.col("mh_b"), 1).otherwise(0))
+            .cast("long")
+            .alias("match_ct")
+        )
+    )
+
+
+_HEX_HIGH = ("8", "9", "a", "b", "c", "d", "e", "f")
+
+
+def simhash_signatures(df: DataFrame, id_col: str, text_col: str, n_bits: int) -> DataFrame:
+    """(id, simhash-as-bit-string): bit i of a doc = sign of the token-weighted
+    sum of ±1 where +1 iff hex digit i of md5(token) >= 8."""
+    toks = (
+        df.select(F.col(id_col), F.explode(_tokens(text_col)).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    bits = (
+        toks.select(
+            F.col(id_col), "token", "w", F.explode(F.sequence(F.lit(0), F.lit(n_bits - 1))).alias("i")
+        )
+        .withColumn(
+            "contrib",
+            F.when(
+                F.md5("token").substr(F.col("i") + 1, F.lit(1)).isin(*_HEX_HIGH), F.col("w")
+            ).otherwise(-F.col("w")),
+        )
+        .groupBy(id_col, "i")
+        .agg(F.when(F.sum("contrib") > 0, F.lit("1")).otherwise(F.lit("0")).alias("bit"))
+    )
+    return bits.groupBy(id_col).agg(
+        F.concat_ws(
+            "",
+            F.transform(F.sort_array(F.collect_list(F.struct("i", "bit"))), lambda s: s["bit"]),
+        ).alias("simhash")
+    )
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, n_bits: int = 16, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= max_hamming. Pairwise compare
+    (fine at oracle scale); the 100 TB path pre-joins on signature bands
+    (pigeonhole: hamming<=3 over 4 bands ⇒ one band identical).
+    Output: doc_a, doc_b, hamming."""
+    sig = simhash_signatures(df, id_col, text_col, n_bits)
+    a = sig.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("sig_a"))
+    b = sig.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("sig_b"))
+    hamming = F.size(
+        F.filter(
+            F.sequence(F.lit(1), F.lit(n_bits)),
+            lambda i: F.col("sig_a").substr(i, F.lit(1)) != F.col("sig_b").substr(i, F.lit(1)),
+        )
+    ).cast("long")
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

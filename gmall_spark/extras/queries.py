@@ -1,0 +1,310 @@
+"""LLM-data-pipeline extras (BASELINE.json north star): dedup, similarity
+search, text analysis — registered into the same query registry.
+
+Implementations live in gmall_spark.extras.{dedup,similarity,text}; this
+module binds them to the testdata tables + DuckDB oracles. All hashes are
+md5-based so the oracle computes bit-identical values; ratios use integer
+arithmetic (no float rounding at engine boundaries).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gmall_spark.extras import dedup, similarity, text
+from gmall_spark.queries import register
+from gmall_spark.sources import load_table
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup — hash-groupBy. Scale: one shuffle on the 128-bit content hash;
+# no skew (hash keys uniform).
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS content_hash,
+           CAST(min(doc_id) AS BIGINT) AS keep_id,
+           CAST(count(*) AS BIGINT) AS dup_ct
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard near-dup. Candidate generation by shared shingle (inverted
+# index) — at 100 TB the pair space is bounded by shingle co-occurrence, not
+# n²; verification is exact set overlap with integer-only thresholding.
+# ---------------------------------------------------------------------------
+_JACCARD_ORACLE = """
+WITH sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           array_to_string(t[i:i+2], ' ') AS shingle
+    FROM (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+         UNNEST(range(1, greatest(len(t) - 2, 1) + 1)) AS u(i)
+  )
+),
+card AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter_ct
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT p.doc_a, p.doc_b,
+       CAST(p.inter_ct AS BIGINT) AS inter_ct,
+       CAST(ca.n + cb.n - p.inter_ct AS BIGINT) AS union_ct
+FROM pairs p
+JOIN card ca ON p.doc_a = ca.doc_id
+JOIN card cb ON p.doc_b = cb.doc_id
+WHERE p.inter_ct * 10 >= (ca.n + cb.n - p.inter_ct) * 5
+"""
+
+
+@register("dedup_ngram_jaccard", _JACCARD_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard(docs, "doc_id", "text", k=3, threshold_pct=50)
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures + LSH banding. Hash = md5(seed|shingle) hex-string min —
+# a uniform order statistic, so string-min IS a minhash; engine-portable.
+# ---------------------------------------------------------------------------
+_MINHASH_ORACLE = """
+WITH sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+    FROM (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+         UNNEST(range(1, greatest(len(t) - 2, 1) + 1)) AS u(i)
+  )
+),
+sig AS (
+  SELECT doc_id, seed, min(md5(seed || '|' || shingle)) AS mh
+  FROM sh, UNNEST(['s0','s1','s2','s3','s4','s5','s6','s7']) AS s(seed)
+  GROUP BY 1, 2
+),
+bands AS (
+  SELECT doc_id, substr(seed, 2, 1)::INT // 2 AS band,
+         string_agg(mh, '|' ORDER BY seed) AS band_key
+  FROM sig GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b, CAST(count(*) FILTER (WHERE sa.mh = sb.mh) AS BIGINT) AS match_ct
+FROM cand c
+JOIN sig sa ON sa.doc_id = c.doc_a
+JOIN sig sb ON sb.doc_id = c.doc_b AND sb.seed = sa.seed
+GROUP BY 1, 2
+"""
+
+
+@register("dedup_minhash", _MINHASH_ORACLE)
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh(docs, "doc_id", "text", k=3, n_hashes=8, band_size=2)
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup: 16-bit signature from md5-hex-digit parity, pairwise
+# Hamming distance <= 3. (Pairwise stage is the sf-scale oracle; the scale
+# path blocks by signature bands — see extras/dedup.py::simhash notes.)
+# ---------------------------------------------------------------------------
+_SIMHASH_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, token, count(*) AS w
+  FROM (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token FROM documents)
+  WHERE token <> '' GROUP BY 1, 2
+),
+bits AS (
+  SELECT doc_id, i,
+         CASE WHEN sum(CASE WHEN substr(md5(token), i + 1, 1) IN ('8','9','a','b','c','d','e','f')
+                            THEN w ELSE -w END) > 0 THEN '1' ELSE '0' END AS bit
+  FROM toks, UNNEST(range(0, 16)) AS u(i)
+  GROUP BY 1, 2
+),
+sig AS (SELECT doc_id, string_agg(bit, '' ORDER BY i) AS simhash FROM bits GROUP BY 1)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(len(list_filter(range(1, 17), i -> substr(a.simhash, i, 1) <> substr(b.simhash, i, 1))) AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE len(list_filter(range(1, 17), i -> substr(a.simhash, i, 1) <> substr(b.simhash, i, 1))) <= 3
+"""
+
+
+@register("dedup_simhash", _SIMHASH_ORACLE)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(docs, "doc_id", "text", n_bits=16, max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# Brute-force cosine top-k — the similarity-search baseline. Output is the
+# ranking (ids + rank), not raw floats, so fp summation order can't flip the
+# hash; sims differ by >> 1e-9 for random embeddings.
+# ---------------------------------------------------------------------------
+_KNN_ORACLE = """
+WITH norm AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+),
+sims AS (
+  SELECT a.vec_id, b.vec_id AS neighbor_id,
+         list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS sim
+  FROM norm a JOIN norm b ON a.vec_id <> b.vec_id
+)
+SELECT vec_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk FROM (
+  SELECT vec_id, neighbor_id,
+         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS rnk
+  FROM sims
+) WHERE rnk <= 5
+"""
+
+
+@register("embed_knn", _KNN_ORACLE)
+def embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.brute_force_knn(emb, "vec_id", "embedding", k=5)
+
+
+# LSH-bucketed ANN — the 100TB scale path (candidates from shared hyperplane
+# buckets instead of n² pairs). Deterministic md5-derived hyperplane signs, so
+# no oracle-side RNG needed; still omitted from oracle_sql (the recall-bounded
+# result is compared rows-only; exactness is covered by embed_knn).
+@register("embed_ann_lsh")
+def embed_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.lsh_ann(emb, "vec_id", "embedding", n_bits=8, k=5)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: token/quality metrics, integer-only outputs.
+# ---------------------------------------------------------------------------
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "for", "on", "with")
+_SW_LIST = ", ".join(f"'{w}'" for w in _STOPWORDS)
+
+_QUALITY_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, n_chars, token
+  FROM (SELECT doc_id, n_chars, unnest(string_split(trim(text), ' ')) AS token FROM documents)
+  WHERE token <> ''
+)
+SELECT doc_id,
+       CAST(any_value(n_chars) AS BIGINT) AS n_chars,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(count(DISTINCT token) AS BIGINT) AS n_unique_tokens,
+       CAST(sum(len(token)) AS BIGINT) AS token_chars,
+       CAST(sum(CASE WHEN token IN ({_SW_LIST}) THEN 1 ELSE 0 END) AS BIGINT) AS stopword_ct,
+       CAST(max(len(token)) AS BIGINT) AS max_token_len
+FROM toks GROUP BY doc_id
+"""
+
+
+@register("text_quality", _QUALITY_ORACLE)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.quality_metrics(docs, "doc_id", "text", extra_cols=("n_chars",), stopwords=_STOPWORDS)
+
+
+# Language-ID n-gram/marker heuristic. The testdata corpus is synthetic (same
+# vocabulary for all langs), so this validates the *operator plumbing*:
+# deterministic marker scoring + argmax with alphabetical tie-break.
+_LANG_MARKERS = {
+    "en": ("the", "a", "and", "of", "is"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "es": ("el", "la", "los", "y", "es"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "zh": ("的", "是", "了", "在", "我"),
+}
+
+
+def _lang_score_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in _LANG_MARKERS[lang])
+    return f"CAST(sum(CASE WHEN token IN ({words}) THEN 1 ELSE 0 END) AS BIGINT)"
+
+
+_LANGID_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, lang, token
+  FROM (SELECT doc_id, lang, unnest(string_split(trim(text), ' ')) AS token FROM documents)
+  WHERE token <> ''
+),
+scores AS (
+  SELECT doc_id, any_value(lang) AS lang_true,
+         {_lang_score_sql("de")} AS score_de,
+         {_lang_score_sql("en")} AS score_en,
+         {_lang_score_sql("es")} AS score_es,
+         {_lang_score_sql("fr")} AS score_fr,
+         {_lang_score_sql("zh")} AS score_zh
+  FROM toks GROUP BY doc_id
+)
+SELECT doc_id, lang_true, score_de, score_en, score_es, score_fr, score_zh,
+       CASE greatest(score_de, score_en, score_es, score_fr, score_zh)
+            WHEN score_de THEN 'de' WHEN score_en THEN 'en' WHEN score_es THEN 'es'
+            WHEN score_fr THEN 'fr' ELSE 'zh' END AS lang_pred
+FROM scores
+"""
+
+
+@register("lang_id", _LANGID_ORACLE)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.lang_id(docs, "doc_id", "text", markers=_LANG_MARKERS, true_col="lang")
+
+
+# Document fingerprinting: whole-content md5 + min-shingle (winnowing-style)
+# content fingerprint.
+_FP_ORACLE = """
+WITH sh AS (
+  SELECT doc_id, min(md5(array_to_string(t[i:i+4], ' '))) AS min_shingle_fp
+  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents),
+       UNNEST(range(1, greatest(len(t) - 4, 1) + 1)) AS u(i)
+  GROUP BY doc_id
+)
+SELECT d.doc_id, md5(lower(trim(d.text))) AS content_fp, s.min_shingle_fp
+FROM documents d JOIN sh s ON d.doc_id = s.doc_id
+"""
+
+
+@register("doc_fingerprint", _FP_ORACLE)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.fingerprint(docs, "doc_id", "text", k=5)
+
+
+# Token counting: whitespace tokens + regex word-ish tokens + BPE-ish estimate
+# (ceil(chars/4) — the common "1 token ≈ 4 chars" rule), all integers.
+_TOKCOUNT_ORACLE = """
+SELECT doc_id,
+       CAST(len(list_filter(string_split(trim(text), ' '), x -> x <> '')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS word_tokens,
+       CAST(CAST(ceil(len(text) / 4.0) AS INT) AS BIGINT) AS bpe_est_tokens
+FROM documents
+"""
+
+
+@register("token_count", _TOKCOUNT_ORACLE)
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.token_counts(docs, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (rows-only check — binary decode is stubbed, see
+# extras/multimodal.py): documents → binary payload + typed metadata →
+# mapInPandas feature extraction.
+# ---------------------------------------------------------------------------
+@register("multimodal_features")
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_spark.extras import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    assets = multimodal.to_assets(docs, "doc_id", "text")
+    return multimodal.extract_features(assets)

@@ -1,0 +1,576 @@
+"""Query registry — the warehouse queries (SURVEY §2) with DuckDB oracles.
+
+Each entry couples a Spark implementation (built from gmall_spark.operators)
+with the ANSI-SQL oracle the driver runs in DuckDB at sf0.01. Engine-parity
+rules that keep the value-hash stable:
+
+- money/sums: cast to DECIMAL **before** aggregating (exact, engine-portable;
+  DuckDB sum(BIGINT) returns HUGEINT → always CAST the oracle back to BIGINT);
+- temporal outputs: format to 'yyyy-MM-dd HH:mm:ss' strings (session TZ UTC);
+- no raw float aggregates in outputs; ratios use integer arithmetic;
+- every computed column aliased identically on both sides.
+
+The domain mapping from the reference onto the driver testdata:
+  behavior log  → events      (user_id ~ mid, event_type ~ page routing)
+  order_info    → orders      order_detail → lineitem
+  dims          → customer / nation / region / part / supplier
+  payment⋈order → purchase-events ⋈ prior view-events (same interval-join op)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gmall_spark.functions import money, window_bounds
+from gmall_spark.operators.joins import dim_enrich, interval_join
+from gmall_spark.operators.parse import decode_cdc, drop_cdc_deletes
+from gmall_spark.operators.routing import route_by_config
+from gmall_spark.operators.stateful import dedup_daily, detect_bounce, first_touch
+from gmall_spark.operators.windows import tumbling_stats
+from gmall_spark.schemas import TABLE_PROCESS_SCHEMA
+from gmall_spark.sources import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+TS_FMT = "yyyy-MM-dd HH:mm:ss"
+_DUCK_FMT = "%Y-%m-%d %H:%M:%S"
+
+
+def _revenue():
+    """Exact decimal revenue: cast 2-decimal factors to decimal BEFORE
+    multiplying — double→decimal casts of *products* round differently across
+    engines; casts of the factors themselves are unambiguous."""
+    return F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# A1 — visitor stats: tumbling event-time window + keyed multi-agg
+# (VisitorStatsApp.java:132-165; 10s windows there, 10min here so sf0.01's
+# 30-day span yields dense windows). Exact uv via countDistinct (A2 pattern).
+# ---------------------------------------------------------------------------
+@register(
+    "visitor_stats",
+    f"""
+    SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '{_DUCK_FMT}') AS stt,
+           strftime(time_bucket(INTERVAL '10 minutes', ts) + INTERVAL '10 minutes', '{_DUCK_FMT}') AS edt,
+           event_type,
+           count(*) AS pv_ct,
+           count(DISTINCT user_id) AS uv_ct,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS dur_sum
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def visitor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return tumbling_stats(
+        ev,
+        "ts",
+        "10 minutes",
+        ["event_type"],
+        [
+            F.count(F.lit(1)).alias("pv_ct"),
+            F.countDistinct("user_id").alias("uv_ct"),
+            F.sum(money("value")).cast("decimal(18,2)").alias("dur_sum"),
+        ],
+    )
+
+
+# ---------------------------------------------------------------------------
+# ST2 — daily unique-visitor dedup (UniqueVisitApp.java:45-87): first event
+# per (user, calendar day); batch form = row_number over (user, day).
+# ---------------------------------------------------------------------------
+@register(
+    "unique_visit",
+    f"""
+    SELECT user_id,
+           strftime(CAST(ts AS DATE), '%Y-%m-%d') AS dt,
+           event_id AS first_event_id,
+           strftime(ts, '{_DUCK_FMT}') AS first_ts
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                   ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def unique_visit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return dedup_daily(ev, "user_id", "ts", "event_id").select(
+        "user_id",
+        F.date_format("dt", "yyyy-MM-dd").alias("dt"),
+        F.col("event_id").alias("first_event_id"),
+        F.date_format("ts", TS_FMT).alias("first_ts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ST1 — new/old-visitor repair (BaseLogApp.java:69-94): is_new stays 1 only on
+# the key's first-ever event; batch form = first-touch flag.
+# ---------------------------------------------------------------------------
+@register(
+    "is_new_repair",
+    """
+    SELECT event_id, user_id,
+           CAST(CASE WHEN row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) = 1
+                THEN 1 ELSE 0 END AS BIGINT) AS is_new
+    FROM events
+    """,
+)
+def is_new_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return first_touch(ev, "user_id", "ts", "event_id").select(
+        "event_id", "user_id", F.col("is_first").cast("long").alias("is_new")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ST3 — CEP bounce detection, batch lead() rewrite (UserJumpDetailApp.java:70-120):
+# entry event whose next event is another entry (match) or absent/late (timeout).
+# 'view' events stand in for session-entry pages; 10 min timeout.
+# ---------------------------------------------------------------------------
+@register(
+    "bounce_detect",
+    f"""
+    WITH o AS (
+      SELECT event_id, user_id, ts, event_type,
+             lead(ts) OVER w AS nxt_ts,
+             lead(event_type = 'view') OVER w AS nxt_entry
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_id, user_id, strftime(ts, '{_DUCK_FMT}') AS ts_str,
+           CASE WHEN nxt_ts IS NULL OR nxt_ts > ts + INTERVAL '10 minutes' THEN 'timeout'
+                WHEN nxt_entry THEN 'match' END AS bounce_reason
+    FROM o
+    WHERE event_type = 'view'
+      AND (nxt_ts IS NULL OR nxt_ts > ts + INTERVAL '10 minutes' OR nxt_entry)
+    """,
+)
+def bounce_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = detect_bounce(
+        ev, "user_id", "ts", "event_id", F.col("event_type") == "view", "10 minutes"
+    )
+    return out.select(
+        "event_id", "user_id", F.date_format("ts", TS_FMT).alias("ts_str"), "bounce_reason"
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1 + J3 — order-wide: interval join (order ⋈ detail, OrderWideApp.java:96-105,
+# ±window on event time ↦ shipdate within 30 days of orderdate) then star
+# enrichment via broadcast dim joins replacing the async Phoenix/Redis lookups
+# (OrderWideApp.java:112-225).
+# ---------------------------------------------------------------------------
+@register(
+    "order_wide",
+    f"""
+    SELECT o.o_orderkey, l.l_linenumber, l.l_partkey,
+           o.o_custkey, c.c_name, n.n_name, r.r_name,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS create_date,
+           CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4)) AS revenue
+    FROM orders o
+    JOIN lineitem l
+      ON o.o_orderkey = l.l_orderkey
+     AND l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate <= o.o_orderdate + INTERVAL '30 days'
+    LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+)
+def order_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    joined = interval_join(
+        orders.withColumnRenamed("o_orderkey", "okey"),
+        lineitem.withColumnRenamed("l_orderkey", "okey"),
+        on="okey",
+        left_ts="o_orderdate",
+        right_ts="l_shipdate",
+        lower="0 days",
+        upper="30 days",
+    ).select(
+        F.col("l.okey").alias("o_orderkey"),
+        "l_linenumber",
+        "l_partkey",
+        "o_custkey",
+        "o_orderdate",
+        "l_extendedprice",
+        "l_discount",
+    )
+    wide = dim_enrich(
+        joined,
+        [
+            (customer, "o_custkey", "c_custkey"),
+            (nation, "c_nationkey", "n_nationkey"),
+            (region, "n_regionkey", "r_regionkey"),
+        ],
+    )
+    return wide.select(
+        "o_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "o_custkey",
+        "c_name",
+        "n_name",
+        "r_name",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("create_date"),
+        _revenue().cast("decimal(18,4)").alias("revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J2 — payment-wide analog: purchase ⋈ preceding view by the same user within
+# [0, 15 min] (PaymentWideApp.java:69-76 with the intended -15min window,
+# SURVEY §6a.2). Same interval_join operator, negative-lag orientation.
+# ---------------------------------------------------------------------------
+@register(
+    "payment_wide",
+    f"""
+    SELECT v.event_id AS view_id, p.event_id AS purchase_id, p.user_id,
+           strftime(v.ts, '{_DUCK_FMT}') AS view_ts,
+           strftime(p.ts, '{_DUCK_FMT}') AS pay_ts,
+           CAST(p.value AS DECIMAL(18,2)) AS amount
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON v.user_id = p.user_id
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL '15 minutes'
+    """,
+)
+def payment_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    joined = interval_join(
+        views,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        lower="0 minutes",
+        upper="15 minutes",
+    )
+    return joined.select(
+        F.col("l.event_id").alias("view_id"),
+        F.col("r.event_id").alias("purchase_id"),
+        F.col("l.user_id").alias("user_id"),
+        F.date_format(F.col("l.ts"), TS_FMT).alias("view_ts"),
+        F.date_format(F.col("r.ts"), TS_FMT).alias("pay_ts"),
+        money(F.col("r.value")).alias("amount"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A2 — product stats: per-sku aggregate with exact distinct order count
+# (ProductStatsApp.java:243-284; countDistinct replaces the HashSet
+# accumulator — and fixes the paid-set copy-paste bug, SURVEY §6a.1) +
+# broadcast part dim.
+# ---------------------------------------------------------------------------
+@register(
+    "product_stats",
+    """
+    SELECT l.l_partkey AS sku_id, p.p_name AS sku_name, p.p_brand AS tm_name,
+           CAST(count(*) AS BIGINT) AS item_ct,
+           CAST(count(DISTINCT l.l_orderkey) AS BIGINT) AS order_ct,
+           CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sku_num,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DECIMAL(18,4)) AS order_amount
+    FROM lineitem l
+    LEFT JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY 1, 2, 3
+    """,
+)
+def product_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    enriched = dim_enrich(lineitem, [(part, "l_partkey", "p_partkey")])
+    return enriched.groupBy(
+        F.col("l_partkey").alias("sku_id"),
+        F.col("p_name").alias("sku_name"),
+        F.col("p_brand").alias("tm_name"),
+    ).agg(
+        F.count(F.lit(1)).alias("item_ct"),
+        F.countDistinct("l_orderkey").alias("order_ct"),
+        F.sum(money("l_quantity")).cast("decimal(18,2)").alias("sku_num"),
+        F.sum(_revenue()).cast("decimal(18,4)").alias("order_amount"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F1 + A3 — keyword stats: tokenizer UDTF as split+explode (SplitFunction.java:9-18,
+# KeywordStatsApp.java:38-59). Whitespace tokenizer (pluggable; jieba-style
+# segmentation would slot into gmall_spark.extras.text.tokenize).
+# ---------------------------------------------------------------------------
+@register(
+    "keyword_stats",
+    """
+    SELECT word AS keyword, lang, CAST(count(*) AS BIGINT) AS ct, 'SEARCH' AS source
+    FROM (
+      SELECT lang, unnest(string_split(trim(text), ' ')) AS word FROM documents
+    ) WHERE word <> ''
+    GROUP BY 1, 2
+    """,
+)
+def keyword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", F.explode(F.split(F.trim("text"), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy(F.col("word").alias("keyword"), "lang")
+        .agg(F.count(F.lit(1)).alias("ct"))
+        .withColumn("source", F.lit("SEARCH"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# A4 — province stats: sum + exact count(distinct) per region dim
+# (ProvinceStatsSqlApp.java:50-68), nation standing in for province.
+# ---------------------------------------------------------------------------
+@register(
+    "province_stats",
+    """
+    SELECT n.n_nationkey AS province_id, n.n_name AS province_name,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS order_amount,
+           CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS order_count
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1, 2
+    """,
+)
+def province_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    enriched = dim_enrich(
+        orders,
+        [(customer, "o_custkey", "c_custkey"), (nation, "c_nationkey", "n_nationkey")],
+        how="inner",
+    )
+    return enriched.groupBy(
+        F.col("n_nationkey").alias("province_id"), F.col("n_name").alias("province_name")
+    ).agg(
+        F.sum(money("o_totalprice")).cast("decimal(18,2)").alias("order_amount"),
+        F.countDistinct("o_orderkey").alias("order_count"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational-core classics (SURVEY §7.2 step 2): TPC-H-Q1-style pricing
+# summary — the canonical scan→filter(pushdown)→partial/final agg shape.
+# ---------------------------------------------------------------------------
+@register(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(18,4)) AS sum_disc_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DECIMAL(18,6)) AS sum_charge,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(money("l_quantity")).cast("decimal(18,2)").alias("sum_qty"),
+            F.sum(money("l_extendedprice")).cast("decimal(18,2)").alias("sum_base_price"),
+            F.sum(_revenue()).cast("decimal(18,4)").alias("sum_disc_price"),
+            F.sum(_revenue() * (F.lit(1) + F.col("l_tax").cast("decimal(4,2)")))
+            .cast("decimal(18,6)")
+            .alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top-K per group (window function; the DWS "hot products" shape).
+# ---------------------------------------------------------------------------
+@register(
+    "top_parts_per_brand",
+    """
+    SELECT p_brand, sku_id, revenue, rnk FROM (
+      SELECT p.p_brand, l.l_partkey AS sku_id,
+             CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DECIMAL(18,4)) AS revenue,
+             row_number() OVER (PARTITION BY p.p_brand
+                                ORDER BY sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) DESC,
+                                         l.l_partkey) AS rnk
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY p.p_brand, l.l_partkey
+    ) WHERE rnk <= 5
+    """,
+)
+def top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rev = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand", F.col("l_partkey").alias("sku_id"))
+        .agg(F.sum(_revenue()).cast("decimal(18,4)").alias("revenue"))
+    )
+    w = Window.partitionBy("p_brand").orderBy(F.col("revenue").desc(), F.col("sku_id").asc())
+    return rev.withColumn("rnk", F.row_number().over(w).cast("long")).filter(F.col("rnk") <= 5)
+
+
+# ---------------------------------------------------------------------------
+# T1 — JSON parse with dirty-data side output over events.props
+# (BaseLogApp.java:45-58). Main path extracts $.k; the dirty branch is
+# exercised in tests (testdata props are all well-formed).
+# ---------------------------------------------------------------------------
+@register(
+    "props_extract",
+    """
+    SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k_val
+    FROM events
+    WHERE json_extract(props, '$.k') IS NOT NULL
+    """,
+)
+def props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", F.get_json_object("props", "$.k").cast("long").alias("k_val")
+    ).filter(F.col("k_val").isNotNull())
+
+
+# ---------------------------------------------------------------------------
+# T8 + T3 + J4/T7/K2 — the BaseDbApp routing pipeline end-to-end: build a CDC
+# envelope stream from orders, decode it, drop deletes, broadcast-join the
+# table_process config, prune columns per rule, tag the dynamic sink topic
+# (BaseDbApp.java:48-90, TableProcessFunction.java:46-166).
+# ---------------------------------------------------------------------------
+_CDC_STATUS_TO_OP = "CASE o_orderstatus WHEN 'O' THEN 'insert' WHEN 'F' THEN 'update' ELSE 'delete' END"
+
+
+@register(
+    "cdc_route",
+    f"""
+    SELECT CAST(o_orderkey AS VARCHAR) AS id_val,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS total_val,
+           CASE WHEN {_CDC_STATUS_TO_OP} = 'insert' THEN o_orderstatus END AS status_val,
+           {_CDC_STATUS_TO_OP} AS op,
+           CASE WHEN {_CDC_STATUS_TO_OP} = 'insert' THEN 'dwd_order_insert'
+                ELSE 'dwd_order_update' END AS sink_table
+    FROM orders
+    WHERE {_CDC_STATUS_TO_OP} <> 'delete'
+    """,
+)
+def cdc_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    # Synthesize the Debezium-shaped envelope as a JSON string column, then run
+    # the real decode path (from_json over CDC_ENVELOPE_SCHEMA).
+    envelope = orders.select(
+        F.to_json(
+            F.struct(
+                F.lit("gmall").alias("database"),
+                F.lit("orders").alias("tableName"),
+                F.create_map(
+                    F.lit("id"),
+                    F.col("o_orderkey").cast("string"),
+                    F.lit("total"),
+                    F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+                    F.lit("status"),
+                    F.col("o_orderstatus"),
+                ).alias("data"),
+                F.expr(_CDC_STATUS_TO_OP).alias("type"),
+            )
+        ).alias("value")
+    )
+    decoded = drop_cdc_deletes(decode_cdc(envelope))
+    config = spark.createDataFrame(
+        [
+            ("orders", "insert", "kafka", "dwd_order_insert", "id,total,status", "id", None),
+            ("orders", "update", "kafka", "dwd_order_update", "id,total", "id", None),
+        ],
+        TABLE_PROCESS_SCHEMA,
+    )
+    routed = route_by_config(decoded, config)
+    return routed.select(
+        F.element_at("data", "id").alias("id_val"),
+        F.element_at("data", "total").alias("total_val"),
+        F.element_at("data", "status").alias("status_val"),
+        F.col("type").alias("op"),
+        "sink_table",
+    )
+
+
+# ---------------------------------------------------------------------------
+# U1 — union of heterogeneous streams then aggregate (VisitorStatsApp.java:119:
+# "union is a fullJoin on the dimensions"): three filtered projections with
+# different column sets, unionByName(allowMissingColumns), daily rollup.
+# ---------------------------------------------------------------------------
+@register(
+    "union_stats",
+    """
+    SELECT dt,
+           CAST(sum(pv) AS BIGINT) AS pv_ct,
+           CAST(sum(clk) AS BIGINT) AS click_ct,
+           CAST(sum(buy) AS BIGINT) AS buy_ct,
+           CAST(sum(amount) AS DECIMAL(18,2)) AS buy_amount
+    FROM (
+      SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS dt, 1 AS pv, 0 AS clk, 0 AS buy,
+             CAST(0 AS DECIMAL(18,2)) AS amount
+      FROM events WHERE event_type = 'view'
+      UNION ALL
+      SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d'), 0, 1, 0, CAST(0 AS DECIMAL(18,2))
+      FROM events WHERE event_type = 'click'
+      UNION ALL
+      SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d'), 0, 0, 1, CAST(value AS DECIMAL(18,2))
+      FROM events WHERE event_type = 'purchase'
+    )
+    GROUP BY dt
+    """,
+)
+def union_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    dt = F.date_format("ts", "yyyy-MM-dd").alias("dt")
+    zero_amt = F.lit(0).cast("decimal(18,2)")
+    pv = ev.filter(F.col("event_type") == "view").select(
+        dt, F.lit(1).alias("pv"), F.lit(0).alias("clk"), F.lit(0).alias("buy"),
+        zero_amt.alias("amount"),
+    )
+    clk = ev.filter(F.col("event_type") == "click").select(
+        dt, F.lit(0).alias("pv"), F.lit(1).alias("clk"), F.lit(0).alias("buy"),
+        zero_amt.alias("amount"),
+    )
+    buy = ev.filter(F.col("event_type") == "purchase").select(
+        dt, F.lit(0).alias("pv"), F.lit(0).alias("clk"), F.lit(1).alias("buy"),
+        money("value").alias("amount"),
+    )
+    unioned = pv.unionByName(clk).unionByName(buy)
+    return unioned.groupBy("dt").agg(
+        F.sum("pv").alias("pv_ct"),
+        F.sum("clk").alias("click_ct"),
+        F.sum("buy").alias("buy_ct"),
+        F.sum("amount").cast("decimal(18,2)").alias("buy_amount"),
+    )

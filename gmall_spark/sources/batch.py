@@ -1,0 +1,56 @@
+"""Batch sources (SURVEY §2.1).
+
+The reference reads everything from Kafka as JSON strings
+(``gmall-realtime/src/main/java/com/aron/utils/MyKafkaUtil.java:54-61``); the
+batch engine reads columnar parquet and lets Catalyst push filters/projections
+into the scan. JSON/CSV readers exist for log-shaped inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from gmall_spark.schemas import TESTDATA_TABLES
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table. Columnar scan: column pruning + predicate
+    pushdown reach the parquet reader (verify via plans.scan_info).
+
+    The testdata writes TIMESTAMP(NANOS) parquet, which Spark's vectorized
+    reader rejects; we read nanos as long (runtime-settable legacy conf) and
+    truncate to micros exactly like DuckDB's ns→µs view does. Integer `div`
+    keeps 19-digit nanos exact (a double round-trip would corrupt them).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
+    for col in _nanos_columns(path):
+        df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    return df
+
+
+def _nanos_columns(path: str) -> list[str]:
+    import pyarrow.parquet as pq
+
+    schema = pq.read_schema(path)
+    return [f.name for f in schema if str(f.type) == "timestamp[ns]"]
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TESTDATA_TABLES) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TESTDATA_TABLES) -> None:
+    """Register each table as a temp view so operators can be written in SQL."""
+    for n in names:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+def read_json_logs(spark: SparkSession, path: str, schema) -> DataFrame:
+    """Behavior-log file ingest (stand-in for the reference's HTTP→Kafka edge,
+    gmall2021-logger/.../LoggerController.java:31-42). Explicit schema only —
+    inference is a full extra pass at 100 TB."""
+    return spark.read.schema(schema).json(path)
