@@ -1,0 +1,61 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): runs the registry queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec", "queries": {name: sec}, "sf": ...}
+
+Each query is timed end-to-end (plan + execute + count action); the session
+and JVM warm-up are excluded — that measures the engine, not the JIT.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    from gmall_spark.session import get_spark
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("gmall_spark_bench")
+    queries = entrymod.queries()
+
+    # JVM/codegen warm-up on a trivial action so q1 isn't charged for it.
+    spark.range(1000).count()
+
+    timings: dict[str, float] = {}
+    for name in sorted(queries):
+        t0 = time.perf_counter()
+        try:
+            n = queries[name](spark, sf_dir).count()
+        except Exception as exc:  # a failing query must not hide the others
+            print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
+            timings[name] = -1.0
+            continue
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"bench: {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "registry_queries_total_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

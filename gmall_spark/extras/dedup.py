@@ -63,7 +63,10 @@ def ngram_jaccard(
     """Near-dup pairs by exact Jaccard over k-token shingle sets, candidates
     from shared shingles. Integer-only threshold: inter*100 >= union*pct.
     Output: doc_a, doc_b, inter_ct, union_ct."""
-    sh = shingle_set(df, id_col, text_col, k)
+    # Reused 3× (both self-join sides + cardinalities): persist instead of
+    # recomputing the explode+distinct subtree per reference. At cluster scale
+    # this is a checkpoint/exchange-reuse decision, same reasoning.
+    sh = shingle_set(df, id_col, text_col, k).persist()
     card = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -114,7 +117,9 @@ def minhash_lsh(
     """MinHash + LSH banding: docs sharing any full band of minhashes become
     candidate pairs; output the per-pair count of matching minhashes
     (match_ct/n_hashes estimates Jaccard). Output: doc_a, doc_b, match_ct."""
-    sig = minhash_signatures(df, id_col, text_col, k, n_hashes)
+    # Reused 3× (banding + both verify sides): persist the fixed-size
+    # signature table (n_hashes rows per doc — tiny relative to input).
+    sig = minhash_signatures(df, id_col, text_col, k, n_hashes).persist()
     # band id from the seed ordinal; band key = ordered concat of the band's
     # minhashes (sort_array on struct(seed, mh) gives deterministic seed order).
     banded = (
@@ -159,8 +164,10 @@ _HEX_HIGH = ("8", "9", "a", "b", "c", "d", "e", "f")
 
 
 def simhash_signatures(df: DataFrame, id_col: str, text_col: str, n_bits: int) -> DataFrame:
-    """(id, simhash-as-bit-string): bit i of a doc = sign of the token-weighted
-    sum of ±1 where +1 iff hex digit i of md5(token) >= 8."""
+    """(id, sig): integer simhash. Bit i of a doc = sign of the token-weighted
+    sum of ±1 where +1 iff hex digit i of md5(token) >= 8; sig = Σ bit_i·2^i.
+    Integer signatures keep the verify step at one xor+popcount per pair
+    (a bit-string representation costs n_bits substring compares)."""
     toks = (
         df.select(F.col(id_col), F.explode(_tokens(text_col)).alias("token"))
         .filter(F.col("token") != "")
@@ -178,35 +185,49 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str, n_bits: int) -
             ).otherwise(-F.col("w")),
         )
         .groupBy(id_col, "i")
-        .agg(F.when(F.sum("contrib") > 0, F.lit("1")).otherwise(F.lit("0")).alias("bit"))
+        .agg(F.when(F.sum("contrib") > 0, F.lit(1)).otherwise(F.lit(0)).alias("bit"))
     )
     return bits.groupBy(id_col).agg(
-        F.concat_ws(
-            "",
-            F.transform(F.sort_array(F.collect_list(F.struct("i", "bit"))), lambda s: s["bit"]),
-        ).alias("simhash")
+        F.sum(F.expr("shiftleft(CAST(bit AS BIGINT), i)")).cast("long").alias("sig")
     )
 
 
 def simhash_pairs(
-    df: DataFrame, id_col: str, text_col: str, n_bits: int = 16, max_hamming: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_bits: int = 16,
+    max_hamming: int = 3,
+    band_bits: int = 4,
 ) -> DataFrame:
-    """Near-dup pairs with Hamming(simhash) <= max_hamming. Pairwise compare
-    (fine at oracle scale); the 100 TB path pre-joins on signature bands
-    (pigeonhole: hamming<=3 over 4 bands ⇒ one band identical).
-    Output: doc_a, doc_b, hamming."""
+    """Near-dup pairs with Hamming(simhash) <= max_hamming.
+
+    Candidates come from banding (pigeonhole: <=3 differing bits across 4
+    bands of 4 ⇒ at least one band identical), so this is EXACT — no recall
+    loss — while pruning the n² pair space to same-bucket pairs; verification
+    is one bit_count(xor) per candidate. This is the shape that survives
+    100 TB: candidate generation is an equi-join on (band, band_value).
+    Output: doc_a, doc_b, hamming.
+    """
+    assert n_bits % band_bits == 0 and max_hamming < n_bits // band_bits
     sig = simhash_signatures(df, id_col, text_col, n_bits)
-    a = sig.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("sig_a"))
-    b = sig.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("sig_b"))
-    hamming = F.size(
-        F.filter(
-            F.sequence(F.lit(1), F.lit(n_bits)),
-            lambda i: F.col("sig_a").substr(i, F.lit(1)) != F.col("sig_b").substr(i, F.lit(1)),
-        )
-    ).cast("long")
+    mask = (1 << band_bits) - 1
+    bands = sig.select(
+        F.col(id_col),
+        "sig",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bits // band_bits - 1))).alias("band"),
+    ).withColumn("bv", F.expr(f"shiftright(sig, band * {band_bits}) & {mask}"))
+    a = bands.select(F.col(id_col).alias("doc_a"), F.col("sig").alias("sig_a"), "band", "bv")
+    b = bands.select(F.col(id_col).alias("doc_b"), F.col("sig").alias("sig_b"), "band", "bv")
+    cand = (
+        a.join(b, ["band", "bv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("long")
     return (
-        a.join(b, F.col("doc_a") < F.col("doc_b"))
-        .withColumn("hamming", hamming)
+        cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )

@@ -126,15 +126,15 @@ WITH toks AS (
 bits AS (
   SELECT doc_id, i,
          CASE WHEN sum(CASE WHEN substr(md5(token), i + 1, 1) IN ('8','9','a','b','c','d','e','f')
-                            THEN w ELSE -w END) > 0 THEN '1' ELSE '0' END AS bit
+                            THEN w ELSE -w END) > 0 THEN 1 ELSE 0 END AS bit
   FROM toks, UNNEST(range(0, 16)) AS u(i)
   GROUP BY 1, 2
 ),
-sig AS (SELECT doc_id, string_agg(bit, '' ORDER BY i) AS simhash FROM bits GROUP BY 1)
+sig AS (SELECT doc_id, CAST(sum(CAST(bit AS BIGINT) << i) AS BIGINT) AS sig FROM bits GROUP BY 1)
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       CAST(len(list_filter(range(1, 17), i -> substr(a.simhash, i, 1) <> substr(b.simhash, i, 1))) AS BIGINT) AS hamming
+       CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
 FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-WHERE len(list_filter(range(1, 17), i -> substr(a.simhash, i, 1) <> substr(b.simhash, i, 1))) <= 3
+WHERE bit_count(xor(a.sig, b.sig)) <= 3
 """
 
 
