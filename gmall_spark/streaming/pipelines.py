@@ -1,0 +1,197 @@
+"""Structured Streaming assemblies (SURVEY §2.1 S1/S3/S5, §2.7 ST4–ST11).
+
+The reference topology — one Flink job per layer, decoupled by Kafka topics —
+maps to one Structured Streaming query per pipeline, decoupled by Kafka
+topics (prod) or in-engine handoffs (tests). Watermarks replace Flink's
+WatermarkStrategy (ST4–ST6); `availableNow` triggers replace the ad-hoc
+"process what's there" batch drives.
+
+Kafka readers/writers are thin `format("kafka")` wrappers (S1/K1/K2); tests
+use file streams over the driver's parquet (schema-pinned — streaming sources
+cannot infer) because no broker exists in this environment. The pipeline code
+is identical either way: sources are injected, transformations don't know
+what feeds them.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gmall_spark.functions import window_bounds
+from gmall_spark.schemas import EVENTS_SCHEMA
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-stream over the events table (S1 stand-in; schema from
+    schemas.EVENTS_SCHEMA, ns-timestamps read as long then truncated to µs
+    exactly like the batch loader).
+
+    maxFilesPerTrigger=1 keeps micro-batches bounded — the same knob that
+    caps per-trigger intake from Kafka (maxOffsetsPerTrigger) at scale.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(_table_dir(sf_dir, "events"))
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _table_dir(sf_dir: str, name: str) -> str:
+    """The file-stream source only accepts directories; expose the single
+    table file through a per-table symlink directory (testdata is read-only)."""
+    import os
+    import tempfile
+
+    d = os.path.join(tempfile.gettempdir(), "gmall_stream", sf_dir.strip("/").replace("/", "_"), name)
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, f"{name}.parquet")
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/{name}.parquet", link)
+    return d
+
+
+def kafka_stream(spark: SparkSession, brokers: str, topic: str, group: str) -> DataFrame:
+    """S1 — Kafka string consumer (MyKafkaUtil.java:54-61): subscribe + cast
+    value to string. Requires the spark-sql-kafka package on the classpath
+    (not present in this environment — covered by contract tests only)."""
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topic)
+        .option("kafka.group.id", group)
+        .option("startingOffsets", "earliest")
+        .load()
+        .selectExpr("CAST(key AS STRING) AS key", "CAST(value AS STRING) AS value", "timestamp")
+    )
+
+
+def windowed_stats_stream(
+    events: DataFrame,
+    ts_col: str,
+    size: str,
+    dims: Sequence[str],
+    aggs: Sequence[Column],
+    watermark: str = "2 seconds",
+) -> DataFrame:
+    """A1 streaming — tumbling event-time window agg with watermark
+    (VisitorStatsApp.java:122-165: bounded out-of-orderness + 10s tumble).
+
+    Append-mode output: a window emits once, when the watermark passes its
+    end — the exact cadence of the reference's toAppendStream (ST11). State
+    size is bounded by (windows in flight × dim combinations); late rows
+    beyond the watermark are dropped (ST10: the reference configures no
+    allowedLateness either).
+    """
+    out = (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, size).alias("w"), *dims)
+        .agg(*aggs)
+    )
+    stt, edt = window_bounds(F.col("w"))
+    return out.withColumn("stt", stt).withColumn("edt", edt).drop("w")
+
+
+def windowed_uv_stream(
+    events: DataFrame,
+    ts_col: str,
+    size: str,
+    entity: str,
+    dims: Sequence[str],
+    watermark: str = "2 seconds",
+) -> DataFrame:
+    """A4's exact count(distinct) in streaming (SURVEY §4.2): Spark forbids
+    distinct aggregates on streams, so rewrite as dedup-then-count — drop
+    duplicate (entity, window, dims) tuples (watermark-bounded state), then a
+    plain count per window. Exactly the two-stage rewrite the survey planned;
+    chained stateful operators in append mode are a Spark 4 capability.
+    """
+    out = (
+        # watermark BEFORE deriving the window column — the window struct
+        # inherits event-time metadata from ts only if ts is already marked
+        events.withWatermark(ts_col, watermark)
+        .withColumn("w", F.window(ts_col, size))
+        .dropDuplicates([entity, "w", *dims])
+        .groupBy("w", *dims)
+        .agg(F.count(F.lit(1)).alias(f"{entity.split('_')[0]}_uv_ct"))
+    )
+    stt, edt = window_bounds(F.col("w"))
+    return out.withColumn("stt", stt).withColumn("edt", edt).drop("w")
+
+
+def interval_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    lower: str,
+    upper: str,
+    watermark: str = "2 seconds",
+) -> DataFrame:
+    """J1/J2 streaming — keyed event-time interval join
+    (OrderWideApp.java:96-105). Both sides watermarked; the range conjunct
+    bounds join state: Spark evicts left rows once the watermark passes
+    left_ts + upper, right rows once it passes right_ts - lower. That's
+    Flink's interval-join state cleanup, derived from the same predicate.
+    """
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    qty_lo, unit_lo = lower.strip().split(" ", 1)
+    qty_hi, unit_hi = upper.strip().split(" ", 1)
+    cond = F.expr(
+        f"l.{on} = r.{on} AND r.{right_ts} >= l.{left_ts} + INTERVAL '{qty_lo}' {unit_lo} "
+        f"AND r.{right_ts} <= l.{left_ts} + INTERVAL '{qty_hi}' {unit_hi}"
+    )
+    return l.join(r, cond, "inner")
+
+
+def run_to_memory(df: DataFrame, name: str, output_mode: str = "append") -> DataFrame:
+    """Drive a streaming DataFrame to completion with an availableNow trigger
+    into a memory sink; returns the result table. The test-time analog of
+    'submit and let it run' — processes everything currently available, then
+    stops (ST9: checkpointing elided for in-memory runs)."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)
+
+
+def foreach_batch_jdbc(df: DataFrame, url: str, table: str, checkpoint: str, **jdbc_opts):
+    """K3 — the ClickHouse JDBC sink pattern (ClickhouseUtil.java:16-66):
+    per micro-batch, drop transient columns and batch-write via JDBC. The
+    reference batches 5 rows at a time through reflection; foreachBatch
+    writes the whole micro-batch through the DataFrame JDBC writer."""
+
+    def write(batch: DataFrame, epoch_id: int) -> None:
+        batch.write.mode("append").format("jdbc").option("url", url).option(
+            "dbtable", table
+        ).options(**jdbc_opts).save()
+
+    return df.writeStream.foreachBatch(write).option("checkpointLocation", checkpoint).start()
+
+
+def kafka_dynamic_topic_sink(df: DataFrame, brokers: str, checkpoint: str):
+    """K2 — dynamic per-record topic routing (BaseDbApp.java:85-90): the
+    built-in Kafka sink honors a `topic` column; route_by_config's
+    sink_table column becomes the topic directly."""
+    out = df.select(
+        F.col("sink_table").alias("topic"),
+        F.to_json(F.struct([c for c in df.columns if c != "sink_table"])).alias("value"),
+    )
+    return (
+        out.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

@@ -1,0 +1,168 @@
+"""Streaming/batch equivalence: every streaming operator must produce the
+batch twin's results on fully-arrived data (modulo windows/timers still open
+at stream end — those are asserted to be exactly the final-watermark
+stragglers, not silent losses)."""
+
+from __future__ import annotations
+
+import pathlib
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from gmall_spark.operators.joins import interval_join
+from gmall_spark.operators.stateful import dedup_daily, detect_bounce, first_touch
+from gmall_spark.operators.windows import tumbling_stats
+from gmall_spark.sources import load_table
+from gmall_spark.streaming.pipelines import run_to_memory, windowed_stats_stream, interval_join_stream
+from gmall_spark.streaming.stateful import (
+    dedup_daily_stream,
+    detect_bounce_stream,
+    fix_is_new_stream,
+)
+
+SF = "/root/testdata/sf0.001"
+N_CHUNKS = 4
+
+
+@pytest.fixture(scope="module")
+def chunked_events(spark, tmp_path_factory):
+    """events sf0.001 sorted by ts, split into N parquet files (µs timestamps)
+    → N ordered micro-batches under maxFilesPerTrigger=1, so watermarks
+    advance between batches and event-time timers actually fire."""
+    out = tmp_path_factory.mktemp("events_chunks")
+    pdf = load_table(spark, SF, "events").orderBy("ts").toPandas()
+    chunk = (len(pdf) + N_CHUNKS - 1) // N_CHUNKS
+    for i in range(N_CHUNKS):
+        part = pdf.iloc[i * chunk : (i + 1) * chunk]
+        if len(part):
+            part.to_parquet(
+                out / f"part-{i:03d}.parquet",
+                index=False,
+                coerce_timestamps="us",
+                allow_truncated_timestamps=True,
+            )
+    return str(out)
+
+
+def read_stream(spark, path: str):
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    return (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(path)
+    )
+
+
+def rows_set(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_windowed_agg_stream_matches_batch(spark, chunked_events):
+    # countDistinct is illegal on streams — covered by test_windowed_uv below
+    ev_s = read_stream(spark, chunked_events)
+    aggs = [
+        F.count(F.lit(1)).alias("pv_ct"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(18,2)").alias("dur_sum"),
+    ]
+    stream = run_to_memory(
+        windowed_stats_stream(ev_s, "ts", "10 minutes", ["event_type"], aggs, "2 seconds"),
+        "t_win_stream",
+    )
+    ev_b = load_table(spark, SF, "events")
+    batch = tumbling_stats(ev_b, "ts", "10 minutes", ["event_type"], aggs)
+    cols = ["stt", "edt", "event_type", "pv_ct", "dur_sum"]
+    s_rows, b_rows = set(rows_set(stream, cols)), set(rows_set(batch, cols))
+    assert s_rows <= b_rows
+    # anything missing must be an end-of-stream window the watermark never closed
+    max_ts = ev_b.agg(F.max("ts")).collect()[0][0]
+    for row in b_rows - s_rows:
+        assert pd.Timestamp(row[1]) > max_ts - pd.Timedelta(seconds=2), row
+    assert len(s_rows) >= len(b_rows) - 5 * len({r[2] for r in b_rows})
+
+
+def test_windowed_uv_stream_matches_batch(spark, chunked_events):
+    from gmall_spark.streaming.pipelines import windowed_uv_stream
+
+    stream = run_to_memory(
+        windowed_uv_stream(
+            read_stream(spark, chunked_events), "ts", "10 minutes", "user_id", ["event_type"]
+        ),
+        "t_uv_stream",
+    )
+    ev_b = load_table(spark, SF, "events")
+    batch = tumbling_stats(
+        ev_b, "ts", "10 minutes", ["event_type"], [F.countDistinct("user_id").alias("user_uv_ct")]
+    )
+    cols = ["stt", "edt", "event_type", "user_uv_ct"]
+    s_rows, b_rows = set(rows_set(stream, cols)), set(rows_set(batch, cols))
+    assert s_rows <= b_rows
+    max_ts = ev_b.agg(F.max("ts")).collect()[0][0]
+    for row in b_rows - s_rows:
+        assert pd.Timestamp(row[1]) > max_ts - pd.Timedelta(seconds=2), row
+
+
+def test_interval_join_stream_matches_batch(spark, chunked_events):
+    ev_s = read_stream(spark, chunked_events)
+    views_s = ev_s.filter(F.col("event_type") == "view")
+    buys_s = ev_s.filter(F.col("event_type") == "purchase")
+    joined_s = interval_join_stream(
+        views_s, buys_s, "user_id", "ts", "ts", "0 minutes", "15 minutes"
+    ).select(
+        F.col("l.event_id").alias("view_id"), F.col("r.event_id").alias("purchase_id")
+    )
+    stream = run_to_memory(joined_s, "t_ij_stream")
+
+    ev_b = load_table(spark, SF, "events")
+    joined_b = interval_join(
+        ev_b.filter(F.col("event_type") == "view"),
+        ev_b.filter(F.col("event_type") == "purchase"),
+        "user_id", "ts", "ts", "0 minutes", "15 minutes",
+    ).select(F.col("l.event_id").alias("view_id"), F.col("r.event_id").alias("purchase_id"))
+    assert rows_set(stream, ["view_id", "purchase_id"]) == rows_set(
+        joined_b, ["view_id", "purchase_id"]
+    )
+
+
+def test_fix_is_new_stream_matches_batch(spark, chunked_events):
+    stream = run_to_memory(fix_is_new_stream(read_stream(spark, chunked_events)), "t_isnew")
+    batch = first_touch(load_table(spark, SF, "events"), "user_id", "ts", "event_id").select(
+        "event_id", "user_id", F.col("is_first").alias("is_new")
+    )
+    assert rows_set(stream, ["event_id", "user_id", "is_new"]) == rows_set(
+        batch, ["event_id", "user_id", "is_new"]
+    )
+
+
+def test_dedup_daily_stream_matches_batch(spark, chunked_events):
+    stream = run_to_memory(dedup_daily_stream(read_stream(spark, chunked_events)), "t_uv")
+    batch = dedup_daily(load_table(spark, SF, "events"), "user_id", "ts", "event_id").select(
+        "user_id",
+        F.date_format("dt", "yyyy-MM-dd").alias("dt"),
+        F.col("event_id").alias("first_event_id"),
+    )
+    assert rows_set(stream, ["user_id", "dt", "first_event_id"]) == rows_set(
+        batch, ["user_id", "dt", "first_event_id"]
+    )
+
+
+def test_detect_bounce_stream_matches_batch(spark, chunked_events):
+    stream = run_to_memory(
+        detect_bounce_stream(read_stream(spark, chunked_events), timeout_secs=600), "t_bounce"
+    )
+    ev_b = load_table(spark, SF, "events")
+    batch = detect_bounce(
+        ev_b, "user_id", "ts", "event_id", F.col("event_type") == "view", "10 minutes"
+    ).select("event_id", "user_id", "bounce_reason")
+    s_rows = set(rows_set(stream, ["event_id", "user_id", "bounce_reason"]))
+    b_rows = set(rows_set(batch, ["event_id", "user_id", "bounce_reason"]))
+    # streaming may not have fired timers for entries pending at stream end
+    assert s_rows <= b_rows
+    max_ts = ev_b.agg(F.max("ts")).collect()[0][0]
+    missing = b_rows - s_rows
+    if missing:
+        pending_ok = (
+            ev_b.filter(F.col("event_id").isin([m[0] for m in missing]))
+            .filter(F.col("ts") + F.expr("INTERVAL '600' SECOND") >= max_ts - F.expr("INTERVAL '2' SECOND"))
+            .count()
+        )
+        assert pending_ok == len(missing), f"non-straggler bounces missing: {missing}"
