@@ -1,0 +1,56 @@
+"""Batch sinks (SURVEY §2.2). Streaming counterparts (foreachBatch JDBC,
+dynamic-topic Kafka, memory/console) live in streaming/pipelines.py.
+
+K3 — the reference's ClickHouse sink reflects over bean fields, skips
+@TransientSink-annotated ones, and batches 5 rows (ClickhouseUtil.java:16-66).
+Here: drop the transient columns explicitly and let the JDBC writer batch per
+partition — column selection replaces reflection, partition-sized batches
+replace the magic 5.
+
+K2/K5 — dynamic routing to per-table outputs: in batch, partitionBy on the
+routing column gives one directory per sink table in a single pass (no
+per-table job), the columnar analog of the reference's per-record topic
+routing.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+
+
+def write_parquet(df: DataFrame, path: str, partition_by: Sequence[str] = (), mode: str = "overwrite") -> None:
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_routed_parquet(routed: DataFrame, base_path: str) -> None:
+    """K2 batch analog: one pass, one directory per sink_table value.
+    At scale this is a single shuffle-free write (router column is computed,
+    not shuffled) — no N jobs for N destinations."""
+    routed.write.mode("overwrite").partitionBy("sink_table").parquet(base_path)
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    transient_cols: Sequence[str] = (),
+    batchsize: int = 10000,
+    **opts: str,
+) -> None:
+    """K3 — JDBC batch write minus transient columns. batchsize is the real
+    per-round-trip row count (the reference's 5 would be a disaster at scale)."""
+    out = df.drop(*transient_cols) if transient_cols else df
+    (
+        out.write.mode("append")
+        .format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", str(batchsize))
+        .options(**opts)
+        .save()
+    )

@@ -1,0 +1,64 @@
+"""Physical-plan regression tests (the 100 TB contract): broadcasts stay
+broadcasts, filters reach the parquet scan, column pruning holds, expensive
+expressions aren't duplicated. A change that silently degrades any of these
+passes correctness but dies at scale — so it fails here instead."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from gmall_spark.plans import assert_broadcast, assert_pushdown, physical_plan, scan_info
+
+SF = "/root/testdata/sf0.001"
+QUERIES = entrymod.queries()
+
+
+def test_order_wide_broadcasts_dims(spark):
+    df = QUERIES["order_wide"](spark, SF)
+    assert_broadcast(df, at_least=3)  # customer, nation, region
+
+
+def test_product_stats_broadcasts_part(spark):
+    df = QUERIES["product_stats"](spark, SF)
+    assert_broadcast(df, at_least=1)
+
+
+def test_pricing_summary_filter_pushdown(spark):
+    df = QUERIES["pricing_summary"](spark, SF)
+    assert_pushdown(df, "l_shipdate")
+
+
+def test_visitor_stats_prunes_columns(spark):
+    df = QUERIES["visitor_stats"](spark, SF)
+    scans = scan_info(df)
+    assert scans, physical_plan(df)
+    for s in scans:
+        # props/value-independent dims must not drag unused columns through
+        assert "props" not in s["read_schema"], s["read_schema"]
+
+
+def test_visitor_stats_partial_agg(spark):
+    # Catalyst must plan partial/final aggregation (the reference hand-wrote
+    # this as ReduceFunction incremental agg; here it's free — keep it so)
+    plan = physical_plan(QUERIES["visitor_stats"](spark, SF))
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_cdc_route_parses_json_once(spark):
+    plan = physical_plan(QUERIES["cdc_route"](spark, SF))
+    assert plan.count("from_json") <= 2, f"from_json duplicated:\n{plan}"
+
+
+def test_interval_join_is_equi_join_not_nested_loop(spark):
+    # the range conjunct must NOT demote the join to nested-loop: the equi
+    # key drives a hash/sort-merge join, the interval is a post-join filter
+    plan = physical_plan(QUERIES["order_wide"](spark, SF))
+    assert "NestedLoop" not in plan, plan
+
+
+def test_union_stats_shares_scan_shape(spark):
+    # three branches of one source table: each branch's scan must prune to
+    # its needed columns (no SELECT * scans)
+    for s in scan_info(QUERIES["union_stats"](spark, SF)):
+        assert "props" not in s["read_schema"]
