@@ -574,3 +574,226 @@ def union_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("buy").alias("buy_ct"),
         F.sum("amount").cast("decimal(18,2)").alias("buy_amount"),
     )
+
+
+# ---------------------------------------------------------------------------
+# T5 — flatMap: one purchase event → exploded display exposures
+# (ProductStatsApp.java:78-118: click stream + one event per displays[] entry).
+# Displays are synthesized exactly like apps/fixtures.py so the oracle can
+# reproduce them as a UNION ALL of the two positions.
+# ---------------------------------------------------------------------------
+@register(
+    "display_explode",
+    """
+    SELECT item, CAST(count(*) AS BIGINT) AS exposure_ct
+    FROM (
+      SELECT 'sku_' || (CAST(json_extract(props, '$.k') AS BIGINT) % 100) AS item
+      FROM events WHERE event_type = 'purchase'
+      UNION ALL
+      SELECT 'sku_' || ((CAST(json_extract(props, '$.k') AS BIGINT) + 1) % 100) AS item
+      FROM events WHERE event_type = 'purchase'
+    )
+    GROUP BY item
+    """,
+)
+def display_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    displays = F.array(
+        F.concat(F.lit("sku_"), (k % 100).cast("string")),
+        F.concat(F.lit("sku_"), ((k + 1) % 100).cast("string")),
+    )
+    return (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(F.explode(displays).alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("exposure_ct"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Beyond-reference relational surface: multi-dim CUBE (the DWS "all dimension
+# combinations" rollup the reference approximates with FULL OUTER semantics,
+# VisitorStatsApp.java:39-41 — Spark computes every grouping set in one pass).
+# ---------------------------------------------------------------------------
+@register(
+    "cube_stats",
+    """
+    SELECT n.n_name AS nation, o.o_orderstatus AS status,
+           CAST(count(*) AS BIGINT) AS order_ct,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS amount
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY CUBE (n.n_name, o.o_orderstatus)
+    """,
+)
+def cube_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    j = orders.join(customer, orders.o_custkey == customer.c_custkey).join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+    )
+    return j.cube(
+        F.col("n_name").alias("nation"), F.col("o_orderstatus").alias("status")
+    ).agg(
+        F.count(F.lit(1)).alias("order_ct"),
+        F.sum(money("o_totalprice")).cast("decimal(18,2)").alias("amount"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pivot (dims → columns): daily event-type matrix. Spark .pivot with pinned
+# values == conditional aggregation in the oracle.
+# ---------------------------------------------------------------------------
+@register(
+    "pivot_stats",
+    """
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS dt,
+           CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view,
+           CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+           CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+           CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
+           CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error
+    FROM events GROUP BY 1
+    """,
+)
+def pivot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = (
+        ev.withColumn("dt", F.date_format("ts", "yyyy-MM-dd"))
+        .groupBy("dt")
+        .pivot("event_type", ["view", "click", "purchase", "signup", "error"])
+        .agg(F.count(F.lit(1)))
+    )
+    # pivot leaves null for absent cells; the oracle's FILTER count gives 0
+    for c in ["view", "click", "purchase", "signup", "error"]:
+        out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0)))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# J5 — outer-join family (TestFlinkSQLJoin.java:17-44 semantics demos):
+# full outer join of per-day view vs purchase users.
+# ---------------------------------------------------------------------------
+@register(
+    "outer_join_daily",
+    """
+    WITH v AS (
+      SELECT user_id, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS dt, count(*) AS views
+      FROM events WHERE event_type = 'view' GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT user_id, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS dt, count(*) AS buys
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    )
+    SELECT coalesce(v.user_id, p.user_id) AS user_id,
+           coalesce(v.dt, p.dt) AS dt,
+           CAST(coalesce(v.views, 0) AS BIGINT) AS views,
+           CAST(coalesce(p.buys, 0) AS BIGINT) AS buys
+    FROM v FULL OUTER JOIN p ON v.user_id = p.user_id AND v.dt = p.dt
+    """,
+)
+def outer_join_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    dt = F.date_format("ts", "yyyy-MM-dd").alias("dt")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", dt)
+        .agg(F.count(F.lit(1)).alias("views"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", dt)
+        .agg(F.count(F.lit(1)).alias("buys"))
+    )
+    j = v.alias("v").join(
+        p.alias("p"),
+        (F.col("v.user_id") == F.col("p.user_id")) & (F.col("v.dt") == F.col("p.dt")),
+        "full_outer",
+    )
+    return j.select(
+        F.coalesce(F.col("v.user_id"), F.col("p.user_id")).alias("user_id"),
+        F.coalesce(F.col("v.dt"), F.col("p.dt")).alias("dt"),
+        F.coalesce(F.col("views"), F.lit(0)).alias("views"),
+        F.coalesce(F.col("buys"), F.lit(0)).alias("buys"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semi/anti joins (EXISTS / NOT EXISTS — the Spark-first way to express the
+# reference's "has matching dim row?" checks without materializing the join).
+# ---------------------------------------------------------------------------
+@register(
+    "semi_anti_orders",
+    """
+    SELECT o_orderkey, 'with_lines' AS tag FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+    UNION ALL
+    SELECT o_orderkey, 'no_lines' AS tag FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+    """,
+)
+def semi_anti_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    with_lines = orders.join(
+        lineitem, orders.o_orderkey == lineitem.l_orderkey, "left_semi"
+    ).select("o_orderkey", F.lit("with_lines").alias("tag"))
+    no_lines = orders.join(
+        lineitem, orders.o_orderkey == lineitem.l_orderkey, "left_anti"
+    ).select("o_orderkey", F.lit("no_lines").alias("tag"))
+    return with_lines.unionByName(no_lines)
+
+
+# ---------------------------------------------------------------------------
+# Sessionization (gap-based): the lag+cumsum rewrite of session windows —
+# the batch twin of streaming session_window(ts, gap).
+# ---------------------------------------------------------------------------
+@register(
+    "sessionize",
+    f"""
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+             CAST(floor(date_part('epoch', ts)) AS BIGINT) AS sec,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR CAST(floor(date_part('epoch', ts)) AS BIGINT)
+                          - CAST(floor(date_part('epoch', lag(ts) OVER w)) AS BIGINT) > 1800
+                  THEN 1 ELSE 0 END AS is_new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, sec, event_id,
+             sum(is_new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM marked
+    )
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           strftime(min(ts), '{_DUCK_FMT}') AS session_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(max(sec) - min(sec) AS BIGINT) AS duration_sec
+    FROM sess GROUP BY 1, 2
+    """,
+)
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    marked = ev.withColumn(
+        "is_new_session",
+        F.when(gap.isNull() | (gap > 30 * 60), F.lit(1)).otherwise(F.lit(0)),
+    )
+    sess = marked.withColumn(
+        "session_seq",
+        F.sum("is_new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.date_format(F.min("ts"), TS_FMT).alias("session_start"),
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long"))).alias(
+            "duration_sec"
+        ),
+    )

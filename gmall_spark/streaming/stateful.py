@@ -16,6 +16,8 @@ Scale notes:
 - Batches arrive unordered *between* micro-batches; per-key state carries the
   ordering guarantee forward (the reference relies on Kafka per-partition
   order the same way).
+- Per-batch work is vectorized pandas (sort + shift), not per-row Python:
+  only the cross-batch carry (pending entry, seen-set) is scalar state.
 """
 
 from __future__ import annotations
@@ -40,40 +42,32 @@ def fix_is_new_stream(events: DataFrame, key: str = "user_id") -> DataFrame:
     def fn(
         key_tuple: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        seen = state.get[0] if state.exists else 0
-        frames = []
+        seen = state.exists and state.get[0] == 1
         for pdf in pdfs:
+            if not len(pdf):
+                continue
             pdf = pdf.sort_values(["ts", "event_id"])
-            flags = []
-            for _ in range(len(pdf)):
-                flags.append(0 if seen else 1)
-                seen = 1
-            frames.append(
-                pd.DataFrame(
-                    {"event_id": pdf["event_id"], key: pdf[key], "is_new": flags}
-                )
+            flags = pd.Series(0, index=pdf.index, dtype="int32")
+            if not seen:
+                flags.iloc[0] = 1
+                seen = True
+            yield pd.DataFrame(
+                {"event_id": pdf["event_id"], key: pdf[key], "is_new": flags}
             )
-        state.update((seen,))
-        yield from frames
+        state.update((1 if seen else 0,))
 
-    return (
-        events.groupBy(key)
-        .applyInPandasWithState(
-            fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
-        )
+    return events.groupBy(key).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
 
 
 def dedup_daily_stream(events: DataFrame, key: str = "user_id") -> DataFrame:
     """ST2 — daily UV dedup (UniqueVisitApp.java:45-87): keep each key's first
-    event per calendar day. State = last seen date string (the reference's
+    event per calendar day. State = seen-dates set (the reference's
     ValueState<String> lastVisitDate with 24h TTL — TTL is the memory bound,
     the date compare is the semantics; SURVEY §6a.6).
 
-    Emits (key, dt, first_event_id, first_ts). Requires events ordered within
-    the micro-batch (sorted here) and days arriving in order across batches —
-    the same assumption the reference makes on Kafka order.
-    """
+    Emits (key, dt, first_event_id, first_ts)."""
 
     out_schema = f"{key} long, dt string, first_event_id long, first_ts timestamp"
     state_schema = "dates string"  # comma-joined seen dates (bounded: days in flight)
@@ -82,23 +76,26 @@ def dedup_daily_stream(events: DataFrame, key: str = "user_id") -> DataFrame:
         key_tuple: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         seen = set((state.get[0] or "").split(",")) - {""} if state.exists else set()
-        rows = []
         for pdf in pdfs:
+            if not len(pdf):
+                continue
             pdf = pdf.sort_values(["ts", "event_id"])
-            for _, r in pdf.iterrows():
-                d = r["ts"].strftime("%Y-%m-%d")
-                if d not in seen:
-                    seen.add(d)
-                    rows.append((key_tuple[0], d, r["event_id"], r["ts"]))
+            dt = pdf["ts"].dt.strftime("%Y-%m-%d")
+            firsts = pdf[(~dt.duplicated()) & (~dt.isin(seen))]
+            seen.update(dt[~dt.isin(seen)].unique())
+            if len(firsts):
+                yield pd.DataFrame(
+                    {
+                        key: firsts[key],
+                        "dt": dt.loc[firsts.index],
+                        "first_event_id": firsts["event_id"],
+                        "first_ts": firsts["ts"],
+                    }
+                )
         state.update((",".join(sorted(seen)),))
-        if rows:
-            yield pd.DataFrame(rows, columns=[key, "dt", "first_event_id", "first_ts"])
 
-    return (
-        events.groupBy(key)
-        .applyInPandasWithState(
-            fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
-        )
+    return events.groupBy(key).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
 
 
@@ -115,14 +112,15 @@ def detect_bounce_stream(
     arrives within the timeout (timeout path, emitted by the event-time timer
     — Flink's CEP timeout side-output).
 
-    State = the pending entry event; the timer is an EventTimeTimeout set to
-    pending.ts + timeout: when the watermark passes it with no follow-up
-    event, the pending entry is a timeout-bounce. Emits
-    (event_id, key, ts, bounce_reason).
-    """
+    Within a batch the decision is the batch twin's lead() logic, vectorized
+    (shift). Across batches: state carries the trailing pending entry, and an
+    event-time timer set to pending.ts + timeout emits the timeout-bounce
+    when the watermark passes with no follow-up. Emits
+    (event_id, key, ts, bounce_reason)."""
 
     out_schema = f"event_id long, {key} long, ts timestamp, bounce_reason string"
     state_schema = "pending_id long, pending_ts timestamp"
+    cols = ["event_id", key, "ts", "bounce_reason"]
 
     def fn(
         key_tuple: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -131,38 +129,63 @@ def detect_bounce_stream(
         if state.hasTimedOut:
             pid, pts = state.get
             state.remove()
-            yield pd.DataFrame(
-                [(pid, k, pts, "timeout")],
-                columns=["event_id", key, "ts", "bounce_reason"],
-            )
+            yield pd.DataFrame([(pid, k, pts, "timeout")], columns=cols)
             return
 
-        pending = state.get if state.exists else None
-        rows = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
-            for _, r in pdf.iterrows():
-                is_entry = r["event_type"] == entry_type
-                if pending is not None:
-                    pid, pts = pending
-                    gap = (r["ts"] - pts).total_seconds()
-                    if gap > timeout_secs:
-                        rows.append((pid, k, pts, "timeout"))
-                    elif is_entry:
-                        rows.append((pid, k, pts, "match"))
-                    pending = None
-                if is_entry:
-                    pending = (r["event_id"], r["ts"])
+        pending = tuple(state.get) if state.exists else None
+        chunks = [pdf.sort_values(["ts", "event_id"]) for pdf in pdfs if len(pdf)]
+        if not chunks:
+            if pending is not None:
+                state.update(pending)
+                state.setTimeoutTimestamp(
+                    int(pending[1].timestamp() * 1000) + timeout_secs * 1000
+                )
+            return
+        pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+
+        # resolve the carried-over pending entry against the first new event
+        out_frames = []
+        first = pdf.iloc[0]
         if pending is not None:
-            state.update(pending)
-            # event-time timer: fire when the watermark passes ts + timeout
+            pid, pts = pending
+            gap = (first["ts"] - pts).total_seconds()
+            if gap > timeout_secs:
+                out_frames.append(pd.DataFrame([(pid, k, pts, "timeout")], columns=cols))
+            elif first["event_type"] == entry_type:
+                out_frames.append(pd.DataFrame([(pid, k, pts, "match")], columns=cols))
+
+        # vectorized lead() within the batch
+        is_entry = pdf["event_type"].eq(entry_type)
+        nxt_ts = pdf["ts"].shift(-1)
+        nxt_entry = is_entry.shift(-1)
+        gap_late = (nxt_ts - pdf["ts"]).dt.total_seconds() > timeout_secs
+        decided = is_entry & nxt_ts.notna()
+        reason = pd.Series(pd.NA, index=pdf.index, dtype="object")
+        reason[decided & gap_late] = "timeout"
+        reason[decided & ~gap_late & nxt_entry.fillna(False).astype(bool)] = "match"
+        hits = pdf[reason.notna()]
+        if len(hits):
+            out_frames.append(
+                pd.DataFrame(
+                    {
+                        "event_id": hits["event_id"],
+                        key: hits[key],
+                        "ts": hits["ts"],
+                        "bounce_reason": reason[reason.notna()],
+                    }
+                )
+            )
+
+        # trailing entry (no follow-up yet) becomes the new pending + timer
+        last = pdf.iloc[-1]
+        if last["event_type"] == entry_type:
+            state.update((int(last["event_id"]), last["ts"]))
             state.setTimeoutTimestamp(
-                int(pending[1].timestamp() * 1000) + timeout_secs * 1000
+                int(last["ts"].timestamp() * 1000) + timeout_secs * 1000
             )
         else:
             state.remove()
-        if rows:
-            yield pd.DataFrame(rows, columns=["event_id", key, "ts", "bounce_reason"])
+        yield from out_frames
 
     return (
         events.withWatermark("ts", watermark)
