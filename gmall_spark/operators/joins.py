@@ -60,6 +60,44 @@ def _iv(spec: str) -> str:
     return f"'{qty}' {unit}"
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the (big, skewed) left side's key into
+    `salt` sub-keys and explode the right side across all salts, so one hot
+    key spreads over `salt` reducers instead of melting a single task.
+
+    AQE's skew-join split (on by default in session.py) handles most skew at
+    runtime; explicit salting is for the pathological hot key that exceeds
+    even a split partition, or engines/paths where AQE can't rewrite (e.g.
+    streaming joins). Cost: right side replicated ×salt — use only when the
+    right side is small-ish but above broadcast threshold.
+    """
+    l = left.withColumn("__salt", (F.rand(seed=42) * salt).cast("int"))
+    r = right.withColumn("__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
+    out = l.join(r, [on, "__salt"], how)
+    return out.drop("__salt")
+
+
+def bucket_table(df: DataFrame, table: str, key: str, n_buckets: int = 16) -> None:
+    """Write a bucketed, sorted table: later equi-joins/aggs on `key` between
+    tables bucketed the same way are planned WITHOUT a shuffle (co-located
+    sort-merge join reads matching buckets directly). This is the batch
+    answer to 'this join runs every hour on the same key' — pay the shuffle
+    once at write time. Verified shuffle-free in tests/test_plans.py."""
+    (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
 def dim_enrich(
     fact: DataFrame,
     dims: Sequence[tuple[DataFrame, str, str]],

@@ -797,3 +797,88 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "duration_sec"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# K4 batch analog — CDC upsert / MERGE emulation: apply an update stream onto
+# a snapshot, latest-wins per key (DimSinkFunction.java:28-69 upserts dims;
+# without Delta, MERGE = union + row_number dedup, SURVEY §7.3 / guide CDC
+# pattern). Version stream synthesized deterministically from lineitem.
+# ---------------------------------------------------------------------------
+@register(
+    "cdc_upsert",
+    """
+    WITH updates AS (
+      SELECT l_orderkey AS o_orderkey,
+             CAST(NULL AS VARCHAR) AS o_orderstatus,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS o_totalprice,
+             2 AS version
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    base AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice, 1 AS version
+      FROM orders
+    ),
+    merged AS (
+      SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY version DESC) AS rn
+      FROM (SELECT * FROM base UNION ALL SELECT * FROM updates)
+    )
+    SELECT o_orderkey, o_orderstatus, o_totalprice, CAST(version AS BIGINT) AS version
+    FROM merged WHERE rn = 1
+    """,
+)
+def cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    base = orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        money("o_totalprice").alias("o_totalprice"),
+        F.lit(1).alias("version"),
+    )
+    updates = (
+        lineitem.groupBy(F.col("l_orderkey").alias("o_orderkey"))
+        .agg(F.sum(money("l_extendedprice")).cast("decimal(18,2)").alias("o_totalprice"))
+        .select(
+            "o_orderkey",
+            F.lit(None).cast("string").alias("o_orderstatus"),
+            "o_totalprice",
+            F.lit(2).alias("version"),
+        )
+    )
+    merged = base.unionByName(updates)
+    w = Window.partitionBy("o_orderkey").orderBy(F.col("version").desc())
+    return (
+        merged.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .withColumn("version", F.col("version").cast("long"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact percentiles (verified bit-identical interpolation vs DuckDB
+# quantile_cont) — the reference has no quantiles at all; large-scale DWS
+# rollups need them, and at 100 TB you'd swap in approx_percentile with a
+# documented error bound.
+# ---------------------------------------------------------------------------
+@register(
+    "percentile_stats",
+    """
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.5) AS median_price,
+           quantile_cont(l_extendedprice, 0.9) AS p90_price,
+           quantile_cont(l_extendedprice, 0.99) AS p99_price
+    FROM lineitem GROUP BY 1
+    """,
+)
+def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("median_price"),
+        F.expr("percentile(l_extendedprice, 0.9)").alias("p90_price"),
+        F.expr("percentile(l_extendedprice, 0.99)").alias("p99_price"),
+    )

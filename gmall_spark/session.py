@@ -62,6 +62,8 @@ def get_spark(app_name: str = "gmall_spark", master: str | None = None) -> Spark
         .config("spark.default.parallelism", str(cpus))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # bucketed tables (co-located joins) land here, not in the repo cwd
+        .config("spark.sql.warehouse.dir", os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/gmall_warehouse"))
     )
     for k, v in SCALE_CONFS.items():
         builder = builder.config(k, v)

@@ -1,0 +1,62 @@
+"""Scale-posture operators: bucketed co-located joins (shuffle-free), salted
+skew joins (correctness under salting), approx-distinct error bounds."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gmall_spark.operators.joins import bucket_table, salted_join
+from gmall_spark.plans import physical_plan
+from gmall_spark.sources import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_bucketed_join_is_shuffle_free(spark):
+    orders = load_table(spark, SF, "orders")
+    lineitem = load_table(spark, SF, "lineitem")
+    bucket_table(orders.select("o_orderkey", "o_totalprice"), "b_orders", "o_orderkey")
+    bucket_table(
+        lineitem.select(F.col("l_orderkey").alias("o_orderkey"), "l_quantity"),
+        "b_lineitem",
+        "o_orderkey",
+    )
+    a = spark.table("b_orders")
+    b = spark.table("b_lineitem")
+    # co-located join must not exchange either side; disable AQE broadcast
+    # demotion noise by checking the plan has zero shuffle exchanges
+    joined = a.join(b, "o_orderkey").withColumn("x", F.col("l_quantity") + 1)
+    plan = physical_plan(joined)
+    assert "Exchange hashpartitioning" not in plan, plan
+    # and results are correct
+    expected = (
+        orders.select("o_orderkey")
+        .join(lineitem.select(F.col("l_orderkey").alias("o_orderkey")), "o_orderkey")
+        .count()
+    )
+    assert joined.count() == expected
+
+
+def test_salted_join_matches_plain_join(spark):
+    orders = load_table(spark, SF, "orders").select("o_orderkey", "o_custkey")
+    customer = load_table(spark, SF, "customer").select("c_custkey", "c_name")
+    plain = orders.join(
+        customer.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey"
+    )
+    salted = salted_join(
+        orders, customer.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey", salt=4
+    )
+    assert salted.count() == plain.count()
+    p = sorted(tuple(r) for r in plain.select("o_orderkey", "c_name").collect())
+    s = sorted(tuple(r) for r in salted.select("o_orderkey", "c_name").collect())
+    assert p == s
+
+
+def test_approx_count_distinct_error_bound(spark):
+    ev = load_table(spark, SF, "events")
+    exact, approx = ev.agg(
+        F.countDistinct("user_id").alias("e"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("a"),
+    ).collect()[0]
+    assert abs(approx - exact) / exact < 0.1  # generous bound for rsd=0.02
