@@ -174,6 +174,25 @@ def embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_force_knn(emb, "vec_id", "embedding", k=5)
 
 
+_NEAR_DUP_ORACLE = """
+WITH n AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nm
+  FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       CAST(CASE WHEN a.label = b.label THEN 1 ELSE 0 END AS BIGINT) AS same_label
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v) / (a.nm * b.nm) > 0.4
+"""
+
+
+@register("dedup_embedding_cosine", _NEAR_DUP_ORACLE)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_near_dup(emb, "vec_id", "embedding", "label", threshold=0.4)
+
+
 # LSH-bucketed ANN — the 100TB scale path (candidates from shared hyperplane
 # buckets instead of n² pairs). Deterministic md5-derived hyperplane signs, so
 # no oracle-side RNG needed; still omitted from oracle_sql (the recall-bounded
@@ -181,7 +200,15 @@ def embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("embed_ann_lsh")
 def embed_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.lsh_ann(emb, "vec_id", "embedding", n_bits=8, k=5)
+    return similarity.lsh_ann(emb, "vec_id", "embedding", n_bits=6, n_tables=12, k=5)
+
+
+# IVF variant — k-means cells + nprobe search (the other classic ANN scale
+# path; recall vs brute force asserted in tests/test_ann_quality.py).
+@register("embed_ann_ivf")
+def embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_ann(emb, "vec_id", "embedding", k=5, n_clusters=16, nprobe=4)
 
 
 # ---------------------------------------------------------------------------

@@ -78,29 +78,88 @@ def brute_force_knn(df: DataFrame, id_col: str, vec_col: str, k: int = 5) -> Dat
     return df.select(id_col, vec_col).mapInPandas(op, "vec_id long, neighbor_id long, rnk long")
 
 
-def _hyperplane_sign(bit: Column, dim: Column) -> Column:
+def cosine_near_dup(
+    df: DataFrame, id_col: str, vec_col: str, label_col: str, threshold: float = 0.4
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (sim > threshold, a < b).
+
+    Same broadcast+BLAS kernel as brute_force_knn; at 100 TB the candidate
+    stage switches to LSH buckets (signatures below) and this becomes the
+    verify step within buckets. Output: (vec_a, vec_b, same_label) — sims
+    themselves stay out of the output so fp summation order can't flip the
+    hash; membership at the threshold is fp-robust for real embeddings.
+    """
+    import numpy as np
+    import pandas as pd
+
+    index = df.select(id_col, vec_col, label_col).toPandas()
+    ids = index[id_col].to_numpy()
+    labels = index[label_col].to_numpy()
+    M = np.stack(index[vec_col].to_numpy()).astype("float64")
+    nrm = np.sqrt((M * M).sum(axis=1))
+    bc = df.sparkSession.sparkContext.broadcast((ids, labels, M, nrm))
+
+    def op(batches):
+        ids_b, labels_b, M_b, nrm_b = bc.value
+        for pdf in batches:
+            Q = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            qn = np.sqrt((Q * Q).sum(axis=1))
+            S = (Q @ M_b.T) / (qn[:, None] * nrm_b[None, :])
+            qids = pdf[id_col].to_numpy()
+            qlabels = pdf[label_col].to_numpy()
+            rows_a, rows_b, rows_s = [], [], []
+            for r in range(S.shape[0]):
+                mask = (S[r] > threshold) & (ids_b > qids[r])  # a < b, no self
+                for j in np.nonzero(mask)[0]:
+                    rows_a.append(qids[r])
+                    rows_b.append(ids_b[j])
+                    rows_s.append(int(qlabels[r] == labels_b[j]))
+            yield pd.DataFrame({"vec_a": rows_a, "vec_b": rows_b, "same_label": rows_s})
+
+    return df.select(id_col, vec_col, label_col).mapInPandas(
+        op, "vec_a long, vec_b long, same_label long"
+    )
+
+
+def _hyperplane_sign(table: Column, bit: Column, dim: Column) -> Column:
     """Deterministic ±1 from md5 parity — a fixed pseudo-random hyperplane
-    basis shared by every executor with zero broadcast state."""
+    basis shared by every executor with zero broadcast state. The table id
+    salts the hash so each LSH table gets independent hyperplanes."""
     return F.when(
-        F.md5(F.concat(F.lit("h"), bit.cast("string"), F.lit(","), dim.cast("string")))
+        F.md5(
+            F.concat(
+                F.lit("h"), table.cast("string"), F.lit(":"),
+                bit.cast("string"), F.lit(","), dim.cast("string"),
+            )
+        )
         .substr(1, 1)
         .isin("8", "9", "a", "b", "c", "d", "e", "f"),
         F.lit(1.0),
     ).otherwise(F.lit(-1.0))
 
 
-def signatures(df: DataFrame, id_col: str, vec_col: str, n_bits: int = 8) -> DataFrame:
-    """(id, sig): sig = n_bits-char bit string, bit b = sign(w_b · v)."""
+def signatures(
+    df: DataFrame, id_col: str, vec_col: str, n_bits: int = 6, n_tables: int = 12
+) -> DataFrame:
+    """(id, table, sig): per-table random-hyperplane signatures. Multi-table
+    is what makes hyperplane LSH usable on near-isotropic embeddings: a
+    single b-bit table recovers only p_agree^b of true neighbors, while L
+    tables recover 1-(1-p^b)^L — recall is tuned by (n_bits, n_tables)
+    without touching the verify stage."""
     exploded = df.select(
         F.col(id_col), F.posexplode(_as_double(F.col(vec_col))).alias("dim", "x")
     ).select(
-        F.col(id_col), "dim", "x", F.explode(F.sequence(F.lit(0), F.lit(n_bits - 1))).alias("bit")
+        F.col(id_col), "dim", "x",
+        F.explode(F.sequence(F.lit(0), F.lit(n_tables - 1))).alias("table"),
+    ).select(
+        F.col(id_col), "dim", "x", "table",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bits - 1))).alias("bit"),
     )
-    proj = exploded.groupBy(id_col, "bit").agg(
-        F.sum(F.col("x") * _hyperplane_sign(F.col("bit"), F.col("dim"))).alias("p")
+    proj = exploded.groupBy(id_col, "table", "bit").agg(
+        F.sum(F.col("x") * _hyperplane_sign(F.col("table"), F.col("bit"), F.col("dim"))).alias("p")
     )
     bits = proj.withColumn("b", F.when(F.col("p") > 0, F.lit("1")).otherwise(F.lit("0")))
-    return bits.groupBy(id_col).agg(
+    return bits.groupBy(id_col, "table").agg(
         F.concat_ws(
             "", F.transform(F.sort_array(F.collect_list(F.struct("bit", "b"))), lambda s: s["b"])
         ).alias("sig")
@@ -108,26 +167,40 @@ def signatures(df: DataFrame, id_col: str, vec_col: str, n_bits: int = 8) -> Dat
 
 
 def lsh_ann(
-    df: DataFrame, id_col: str, vec_col: str, n_bits: int = 8, k: int = 5
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_bits: int = 6,
+    n_tables: int = 12,
+    k: int = 5,
 ) -> DataFrame:
-    """Approximate top-k cosine: candidates share an LSH bucket (equi-join on
-    the signature), then exact cosine + rank within the bucket.
-    Output: vec_id, neighbor_id, rnk."""
-    sig = signatures(df, id_col, vec_col, n_bits)
-    base = (
-        df.join(sig, id_col)
-        .select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"), "sig")
-        .withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    """Approximate top-k cosine: candidate pairs share a bucket in ANY of the
+    L signature tables (equi-join on (table, sig), distinct over tables),
+    then exact cosine + rank within the candidate set.
+    Output: vec_id, neighbor_id, rnk.
+
+    Scale: candidate generation is L equi-joins' worth of bucket-local pairs
+    — linear-ish in corpus size for well-spread buckets — and the expensive
+    exact-cosine verify touches only candidates, never the n² pair space."""
+    sig = signatures(df, id_col, vec_col, n_bits, n_tables)
+    a = sig.select(F.col(id_col).alias("vec_id"), "table", "sig")
+    b = sig.select(F.col(id_col).alias("neighbor_id"), "table", "sig")
+    cand = (
+        a.join(b, ["table", "sig"])
+        .filter(F.col("vec_id") != F.col("neighbor_id"))
+        .select("vec_id", "neighbor_id")
+        .distinct()
     )
-    a = base.select(
-        F.col(id_col).alias("vec_id"), F.col("v").alias("va"), F.col("nrm").alias("na"), "sig"
-    )
-    b = base.select(
-        F.col(id_col).alias("neighbor_id"), F.col("v").alias("vb"), F.col("nrm").alias("nb"), "sig"
+    base = df.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("v")
+    ).withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    va = base.select(F.col(id_col).alias("vec_id"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    vb = base.select(
+        F.col(id_col).alias("neighbor_id"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
     )
     sims = (
-        a.join(b, ["sig"])
-        .filter(F.col("vec_id") != F.col("neighbor_id"))
+        cand.join(va, "vec_id")
+        .join(vb, "neighbor_id")
         .withColumn("sim", _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
@@ -136,3 +209,120 @@ def lsh_ann(
         .filter(F.col("rnk") <= k)
         .select("vec_id", "neighbor_id", "rnk")
     )
+
+
+def ivf_index(
+    df: DataFrame, id_col: str, vec_col: str, n_clusters: int = 16, iters: int = 2
+) -> DataFrame:
+    """IVF (inverted-file) index: k-means-quantize vectors into n_clusters
+    cells; ANN then probes only a few cells. Deterministic: centroids seed
+    from the n_clusters lowest ids, fixed Lloyd iterations, ties broken by
+    centroid index. Returns (id, cell).
+
+    Scale: each Lloyd iteration is one mapInPandas assign (broadcast
+    centroids, BLAS argmax) + one groupBy-mean — embarrassingly parallel;
+    the index build is O(n·k·d·iters) with no pairwise stage at all.
+    """
+    import numpy as np
+    import pandas as pd
+
+    base = df.select(id_col, vec_col).orderBy(id_col)
+    seed = np.stack(
+        base.limit(n_clusters).toPandas()[vec_col].to_numpy()
+    ).astype("float64")
+    sc = df.sparkSession.sparkContext
+    centroids = seed
+    for _ in range(iters):
+        bc = sc.broadcast(centroids)
+
+        def assign(batches):
+            C = bc.value
+            for pdf in batches:
+                X = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+                d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+                yield pd.DataFrame(
+                    {"id": pdf[id_col], "cell": d.argmin(axis=1), "v": list(X)}
+                )
+
+        assigned = base.mapInPandas(assign, f"id long, cell int, v array<double>")
+        means = (
+            assigned.select("cell", F.posexplode("v").alias("dim", "x"))
+            .groupBy("cell", "dim")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("dim", "m"))), lambda s: s["m"]
+                ).alias("centroid")
+            )
+            .orderBy("cell")
+            .collect()
+        )
+        new_c = centroids.copy()
+        for r in means:
+            new_c[r["cell"]] = np.array(r["centroid"])
+        centroids = new_c
+    bc = sc.broadcast(centroids)
+
+    def final_assign(batches):
+        C = bc.value
+        for pdf in batches:
+            X = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            yield pd.DataFrame({id_col: pdf[id_col], "cell": d.argmin(axis=1)})
+
+    return df.select(id_col, vec_col).mapInPandas(final_assign, f"{id_col} long, cell int")
+
+
+def ivf_ann(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Approximate top-k cosine via IVF: candidates come from the query's
+    nprobe nearest cells (equi-join on cell) instead of the full corpus.
+    Recall is tunable by nprobe (validated vs brute force in tests).
+    Output: vec_id, neighbor_id, rnk."""
+    import numpy as np
+    import pandas as pd
+
+    cells = ivf_index(df, id_col, vec_col, n_clusters)
+    indexed = df.join(cells, id_col).select(id_col, vec_col, "cell")
+    # corpus grouped by cell, broadcast (at 100 TB: per-cell parquet files +
+    # a distributed probe join — same plan shape, no broadcast)
+    corpus = indexed.toPandas()
+    ids = corpus[id_col].to_numpy()
+    cell_of = corpus["cell"].to_numpy()
+    M = np.stack(corpus[vec_col].to_numpy()).astype("float64")
+    nrm = np.sqrt((M * M).sum(axis=1))
+    cent = np.stack(
+        [M[cell_of == c].mean(axis=0) if (cell_of == c).any() else M[0] * 0 for c in range(n_clusters)]
+    )
+    bc = df.sparkSession.sparkContext.broadcast((ids, cell_of, M, nrm, cent))
+
+    def op(batches):
+        ids_b, cell_b, M_b, nrm_b, C = bc.value
+        for pdf in batches:
+            Q = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            qn = np.sqrt((Q * Q).sum(axis=1))
+            qids = pdf[id_col].to_numpy()
+            dc = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            probes = np.argsort(dc, axis=1)[:, :nprobe]
+            out_q, out_n, out_r = [], [], []
+            for r in range(len(Q)):
+                mask = np.isin(cell_b, probes[r]) & (ids_b != qids[r])
+                cand = np.nonzero(mask)[0]
+                if not len(cand):
+                    continue
+                sims = (M_b[cand] @ Q[r]) / (nrm_b[cand] * qn[r])
+                order = np.lexsort((ids_b[cand], -sims))[:k]
+                for rank, j in enumerate(order, 1):
+                    out_q.append(qids[r])
+                    out_n.append(ids_b[cand[j]])
+                    out_r.append(rank)
+            yield pd.DataFrame({"vec_id": out_q, "neighbor_id": out_n, "rnk": out_r})
+
+    return df.select(id_col, vec_col).mapInPandas(op, "vec_id long, neighbor_id long, rnk long")

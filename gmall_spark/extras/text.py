@@ -102,3 +102,31 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str, k: int = 5) -> DataFr
         F.md5(norm).alias("content_fp"),
         F.array_min(F.transform(sh, lambda s: F.md5(s))).alias("min_shingle_fp"),
     )
+
+
+def tokenize_udf(text_col: str):
+    """F1 — the pluggable tokenizer UDF (the reference's IK Chinese analyzer,
+    utils/KeywordUtil.java:16-35, as an Arrow-batched pandas UDF). Uses jieba
+    when importable (the public IK analogue), whitespace otherwise — the
+    fallback keeps the operator runnable in codec-less environments and the
+    oracle exact. Returns array<string>; compose with F.explode for the
+    LATERAL TABLE shape (SplitFunction.java:9-18)."""
+    import pandas as pd
+    from pyspark.sql import functions as F  # local: keep module import-light
+    from pyspark.sql import types as T
+
+    try:
+        import jieba  # noqa: F401
+
+        def _cut(s):
+            import jieba
+
+            return s.fillna("").map(lambda t: [w for w in jieba.cut(t) if w.strip()])
+
+    except ImportError:
+
+        def _cut(s):
+            return s.fillna("").map(lambda t: [w for w in t.strip().split(" ") if w])
+
+    fn = F.pandas_udf(_cut, T.ArrayType(T.StringType()))
+    return fn(text_col)

@@ -89,6 +89,15 @@ def bucket_table(df: DataFrame, table: str, key: str, n_buckets: int = 16) -> No
     sort-merge join reads matching buckets directly). This is the batch
     answer to 'this join runs every hour on the same key' — pay the shuffle
     once at write time. Verified shuffle-free in tests/test_plans.py."""
+    import shutil
+    from urllib.parse import urlparse
+
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS `{table}`")
+    # a previous session's managed-table dir survives the in-memory catalog;
+    # overwrite can't reclaim a location the catalog doesn't know about
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(f"{warehouse}/{table}", ignore_errors=True)
     (
         df.write.mode("overwrite")
         .bucketBy(n_buckets, key)

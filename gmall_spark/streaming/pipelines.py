@@ -181,6 +181,41 @@ def foreach_batch_jdbc(df: DataFrame, url: str, table: str, checkpoint: str, **j
     return df.writeStream.foreachBatch(write).option("checkpointLocation", checkpoint).start()
 
 
+def route_cdc_stream(
+    envelope_stream: DataFrame,
+    config_path: str,
+    out_path: str,
+    checkpoint: str,
+):
+    """J4/K2 streaming — config-driven routing with LIVE config updates
+    (BaseDbApp.java:57-90): the reference broadcasts a CDC'd config table so
+    rule changes apply to in-flight data; here every micro-batch re-reads the
+    config table inside foreachBatch (SURVEY §4.3), so a config change takes
+    effect at the next trigger — same latency class as Flink's broadcast
+    state update. Output: parquet partitioned by sink_table (the batch analog
+    of the dynamic-topic Kafka sink; swap the writer for production Kafka).
+
+    Combined with checkpointing, a restarted query resumes at the right
+    offset and routes new data under the new rules — tested in
+    tests/test_streaming_routing.py.
+    """
+    from gmall_spark.operators.parse import decode_cdc, drop_cdc_deletes
+    from gmall_spark.operators.routing import route_by_config
+
+    def process(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        config = spark.read.parquet(config_path)  # fresh per micro-batch
+        routed = route_by_config(drop_cdc_deletes(decode_cdc(batch)), config)
+        routed.write.mode("append").partitionBy("sink_table").parquet(out_path)
+
+    return (
+        envelope_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def kafka_dynamic_topic_sink(df: DataFrame, brokers: str, checkpoint: str):
     """K2 — dynamic per-record topic routing (BaseDbApp.java:85-90): the
     built-in Kafka sink honors a `topic` column; route_by_config's

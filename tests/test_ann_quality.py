@@ -1,0 +1,72 @@
+"""ANN quality: both approximate paths (LSH buckets, IVF cells) must recover
+a meaningful fraction of the exact top-k — the honesty check for the two
+rows-only similarity queries."""
+
+from __future__ import annotations
+
+import pytest
+
+from gmall_spark.extras import similarity, text
+from gmall_spark.sources import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def exact(spark):
+    emb = load_table(spark, SF, "embeddings")
+    bf = similarity.brute_force_knn(emb, "vec_id", "embedding", k=5)
+    return set((r.vec_id, r.neighbor_id) for r in bf.collect())
+
+
+def test_ivf_recall(spark, exact):
+    emb = load_table(spark, SF, "embeddings")
+    ivf = similarity.ivf_ann(emb, "vec_id", "embedding", k=5, n_clusters=16, nprobe=4)
+    got = set((r.vec_id, r.neighbor_id) for r in ivf.collect())
+    recall = len(got & exact) / len(exact)
+    assert recall > 0.45, recall  # nprobe=4/16 on unclustered random data
+
+
+def test_ivf_recall_improves_with_nprobe(spark, exact):
+    emb = load_table(spark, SF, "embeddings")
+    full = similarity.ivf_ann(emb, "vec_id", "embedding", k=5, n_clusters=16, nprobe=16)
+    got = set((r.vec_id, r.neighbor_id) for r in full.collect())
+    # probing every cell = exact search
+    assert got == exact
+
+
+def test_lsh_multi_table_recall(spark, exact):
+    emb = load_table(spark, SF, "embeddings")
+    lsh = similarity.lsh_ann(emb, "vec_id", "embedding", n_bits=6, n_tables=12, k=5)
+    got = set((r.vec_id, r.neighbor_id) for r in lsh.collect())
+    # isotropic random embeddings are LSH's worst case; multi-table still
+    # needs meaningful recall (measured ~0.44 at these settings)
+    assert len(got & exact) / len(exact) > 0.3
+    assert all(a != b for a, b in got)
+
+
+def test_lsh_recall_improves_with_tables(spark, exact):
+    emb = load_table(spark, SF, "embeddings")
+
+    def recall(n_tables):
+        got = set(
+            (r.vec_id, r.neighbor_id)
+            for r in similarity.lsh_ann(
+                emb, "vec_id", "embedding", n_bits=6, n_tables=n_tables, k=5
+            ).collect()
+        )
+        return len(got & exact) / len(exact)
+
+    assert recall(12) > recall(2)
+
+
+def test_tokenizer_udf_fallback(spark):
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF, "documents")
+    via_udf = docs.select(F.explode(text.tokenize_udf("text")).alias("w"))
+    via_builtin = docs.select(
+        F.explode(F.split(F.trim("text"), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    # whitespace fallback must agree with the built-in tokenization exactly
+    assert via_udf.count() == via_builtin.count()
