@@ -53,9 +53,11 @@ def tokens(text: Column | str) -> Column:
 
 def shingles(toks: Column, k: int = 3) -> Column:
     """k-token shingles: ['a b c', 'b c d', ...]. Built-in higher-order
-    functions only — no UDF, so it runs inside codegen at any scale."""
+    functions only — no UDF, so it runs inside codegen at any scale.
+    Inputs shorter than k yield one clamped-prefix shingle (slice clamps;
+    the floor of 1 avoids sequence(1,0) producing a DESCENDING range)."""
     return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(0))),
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1))),
         lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
     )
 

@@ -980,3 +980,38 @@ def returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(_revenue()).cast("decimal(18,4)").alias("revenue"),
         F.count(F.lit(1)).alias("item_ct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# The SQL-API path (ProvinceStatsSqlApp.java:36-71 builds its whole pipeline
+# as SQL text over registered tables): same province rollup, expressed via
+# register_views + spark.sql — Catalyst produces the identical plan either
+# way; this entry keeps the SQL front door covered.
+# ---------------------------------------------------------------------------
+@register(
+    "province_stats_sql",
+    """
+    SELECT n.n_nationkey AS province_id, n.n_name AS province_name,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS order_amount,
+           CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS order_count
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1, 2
+    """,
+)
+def province_stats_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_spark.sources import register_views
+
+    register_views(spark, sf_dir, ("orders", "customer", "nation"))
+    return spark.sql(
+        """
+        SELECT n.n_nationkey AS province_id, n.n_name AS province_name,
+               CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS order_amount,
+               count(DISTINCT o.o_orderkey) AS order_count
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1, 2
+        """
+    )

@@ -92,6 +92,11 @@ def dedup_daily_stream(events: DataFrame, key: str = "user_id") -> DataFrame:
                         "first_ts": firsts["ts"],
                     }
                 )
+        # bounded state — the reference's 24h TTL (UniqueVisitApp.java:55-59)
+        # as sliding retention: only the latest day and its predecessor can
+        # still receive (bounded-out-of-order) events, older dates are dead.
+        if len(seen) > 2:
+            seen = set(sorted(seen)[-2:])
         state.update((",".join(sorted(seen)),))
 
     return events.groupBy(key).applyInPandasWithState(
