@@ -138,6 +138,23 @@ def _hyperplane_sign(table: Column, bit: Column, dim: Column) -> Column:
     ).otherwise(F.lit(-1.0))
 
 
+def _hyperplanes(n_tables: int, n_bits: int, dims: int):
+    """The deterministic ±1 hyperplane tensor, generated from md5 parity —
+    bit-identical to _hyperplane_sign's per-cell expression, so SQL-side and
+    kernel-side signatures agree."""
+    import hashlib
+
+    import numpy as np
+
+    W = np.empty((n_tables, n_bits, dims))
+    for t in range(n_tables):
+        for b in range(n_bits):
+            for d in range(dims):
+                h = hashlib.md5(f"h{t}:{b},{d}".encode()).hexdigest()[0]
+                W[t, b, d] = 1.0 if h in "89abcdef" else -1.0
+    return W
+
+
 def signatures(
     df: DataFrame, id_col: str, vec_col: str, n_bits: int = 6, n_tables: int = 12
 ) -> DataFrame:
@@ -145,24 +162,40 @@ def signatures(
     is what makes hyperplane LSH usable on near-isotropic embeddings: a
     single b-bit table recovers only p_agree^b of true neighbors, while L
     tables recover 1-(1-p^b)^L — recall is tuned by (n_bits, n_tables)
-    without touching the verify stage."""
-    exploded = df.select(
-        F.col(id_col), F.posexplode(_as_double(F.col(vec_col))).alias("dim", "x")
-    ).select(
-        F.col(id_col), "dim", "x",
-        F.explode(F.sequence(F.lit(0), F.lit(n_tables - 1))).alias("table"),
-    ).select(
-        F.col(id_col), "dim", "x", "table",
-        F.explode(F.sequence(F.lit(0), F.lit(n_bits - 1))).alias("bit"),
+    without touching the verify stage.
+
+    Computed as one BLAS matmul per Arrow batch against the broadcast
+    hyperplane tensor (n_tables·n_bits projections at once) — the exploded
+    DataFrame formulation pushes rows·dims·tables·bits rows through a shuffle
+    for the same arithmetic.
+    """
+    import numpy as np
+    import pandas as pd
+
+    first = df.select(vec_col).first()
+    dims = len(first[0])
+    bc = df.sparkSession.sparkContext.broadcast(
+        _hyperplanes(n_tables, n_bits, dims).reshape(n_tables * n_bits, dims)
     )
-    proj = exploded.groupBy(id_col, "table", "bit").agg(
-        F.sum(F.col("x") * _hyperplane_sign(F.col("table"), F.col("bit"), F.col("dim"))).alias("p")
-    )
-    bits = proj.withColumn("b", F.when(F.col("p") > 0, F.lit("1")).otherwise(F.lit("0")))
-    return bits.groupBy(id_col, "table").agg(
-        F.concat_ws(
-            "", F.transform(F.sort_array(F.collect_list(F.struct("bit", "b"))), lambda s: s["b"])
-        ).alias("sig")
+    weights = (2 ** np.arange(n_bits - 1, -1, -1)).astype("int64")
+
+    def op(batches):
+        W = bc.value
+        for pdf in batches:
+            X = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            bits = (X @ W.T > 0).reshape(len(X), n_tables, n_bits)
+            codes = bits @ weights  # (rows, tables) integer bucket codes
+            ids = pdf[id_col].to_numpy()
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(ids, n_tables),
+                    "table": np.tile(np.arange(n_tables), len(X)),
+                    "sig": codes.reshape(-1).astype("int64"),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        op, f"{id_col} long, table int, sig long"
     )
 
 
@@ -174,41 +207,60 @@ def lsh_ann(
     n_tables: int = 12,
     k: int = 5,
 ) -> DataFrame:
-    """Approximate top-k cosine: candidate pairs share a bucket in ANY of the
-    L signature tables (equi-join on (table, sig), distinct over tables),
-    then exact cosine + rank within the candidate set.
+    """Approximate top-k cosine: candidates share a bucket in ANY of the L
+    signature tables; exact cosine + rank within the candidate set.
     Output: vec_id, neighbor_id, rnk.
 
-    Scale: candidate generation is L equi-joins' worth of bucket-local pairs
-    — linear-ish in corpus size for well-spread buckets — and the expensive
-    exact-cosine verify touches only candidates, never the n² pair space."""
-    sig = signatures(df, id_col, vec_col, n_bits, n_tables)
-    a = sig.select(F.col(id_col).alias("vec_id"), "table", "sig")
-    b = sig.select(F.col(id_col).alias("neighbor_id"), "table", "sig")
-    cand = (
-        a.join(b, ["table", "sig"])
-        .filter(F.col("vec_id") != F.col("neighbor_id"))
-        .select("vec_id", "neighbor_id")
-        .distinct()
-    )
-    base = df.select(
-        F.col(id_col), _as_double(F.col(vec_col)).alias("v")
-    ).withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
-    va = base.select(F.col(id_col).alias("vec_id"), F.col("v").alias("va"), F.col("nrm").alias("na"))
-    vb = base.select(
-        F.col(id_col).alias("neighbor_id"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
-    )
-    sims = (
-        cand.join(va, "vec_id")
-        .join(vb, "neighbor_id")
-        .withColumn("sim", _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
-    return (
-        sims.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= k)
-        .select("vec_id", "neighbor_id", "rnk")
-    )
+    Candidate lookup is a broadcast hash of (table, bucket) → member ids;
+    verification is one BLAS matvec per query over its candidates only —
+    never the n² pair space. At 100 TB the broadcast hash becomes a
+    partitioned bucket table and the probe an equi-join on (table, sig);
+    the per-bucket verify kernel is unchanged.
+    """
+    import numpy as np
+    import pandas as pd
+
+    sig_pdf = signatures(df, id_col, vec_col, n_bits, n_tables).toPandas()
+    index = df.select(id_col, vec_col).toPandas()
+    ids = index[id_col].to_numpy()
+    pos_of = {int(i): p for p, i in enumerate(ids)}
+    M = np.stack(index[vec_col].to_numpy()).astype("float64")
+    nrm = np.sqrt((M * M).sum(axis=1))
+    buckets: dict = {}
+    for rid, t, sg in zip(sig_pdf[id_col], sig_pdf["table"], sig_pdf["sig"]):
+        buckets.setdefault((int(t), int(sg)), []).append(pos_of[int(rid)])
+    bc = df.sparkSession.sparkContext.broadcast((ids, M, nrm, buckets))
+    W = _hyperplanes(n_tables, n_bits, M.shape[1]).reshape(n_tables * n_bits, M.shape[1])
+    bw = df.sparkSession.sparkContext.broadcast(W)
+    weights = (2 ** np.arange(n_bits - 1, -1, -1)).astype("int64")
+
+    def op(batches):
+        ids_b, M_b, nrm_b, buckets_b = bc.value
+        Wb = bw.value
+        for pdf in batches:
+            Q = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            qn = np.sqrt((Q * Q).sum(axis=1))
+            qids = pdf[id_col].to_numpy()
+            bits = (Q @ Wb.T > 0).reshape(len(Q), n_tables, n_bits)
+            codes = bits @ weights
+            out_q, out_n, out_r = [], [], []
+            for r in range(len(Q)):
+                cand: set = set()
+                for t in range(n_tables):
+                    cand.update(buckets_b.get((t, int(codes[r, t])), ()))
+                cand.discard(pos_of.get(int(qids[r]), -1))
+                if not cand:
+                    continue
+                cl = np.fromiter(cand, dtype="int64")
+                sims = (M_b[cl] @ Q[r]) / (nrm_b[cl] * qn[r])
+                order = np.lexsort((ids_b[cl], -sims))[:k]
+                for rank, j in enumerate(order, 1):
+                    out_q.append(qids[r])
+                    out_n.append(ids_b[cl[j]])
+                    out_r.append(rank)
+            yield pd.DataFrame({"vec_id": out_q, "neighbor_id": out_n, "rnk": out_r})
+
+    return df.select(id_col, vec_col).mapInPandas(op, "vec_id long, neighbor_id long, rnk long")
 
 
 def ivf_index(
