@@ -1015,3 +1015,109 @@ def province_stats_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1, 2
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Collection aggregate (the Set<Long> accumulator shape, bean/ProductStats
+# .java:74-83, surfaced as data): sorted distinct collection per key —
+# deterministic via sort_array(collect_set), joined to a string for
+# engine-portable comparison.
+# ---------------------------------------------------------------------------
+@register(
+    "grouped_collect",
+    """
+    SELECT user_id,
+           array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+    FROM events GROUP BY user_id
+    """,
+)
+def grouped_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.concat_ws(",", F.sort_array(F.collect_set("event_type"))).alias("types"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window frames: running count/sum + first/last per user ordered by event
+# time (the cumulative-metrics shape of DWS result consumers).
+# ---------------------------------------------------------------------------
+@register(
+    "running_totals",
+    """
+    SELECT event_id, user_id,
+           CAST(row_number() OVER w AS BIGINT) AS seq,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS DECIMAL(18,2)) AS running_value,
+           first_value(event_type) OVER w AS first_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.row_number().over(w).cast("long").alias("seq"),
+        F.sum(money("value")).over(run).cast("decimal(18,2)").alias("running_value"),
+        F.first("event_type").over(w).alias("first_type"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Calendar rollup: date_trunc month — the DWS daily/monthly cadence.
+# ---------------------------------------------------------------------------
+@register(
+    "monthly_revenue",
+    """
+    SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+           o_orderpriority,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue,
+           CAST(count(*) AS BIGINT) AS order_ct
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month"),
+        "o_orderpriority",
+    ).agg(
+        F.sum(money("o_totalprice")).cast("decimal(18,2)").alias("revenue"),
+        F.count(F.lit(1)).alias("order_ct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# String-function surface (§2.8): case, replace, pad, substring, length —
+# engine-portable subset, exercised over part names.
+# ---------------------------------------------------------------------------
+@register(
+    "string_funcs",
+    """
+    SELECT p_partkey,
+           upper(p_name) AS uname,
+           replace(p_name, ' ', '_') AS snake,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS padded_size,
+           substr(p_brand, 7) AS brand_num,
+           CAST(length(p_name) AS BIGINT) AS name_len
+    FROM part
+    """,
+)
+def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("uname"),
+        F.regexp_replace("p_name", " ", "_").alias("snake"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("padded_size"),
+        F.substring("p_brand", 7, 100).alias("brand_num"),
+        F.length("p_name").cast("long").alias("name_len"),
+    )
