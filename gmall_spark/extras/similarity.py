@@ -121,27 +121,10 @@ def cosine_near_dup(
     )
 
 
-def _hyperplane_sign(table: Column, bit: Column, dim: Column) -> Column:
-    """Deterministic ±1 from md5 parity — a fixed pseudo-random hyperplane
-    basis shared by every executor with zero broadcast state. The table id
-    salts the hash so each LSH table gets independent hyperplanes."""
-    return F.when(
-        F.md5(
-            F.concat(
-                F.lit("h"), table.cast("string"), F.lit(":"),
-                bit.cast("string"), F.lit(","), dim.cast("string"),
-            )
-        )
-        .substr(1, 1)
-        .isin("8", "9", "a", "b", "c", "d", "e", "f"),
-        F.lit(1.0),
-    ).otherwise(F.lit(-1.0))
-
-
 def _hyperplanes(n_tables: int, n_bits: int, dims: int):
     """The deterministic ±1 hyperplane tensor, generated from md5 parity —
-    bit-identical to _hyperplane_sign's per-cell expression, so SQL-side and
-    kernel-side signatures agree."""
+    md5(f"h{table}:{bit},{dim}") first hex digit >= 8 → +1 — so an
+    SQL-side oracle could reproduce it with the same md5 expression."""
     import hashlib
 
     import numpy as np

@@ -151,20 +151,39 @@ def interval_join_stream(
     return l.join(r, cond, "inner")
 
 
-def run_to_memory(df: DataFrame, name: str, output_mode: str = "append") -> DataFrame:
+def run_to_memory(
+    df: DataFrame,
+    name: str,
+    output_mode: str = "append",
+    shuffle_partitions: int | None = 8,
+) -> DataFrame:
     """Drive a streaming DataFrame to completion with an availableNow trigger
     into a memory sink; returns the result table. The test-time analog of
     'submit and let it run' — processes everything currently available, then
-    stops (ST9: checkpointing elided for in-memory runs)."""
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return df.sparkSession.table(name)
+    stops (ST9: checkpointing elided for in-memory runs).
+
+    shuffle_partitions sizes the STATE STORE width for this query (stateful
+    streaming cost scales with partitions × micro-batches — each partition
+    pays a state-store open/commit per batch, so width should match key
+    cardinality/throughput, not the batch-engine default). Pinned at query
+    start; the session conf is restored afterwards.
+    """
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
 
 
 def foreach_batch_jdbc(df: DataFrame, url: str, table: str, checkpoint: str, **jdbc_opts):
