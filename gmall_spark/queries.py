@@ -1121,3 +1121,188 @@ def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("p_brand", 7, 100).alias("brand_num"),
         F.length("p_name").cast("long").alias("name_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# THE flagship DWS rollup — ProductStatsApp end-to-end (union of 7 fact
+# streams → per-sku stats with every bean field, bean/ProductStats.java:20-86,
+# union at lines 225-230, agg at 243-284). Stream derivations from testdata
+# (deterministic; sku domain = 0..99):
+#   click   = view events            (sku = k%100)
+#   display = purchase events ×2     (sku = k%100, (k+1)%100)
+#   favor   = click events, k%3=0    cart = click events, k%3=1
+#   order   = lineitem               (sku = l_partkey%100)
+#   payment = lineitem of 'F' orders refund = lineitem of 'P' orders
+#   comment = error events           (good ⇔ k%4=0, the appraise='1201' flag)
+# Exact distinct order counts replace the reference's HashSet accumulators —
+# including the paid-set copy-paste bug it fixes (SURVEY §6a.1).
+# ---------------------------------------------------------------------------
+_PS_FULL_ORACLE = """
+WITH k AS (
+  SELECT *, CAST(json_extract(props, '$.k') AS BIGINT) AS kv FROM events
+),
+facts AS (
+  SELECT kv % 100 AS sku_id, 0 AS display_ct, 1 AS click_ct, 0 AS favor_ct, 0 AS cart_ct,
+         CAST(0 AS DECIMAL(18,2)) AS order_sku_num, CAST(NULL AS BIGINT) AS order_id,
+         CAST(NULL AS BIGINT) AS paid_order_id, CAST(NULL AS BIGINT) AS refund_order_id,
+         CAST(0 AS DECIMAL(18,4)) AS order_amount, CAST(0 AS DECIMAL(18,4)) AS payment_amount,
+         CAST(0 AS DECIMAL(18,4)) AS refund_amount, 0 AS comment_ct, 0 AS good_comment_ct
+  FROM k WHERE event_type = 'view'
+  UNION ALL
+  SELECT u.sku, 1, 0, 0, 0, CAST(0 AS DECIMAL(18,2)), NULL, NULL, NULL,
+         CAST(0 AS DECIMAL(18,4)), CAST(0 AS DECIMAL(18,4)), CAST(0 AS DECIMAL(18,4)), 0, 0
+  FROM (
+    SELECT kv % 100 AS sku FROM k WHERE event_type = 'purchase'
+    UNION ALL
+    SELECT (kv + 1) % 100 FROM k WHERE event_type = 'purchase'
+  ) u
+  UNION ALL
+  SELECT kv % 100, 0, 0, 1, 0, CAST(0 AS DECIMAL(18,2)), NULL, NULL, NULL,
+         CAST(0 AS DECIMAL(18,4)), CAST(0 AS DECIMAL(18,4)), CAST(0 AS DECIMAL(18,4)), 0, 0
+  FROM k WHERE event_type = 'click' AND kv % 3 = 0
+  UNION ALL
+  SELECT kv % 100, 0, 0, 0, 1, CAST(0 AS DECIMAL(18,2)), NULL, NULL, NULL,
+         CAST(0 AS DECIMAL(18,4)), CAST(0 AS DECIMAL(18,4)), CAST(0 AS DECIMAL(18,4)), 0, 0
+  FROM k WHERE event_type = 'click' AND kv % 3 = 1
+  UNION ALL
+  SELECT l.l_partkey % 100, 0, 0, 0, 0, CAST(l.l_quantity AS DECIMAL(18,2)), l.l_orderkey,
+         NULL, NULL,
+         CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2))),
+         CAST(0 AS DECIMAL(18,4)), CAST(0 AS DECIMAL(18,4)), 0, 0
+  FROM lineitem l
+  UNION ALL
+  SELECT l.l_partkey % 100, 0, 0, 0, 0, CAST(0 AS DECIMAL(18,2)), NULL, l.l_orderkey, NULL,
+         CAST(0 AS DECIMAL(18,4)),
+         CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2))),
+         CAST(0 AS DECIMAL(18,4)), 0, 0
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey AND o.o_orderstatus = 'F'
+  UNION ALL
+  SELECT l.l_partkey % 100, 0, 0, 0, 0, CAST(0 AS DECIMAL(18,2)), NULL, NULL, l.l_orderkey,
+         CAST(0 AS DECIMAL(18,4)), CAST(0 AS DECIMAL(18,4)),
+         CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2))),
+         0, 0
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey AND o.o_orderstatus = 'P'
+  UNION ALL
+  SELECT kv % 100, 0, 0, 0, 0, CAST(0 AS DECIMAL(18,2)), NULL, NULL, NULL,
+         CAST(0 AS DECIMAL(18,4)), CAST(0 AS DECIMAL(18,4)), CAST(0 AS DECIMAL(18,4)),
+         1, CASE WHEN kv % 4 = 0 THEN 1 ELSE 0 END
+  FROM k WHERE event_type = 'error'
+)
+SELECT sku_id,
+       CAST(sum(display_ct) AS BIGINT) AS display_ct,
+       CAST(sum(click_ct) AS BIGINT) AS click_ct,
+       CAST(sum(favor_ct) AS BIGINT) AS favor_ct,
+       CAST(sum(cart_ct) AS BIGINT) AS cart_ct,
+       CAST(sum(order_sku_num) AS DECIMAL(18,2)) AS order_sku_num,
+       CAST(count(DISTINCT order_id) AS BIGINT) AS order_ct,
+       CAST(count(DISTINCT paid_order_id) AS BIGINT) AS paid_order_ct,
+       CAST(count(DISTINCT refund_order_id) AS BIGINT) AS refund_order_ct,
+       CAST(sum(order_amount) AS DECIMAL(18,4)) AS order_amount,
+       CAST(sum(payment_amount) AS DECIMAL(18,4)) AS payment_amount,
+       CAST(sum(refund_amount) AS DECIMAL(18,4)) AS refund_amount,
+       CAST(sum(comment_ct) AS BIGINT) AS comment_ct,
+       CAST(sum(good_comment_ct) AS BIGINT) AS good_comment_ct
+FROM facts GROUP BY sku_id
+"""
+
+
+@register("product_stats_full", _PS_FULL_ORACLE)
+def product_stats_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    kv = F.get_json_object("props", "$.k").cast("long")
+
+    zero = {
+        "display_ct": F.lit(0),
+        "click_ct": F.lit(0),
+        "favor_ct": F.lit(0),
+        "cart_ct": F.lit(0),
+        "order_sku_num": F.lit(0).cast("decimal(18,2)"),
+        "order_id": F.lit(None).cast("long"),
+        "paid_order_id": F.lit(None).cast("long"),
+        "refund_order_id": F.lit(None).cast("long"),
+        "order_amount": F.lit(0).cast("decimal(18,4)"),
+        "payment_amount": F.lit(0).cast("decimal(18,4)"),
+        "refund_amount": F.lit(0).cast("decimal(18,4)"),
+        "comment_ct": F.lit(0),
+        "good_comment_ct": F.lit(0),
+    }
+
+    def stream(sku, **overrides):
+        cols = [sku.alias("sku_id")]
+        for name, default in zero.items():
+            cols.append(overrides.get(name, default).alias(name))
+        return cols
+
+    clicks = ev.filter(F.col("event_type") == "view").select(
+        *stream(kv % 100, click_ct=F.lit(1))
+    )
+    displays = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(F.explode(F.array(kv % 100, (kv + 1) % 100)).alias("sku"))
+        .select(*stream(F.col("sku"), display_ct=F.lit(1)))
+    )
+    favors = ev.filter((F.col("event_type") == "click") & (kv % 3 == 0)).select(
+        *stream(kv % 100, favor_ct=F.lit(1))
+    )
+    carts = ev.filter((F.col("event_type") == "click") & (kv % 3 == 1)).select(
+        *stream(kv % 100, cart_ct=F.lit(1))
+    )
+    orders_s = lineitem.select(
+        *stream(
+            F.col("l_partkey") % 100,
+            order_sku_num=money("l_quantity"),
+            order_id=F.col("l_orderkey"),
+            order_amount=_revenue(),
+        )
+    )
+    paid = (
+        lineitem.join(
+            orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey"),
+            lineitem.l_orderkey == F.col("o_orderkey"),
+        ).select(
+            *stream(
+                F.col("l_partkey") % 100,
+                paid_order_id=F.col("l_orderkey"),
+                payment_amount=_revenue(),
+            )
+        )
+    )
+    refunds = (
+        lineitem.join(
+            orders.filter(F.col("o_orderstatus") == "P").select("o_orderkey"),
+            lineitem.l_orderkey == F.col("o_orderkey"),
+        ).select(
+            *stream(
+                F.col("l_partkey") % 100,
+                refund_order_id=F.col("l_orderkey"),
+                refund_amount=_revenue(),
+            )
+        )
+    )
+    comments = ev.filter(F.col("event_type") == "error").select(
+        *stream(
+            kv % 100,
+            comment_ct=F.lit(1),
+            good_comment_ct=F.when(kv % 4 == 0, 1).otherwise(0),
+        )
+    )
+    unioned = clicks
+    for s in (displays, favors, carts, orders_s, paid, refunds, comments):
+        unioned = unioned.unionByName(s)
+    return unioned.groupBy("sku_id").agg(
+        F.sum("display_ct").alias("display_ct"),
+        F.sum("click_ct").alias("click_ct"),
+        F.sum("favor_ct").alias("favor_ct"),
+        F.sum("cart_ct").alias("cart_ct"),
+        F.sum("order_sku_num").cast("decimal(18,2)").alias("order_sku_num"),
+        F.countDistinct("order_id").alias("order_ct"),
+        F.countDistinct("paid_order_id").alias("paid_order_ct"),
+        F.countDistinct("refund_order_id").alias("refund_order_ct"),
+        F.sum("order_amount").cast("decimal(18,4)").alias("order_amount"),
+        F.sum("payment_amount").cast("decimal(18,4)").alias("payment_amount"),
+        F.sum("refund_amount").cast("decimal(18,4)").alias("refund_amount"),
+        F.sum("comment_ct").alias("comment_ct"),
+        F.sum("good_comment_ct").alias("good_comment_ct"),
+    )

@@ -235,6 +235,32 @@ def route_cdc_stream(
     )
 
 
+def split_log_stream(raw_json: DataFrame, out_base: str, checkpoint: str):
+    """T6 streaming — BaseLogApp's multi-way split as ONE streaming query
+    with a foreachBatch multi-write (BaseLogApp.java:96-152: side outputs →
+    three Kafka topics). One pass over each micro-batch feeds all sinks —
+    the cache() inside foreachBatch is what prevents N re-reads for N sinks
+    (per-sink streaming queries would each re-read the source).
+    """
+    from gmall_spark.apps.warehouse import base_log_app
+
+    def process(batch: DataFrame, epoch_id: int) -> None:
+        batch = batch.cache()
+        try:
+            out = base_log_app(batch)
+            for name in ("start", "page", "display", "dirty"):
+                out[name].write.mode("append").json(f"{out_base}/{name}")
+        finally:
+            batch.unpersist()
+
+    return (
+        raw_json.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def kafka_dynamic_topic_sink(df: DataFrame, brokers: str, checkpoint: str):
     """K2 — dynamic per-record topic routing (BaseDbApp.java:85-90): the
     built-in Kafka sink honors a `topic` column; route_by_config's

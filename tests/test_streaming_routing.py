@@ -85,3 +85,33 @@ def test_config_reload_and_checkpoint_resume(spark, dirs):
     assert v2.count() == 3
     assert v2.filter(F.element_at("data", "status") == "OK").count() == 3
     assert v2.filter(F.element_at("data", "total").isNotNull()).count() == 0
+
+
+def test_split_log_stream_multi_sink(spark, tmp_path):
+    """One streaming pass → four sinks (T6). Counts must match the batch
+    split exactly (note: the is_new repair inside this wrapper is per-batch;
+    cross-batch repair is fix_is_new_stream's job)."""
+    from gmall_spark.apps.fixtures import behavior_log_json
+    from gmall_spark.apps.warehouse import base_log_app
+    from gmall_spark.streaming.pipelines import split_log_stream
+
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+    raw = behavior_log_json(spark, "/root/testdata/sf0.001")
+    raw.coalesce(1).write.mode("overwrite").text(str(src))
+
+    stream = spark.readStream.text(str(src))
+    q = split_log_stream(stream, str(out), str(ckpt))
+    q.awaitTermination()
+
+    batch_out = base_log_app(raw)
+    for name in ("start", "page", "display"):
+        got = spark.read.json(str(out / name)).count()
+        assert got == batch_out[name].count(), name
+    import os
+
+    assert not os.path.exists(out / "dirty") or spark.read.json(
+        str(out / "dirty")
+    ).count() == 0
