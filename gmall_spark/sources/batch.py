@@ -25,6 +25,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     keeps 19-digit nanos exact (a double round-trip would corrupt them).
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # every temporal-string output assumes UTC; the caller's session (e.g.
+    # the driver's) may not pin it, so the loader does — oracle timestamps
+    # are naive/UTC (DuckDB)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = f"{sf_dir}/{name}.parquet"
     df = spark.read.parquet(path)
     for col in _nanos_columns(path):

@@ -33,6 +33,7 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     caps per-trigger intake from Kafka (maxOffsetsPerTrigger) at scale.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
     raw = (
         spark.readStream.schema(schema)
