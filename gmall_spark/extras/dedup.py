@@ -95,14 +95,30 @@ def ngram_jaccard(
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, k: int, n_hashes: int
 ) -> DataFrame:
-    """(id, seed, mh): per-seed minhash over the shingle set. Seeds are the
-    strings 's0'..'s{n-1}'; mh = min(md5(seed|'|'|shingle))."""
+    """(id, seed, mh): per-seed minhash over the shingle set.
+
+    Hash family: the i-th hash of a shingle is an 8-hex-char slice of
+    md5(shingle) / md5('x'|shingle) — one md5 yields four independent 32-bit
+    hashes, so n_hashes=8 costs 2 md5 evaluations per shingle instead of 8,
+    and ALL per-seed minima reduce in a single groupBy pass over the
+    (doc, shingle) set (no ×n_hashes row explosion — at 100 TB that factor
+    is the difference between one shuffle of the shingle set and eight).
+    Seeds are 's0'..'s{n-1}'; min over 32-bit slices is a valid minhash
+    (uniform order statistic, ~300-shingle docs vs 2^32 space ⇒ tie-free).
+    """
+    assert n_hashes <= 8, "extend the md5-slice family for more hashes"
     sh = shingle_set(df, id_col, text_col, k)
-    seeds = F.array(*[F.lit(f"s{i}") for i in range(n_hashes)])
-    return (
-        sh.select(F.col(id_col), F.explode(seeds).alias("seed"), "shingle")
-        .groupBy(id_col, "seed")
-        .agg(F.min(F.md5(F.concat(F.col("seed"), F.lit("|"), F.col("shingle")))).alias("mh"))
+    h1 = F.md5("shingle")
+    h2 = F.md5(F.concat(F.lit("x"), F.col("shingle")))
+    slices = [
+        (h1 if i < 4 else h2).substr(1 + 8 * (i % 4), 8) for i in range(n_hashes)
+    ]
+    agg = sh.groupBy(id_col).agg(
+        *[F.min(slices[i]).alias(f"m{i}") for i in range(n_hashes)]
+    )
+    stacked = ", ".join(f"'s{i}', m{i}" for i in range(n_hashes))
+    return agg.selectExpr(
+        id_col, f"stack({n_hashes}, {stacked}) AS (seed, mh)"
     )
 
 
@@ -174,22 +190,22 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str, n_bits: int) -
         .groupBy(id_col, "token")
         .agg(F.count(F.lit(1)).alias("w"))
     )
-    bits = (
-        toks.select(
-            F.col(id_col), "token", "w", F.explode(F.sequence(F.lit(0), F.lit(n_bits - 1))).alias("i")
-        )
-        .withColumn(
-            "contrib",
-            F.when(
-                F.md5("token").substr(F.col("i") + 1, F.lit(1)).isin(*_HEX_HIGH), F.col("w")
-            ).otherwise(-F.col("w")),
-        )
-        .groupBy(id_col, "i")
-        .agg(F.when(F.sum("contrib") > 0, F.lit(1)).otherwise(F.lit(0)).alias("bit"))
-    )
-    return bits.groupBy(id_col).agg(
-        F.sum(F.expr("shiftleft(CAST(bit AS BIGINT), i)")).cast("long").alias("sig")
-    )
+    # all n_bits weighted sums in ONE aggregation pass over (doc, token, w) —
+    # the ×n_bits row explosion would multiply the shuffle for no reason;
+    # md5(token) is evaluated once per row and sliced per bit
+    h = F.md5("token")
+    contribs = [
+        F.sum(
+            F.when(h.substr(i + 1, 1).isin(*_HEX_HIGH), F.col("w")).otherwise(-F.col("w"))
+        ).alias(f"s{i}")
+        for i in range(n_bits)
+    ]
+    agg = toks.groupBy(id_col).agg(*contribs)
+    sig = None
+    for i in range(n_bits):
+        bit = F.when(F.col(f"s{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = bit if sig is None else sig + bit
+    return agg.select(F.col(id_col), sig.alias("sig"))
 
 
 def simhash_pairs(

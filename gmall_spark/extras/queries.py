@@ -83,10 +83,26 @@ WITH sh AS (
          UNNEST(range(1, greatest(len(t) - 2, 1) + 1)) AS u(i)
   )
 ),
+agg AS (
+  SELECT doc_id,
+         min(substr(md5(shingle), 1, 8)) AS m0,
+         min(substr(md5(shingle), 9, 8)) AS m1,
+         min(substr(md5(shingle), 17, 8)) AS m2,
+         min(substr(md5(shingle), 25, 8)) AS m3,
+         min(substr(md5('x' || shingle), 1, 8)) AS m4,
+         min(substr(md5('x' || shingle), 9, 8)) AS m5,
+         min(substr(md5('x' || shingle), 17, 8)) AS m6,
+         min(substr(md5('x' || shingle), 25, 8)) AS m7
+  FROM sh GROUP BY doc_id
+),
 sig AS (
-  SELECT doc_id, seed, min(md5(seed || '|' || shingle)) AS mh
-  FROM sh, UNNEST(['s0','s1','s2','s3','s4','s5','s6','s7']) AS s(seed)
-  GROUP BY 1, 2
+  SELECT doc_id, u.seed, u.mh FROM agg,
+  UNNEST([
+    {'seed': 's0', 'mh': m0}, {'seed': 's1', 'mh': m1},
+    {'seed': 's2', 'mh': m2}, {'seed': 's3', 'mh': m3},
+    {'seed': 's4', 'mh': m4}, {'seed': 's5', 'mh': m5},
+    {'seed': 's6', 'mh': m6}, {'seed': 's7', 'mh': m7}
+  ]) AS u(u)
 ),
 bands AS (
   SELECT doc_id, substr(seed, 2, 1)::INT // 2 AS band,
