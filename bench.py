@@ -33,6 +33,9 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in sorted(queries):
+        # drop persisted intermediates so each query measures itself, not
+        # the previous query's cache/GC pressure
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         try:
             n = queries[name](spark, sf_dir).count()

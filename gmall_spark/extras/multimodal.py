@@ -68,6 +68,8 @@ def extract_features(assets: DataFrame, n_features: int = 4) -> DataFrame:
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if not len(pdf):
+                continue
             payloads = pdf["payload"]
             n_bytes = payloads.map(len)
             byte_mean = payloads.map(lambda b: (sum(b) / len(b)) if len(b) else 0.0)

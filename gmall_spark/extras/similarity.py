@@ -17,6 +17,12 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _empty(df: DataFrame, schema: str) -> DataFrame:
+    """Typed empty result — the kernels collect the index side driver-side,
+    and an empty index must yield an empty result, not an np.stack error."""
+    return df.sparkSession.createDataFrame([], schema)
+
+
 def _as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
 
@@ -47,6 +53,8 @@ def brute_force_knn(df: DataFrame, id_col: str, vec_col: str, k: int = 5) -> Dat
     import pandas as pd
 
     index = df.select(id_col, vec_col).toPandas()
+    if not len(index):
+        return _empty(df, "vec_id long, neighbor_id long, rnk long")
     ids = index[id_col].to_numpy()
     M = np.stack(index[vec_col].to_numpy()).astype("float64")
     nrm = np.sqrt((M * M).sum(axis=1))
@@ -55,6 +63,8 @@ def brute_force_knn(df: DataFrame, id_col: str, vec_col: str, k: int = 5) -> Dat
     def op(batches):
         ids_b, M_b, nrm_b = bc.value
         for pdf in batches:
+            if not len(pdf):
+                continue
             Q = np.stack(pdf[vec_col].to_numpy()).astype("float64")
             qn = np.sqrt((Q * Q).sum(axis=1))
             S = (Q @ M_b.T) / (qn[:, None] * nrm_b[None, :])
@@ -93,6 +103,8 @@ def cosine_near_dup(
     import pandas as pd
 
     index = df.select(id_col, vec_col, label_col).toPandas()
+    if not len(index):
+        return _empty(df, "vec_a long, vec_b long, same_label long")
     ids = index[id_col].to_numpy()
     labels = index[label_col].to_numpy()
     M = np.stack(index[vec_col].to_numpy()).astype("float64")
@@ -102,6 +114,8 @@ def cosine_near_dup(
     def op(batches):
         ids_b, labels_b, M_b, nrm_b = bc.value
         for pdf in batches:
+            if not len(pdf):
+                continue
             Q = np.stack(pdf[vec_col].to_numpy()).astype("float64")
             qn = np.sqrt((Q * Q).sum(axis=1))
             S = (Q @ M_b.T) / (qn[:, None] * nrm_b[None, :])
@@ -156,6 +170,8 @@ def signatures(
     import pandas as pd
 
     first = df.select(vec_col).first()
+    if first is None:
+        return _empty(df, f"{id_col} long, table int, sig long")
     dims = len(first[0])
     bc = df.sparkSession.sparkContext.broadcast(
         _hyperplanes(n_tables, n_bits, dims).reshape(n_tables * n_bits, dims)
@@ -165,6 +181,8 @@ def signatures(
     def op(batches):
         W = bc.value
         for pdf in batches:
+            if not len(pdf):
+                continue
             X = np.stack(pdf[vec_col].to_numpy()).astype("float64")
             bits = (X @ W.T > 0).reshape(len(X), n_tables, n_bits)
             codes = bits @ weights  # (rows, tables) integer bucket codes
@@ -205,6 +223,8 @@ def lsh_ann(
 
     sig_pdf = signatures(df, id_col, vec_col, n_bits, n_tables).toPandas()
     index = df.select(id_col, vec_col).toPandas()
+    if not len(index):
+        return _empty(df, "vec_id long, neighbor_id long, rnk long")
     ids = index[id_col].to_numpy()
     pos_of = {int(i): p for p, i in enumerate(ids)}
     M = np.stack(index[vec_col].to_numpy()).astype("float64")
@@ -221,6 +241,8 @@ def lsh_ann(
         ids_b, M_b, nrm_b, buckets_b = bc.value
         Wb = bw.value
         for pdf in batches:
+            if not len(pdf):
+                continue
             Q = np.stack(pdf[vec_col].to_numpy()).astype("float64")
             qn = np.sqrt((Q * Q).sum(axis=1))
             qids = pdf[id_col].to_numpy()
@@ -262,9 +284,10 @@ def ivf_index(
     import pandas as pd
 
     base = df.select(id_col, vec_col).orderBy(id_col)
-    seed = np.stack(
-        base.limit(n_clusters).toPandas()[vec_col].to_numpy()
-    ).astype("float64")
+    seed_pdf = base.limit(n_clusters).toPandas()
+    if not len(seed_pdf):
+        return _empty(df, f"{id_col} long, cell int")
+    seed = np.stack(seed_pdf[vec_col].to_numpy()).astype("float64")
     sc = df.sparkSession.sparkContext
     centroids = seed
     for _ in range(iters):
@@ -302,6 +325,8 @@ def ivf_index(
     def final_assign(batches):
         C = bc.value
         for pdf in batches:
+            if not len(pdf):
+                continue
             X = np.stack(pdf[vec_col].to_numpy()).astype("float64")
             d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
             yield pd.DataFrame({id_col: pdf[id_col], "cell": d.argmin(axis=1)})
@@ -329,6 +354,8 @@ def ivf_ann(
     # corpus grouped by cell, broadcast (at 100 TB: per-cell parquet files +
     # a distributed probe join — same plan shape, no broadcast)
     corpus = indexed.toPandas()
+    if not len(corpus):
+        return _empty(df, "vec_id long, neighbor_id long, rnk long")
     ids = corpus[id_col].to_numpy()
     cell_of = corpus["cell"].to_numpy()
     M = np.stack(corpus[vec_col].to_numpy()).astype("float64")
@@ -341,6 +368,8 @@ def ivf_ann(
     def op(batches):
         ids_b, cell_b, M_b, nrm_b, C = bc.value
         for pdf in batches:
+            if not len(pdf):
+                continue
             Q = np.stack(pdf[vec_col].to_numpy()).astype("float64")
             qn = np.sqrt((Q * Q).sum(axis=1))
             qids = pdf[id_col].to_numpy()

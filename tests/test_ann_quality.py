@@ -70,3 +70,19 @@ def test_tokenizer_udf_fallback(spark):
     ).filter(F.col("w") != "")
     # whitespace fallback must agree with the built-in tokenization exactly
     assert via_udf.count() == via_builtin.count()
+
+
+def test_kernels_handle_empty_and_tiny_inputs(spark):
+    """Empty partitions/indexes are guaranteed at scale; kernels must yield
+    typed empty results, not np.stack errors."""
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>, label int")
+    assert similarity.brute_force_knn(empty, "vec_id", "embedding").count() == 0
+    assert similarity.lsh_ann(empty, "vec_id", "embedding").count() == 0
+    assert similarity.ivf_ann(empty, "vec_id", "embedding").count() == 0
+    assert similarity.cosine_near_dup(empty, "vec_id", "embedding", "label").count() == 0
+    tiny = spark.createDataFrame(
+        [(1, [1.0, 2.0], 0), (2, [2.0, 1.0], 1)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    assert similarity.brute_force_knn(tiny, "vec_id", "embedding", k=5).count() == 2
+    assert similarity.cosine_near_dup(tiny, "vec_id", "embedding", "label", 0.1).count() == 1
