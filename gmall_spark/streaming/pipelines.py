@@ -125,6 +125,38 @@ def windowed_uv_stream(
     return out.withColumn("stt", stt).withColumn("edt", edt).drop("w")
 
 
+def session_stats_stream(
+    events: DataFrame,
+    ts_col: str,
+    key: str,
+    gap: str = "30 minutes",
+    watermark: str = "2 seconds",
+) -> DataFrame:
+    """Gap-based session windows in streaming — `session_window(ts, gap)`:
+    a session closes when no event arrives within `gap`, emitted once the
+    watermark passes (append mode). The streaming twin of the batch
+    `sessionize` query (lag+cumsum rewrite); equivalence asserted in tests.
+    """
+    out = (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("w"), key)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    stt, edt = window_bounds(F.col("w"))
+    return out.withColumn("session_start", stt).withColumn("session_end", edt).drop("w")
+
+
+def rate_source(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
+    """S5 — the rate test source (the reference's socket-fed join demos,
+    gmall-flink-cdc/.../jointest/TestFlinkSQLJoin.java:20-29, stand-in):
+    monotonically increasing (timestamp, value) rows for wiring smoke tests."""
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", str(rows_per_second))
+        .load()
+    )
+
+
 def interval_join_stream(
     left: DataFrame,
     right: DataFrame,

@@ -86,6 +86,16 @@ def streaming_payment_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(joined, _name("s_paywide"))
 
 
+@register("streaming_session_stats")
+def streaming_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows (session_window) — the streaming twin of the
+    batch `sessionize` query; equivalence tested in tests/test_streaming.py."""
+    from gmall_spark.streaming.pipelines import session_stats_stream
+
+    out = session_stats_stream(stream_events(spark, sf_dir), "ts", "user_id", "30 minutes")
+    return run_to_memory(out, _name("s_sess"))
+
+
 @register("streaming_province_uv")
 def streaming_province_uv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4's exact streaming count(distinct): dedup-then-count rewrite."""

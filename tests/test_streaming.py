@@ -166,3 +166,51 @@ def test_detect_bounce_stream_matches_batch(spark, chunked_events):
             .count()
         )
         assert pending_ok == len(missing), f"non-straggler bounces missing: {missing}"
+
+
+def test_session_window_stream_matches_batch_sessionize(spark, chunked_events):
+    """session_window(ts, gap) must reproduce the batch lag+cumsum
+    sessionization (same gap) for every session closed by the watermark."""
+    from gmall_spark.streaming.pipelines import session_stats_stream
+    import __spark_entry__ as entrymod
+
+    stream = run_to_memory(
+        session_stats_stream(read_stream(spark, chunked_events), "ts", "user_id", "30 minutes"),
+        "t_sess_stream",
+    )
+    batch = entrymod.queries()["sessionize"](spark, SF)
+    s_rows = set(rows_set(stream, ["user_id", "n_events"]))
+    b_rows = set(rows_set(batch, ["user_id", "n_events"]))
+    # compare multisets of (user, session size); streaming may lack sessions
+    # still open at the watermark — everything it emits must exist in batch
+    from collections import Counter
+
+    s_ct = Counter(tuple(r) for r in rows_set(stream, ["user_id", "n_events"]))
+    b_ct = Counter(tuple(r) for r in rows_set(batch, ["user_id", "n_events"]))
+    assert all(s_ct[k] <= b_ct[k] for k in s_ct), (s_ct - b_ct)
+    missing = b_ct - s_ct
+    assert sum(missing.values()) <= len({r[0] for r in b_rows}), missing
+
+
+def test_rate_source_smoke(spark):
+    from gmall_spark.streaming.pipelines import rate_source
+
+    df = rate_source(spark, rows_per_second=500)
+    q = (
+        df.writeStream.format("memory")
+        .queryName("t_rate")
+        .outputMode("append")
+        .trigger(processingTime="250 milliseconds")
+        .start()
+    )
+    import time
+
+    deadline = time.time() + 15
+    n = 0
+    while time.time() < deadline:
+        n = spark.table("t_rate").count()
+        if n > 0:
+            break
+        time.sleep(0.25)
+    q.stop()
+    assert n > 0
