@@ -219,18 +219,31 @@ def run_to_memory(
     return spark.table(name)
 
 
-def foreach_batch_jdbc(df: DataFrame, url: str, table: str, checkpoint: str, **jdbc_opts):
+def foreach_batch_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    checkpoint: str,
+    available_now: bool = True,
+    **jdbc_opts,
+):
     """K3 — the ClickHouse JDBC sink pattern (ClickhouseUtil.java:16-66):
     per micro-batch, drop transient columns and batch-write via JDBC. The
     reference batches 5 rows at a time through reflection; foreachBatch
-    writes the whole micro-batch through the DataFrame JDBC writer."""
+    writes the whole micro-batch through the DataFrame JDBC writer.
+
+    available_now=True drains what's available then stops (tests/backfills);
+    False runs continuously (production)."""
 
     def write(batch: DataFrame, epoch_id: int) -> None:
         batch.write.mode("append").format("jdbc").option("url", url).option(
             "dbtable", table
         ).options(**jdbc_opts).save()
 
-    return df.writeStream.foreachBatch(write).option("checkpointLocation", checkpoint).start()
+    writer = df.writeStream.foreachBatch(write).option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def route_cdc_stream(
