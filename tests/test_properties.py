@@ -1,0 +1,113 @@
+"""Property-based tests (hypothesis): operators vs independent in-Python
+models of the reference semantics — a second opinion besides the DuckDB
+oracle, over adversarial generated inputs rather than fixed testdata.
+
+Kept to few, small examples per property: each example pays a Spark job.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+# --- generated event streams ------------------------------------------------
+
+_EVENT = st.tuples(
+    st.integers(min_value=0, max_value=3),  # user
+    st.integers(min_value=0, max_value=2000),  # ts offset seconds
+    st.booleans(),  # is_entry
+)
+_STREAMS = st.lists(_EVENT, min_size=1, max_size=40)
+
+_BASE = datetime.datetime(2024, 1, 1)
+
+
+def _mk_events(spark, raw):
+    rows = [
+        (i, _BASE + datetime.timedelta(seconds=off), user, "view" if entry else "click")
+        for i, (user, off, entry) in enumerate(raw)
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+
+
+def _cep_bounce_model(raw, timeout=600):
+    """Direct simulation of UserJumpDetailApp.java:70-120: per user in event
+    order, an entry is a bounce iff followed by another entry, or by nothing
+    within `timeout` seconds (including end-of-stream)."""
+    per_user: dict = {}
+    for i, (user, off, entry) in enumerate(raw):
+        per_user.setdefault(user, []).append((off, i, entry))
+    bounces = set()
+    for user, evs in per_user.items():
+        evs.sort()
+        for j, (off, i, entry) in enumerate(evs):
+            if not entry:
+                continue
+            if j + 1 >= len(evs):
+                bounces.add((i, "timeout"))
+                continue
+            noff, _, nentry = evs[j + 1]
+            if noff - off > timeout:
+                bounces.add((i, "timeout"))
+            elif nentry:
+                bounces.add((i, "match"))
+    return bounces
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(raw=_STREAMS)
+def test_detect_bounce_matches_cep_model(spark, raw):
+    from gmall_spark.operators.stateful import detect_bounce
+
+    df = _mk_events(spark, raw)
+    got = {
+        (r["event_id"], r["bounce_reason"])
+        for r in detect_bounce(
+            df, "user_id", "ts", "event_id", F.col("event_type") == "view", "600 seconds"
+        ).collect()
+    }
+    assert got == _cep_bounce_model(raw)
+
+
+def _jaccard_model(texts, k=3, pct=50):
+    def sh(t):
+        toks = t.strip().split(" ")
+        if len(toks) < k:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+    out = set()
+    sets = {i: sh(t) for i, t in enumerate(texts)}
+    for a in sets:
+        for b in sets:
+            if a < b and sets[a] & sets[b]:
+                inter = len(sets[a] & sets[b])
+                union = len(sets[a] | sets[b])
+                if inter * 100 >= union * pct:
+                    out.add((a, b, inter, union))
+    return out
+
+
+_WORDS = st.lists(
+    st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"]), min_size=1, max_size=12
+)
+_DOCS = st.lists(_WORDS.map(" ".join), min_size=2, max_size=8)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=_DOCS)
+def test_ngram_jaccard_matches_set_model(spark, texts):
+    from gmall_spark.extras.dedup import ngram_jaccard
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"], r["inter_ct"], r["union_ct"])
+        for r in ngram_jaccard(df, "doc_id", "text", k=3, threshold_pct=50).collect()
+    }
+    assert got == _jaccard_model(texts)
