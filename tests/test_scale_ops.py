@@ -60,3 +60,18 @@ def test_approx_count_distinct_error_bound(spark):
         F.approx_count_distinct("user_id", rsd=0.02).alias("a"),
     ).collect()[0]
     assert abs(approx - exact) / exact < 0.1  # generous bound for rsd=0.02
+
+
+def test_sink_ddl_generates_valid_spark_sql(spark):
+    """K5 — auto-create sink DDL from a routing rule
+    (TableProcessFunction.java:73-120): the generated statement must be
+    runnable DDL producing the whitelisted all-string columns."""
+    from gmall_spark.operators.routing import sink_ddl
+
+    ddl = sink_ddl("dim_user_info", "id,name,birthday", "id", None)
+    spark.sql("DROP TABLE IF EXISTS dim_user_info")
+    spark.sql(ddl)
+    cols = {f.name: f.dataType.simpleString() for f in spark.table("dim_user_info").schema}
+    assert cols == {"id": "string", "name": "string", "birthday": "string"}
+    spark.sql(ddl)  # IF NOT EXISTS — idempotent
+    spark.sql("DROP TABLE dim_user_info")
