@@ -95,6 +95,29 @@ def order_wide_app(
     return dim_enrich(joined, dims)
 
 
+def payment_wide_app(payments: DataFrame, order_wide: DataFrame) -> DataFrame:
+    """PaymentWideApp.java: payment ⋈ order_wide on order_id within the
+    intended [-15 min, 0] window (SURVEY §6a.2 — the reference's literal
+    -15 ms lookback is a bug), then the T9 bean-merge: payment fields win,
+    order fields fill the rest, null-coalescing like
+    PaymentWide.mergeOtherOrderWide (bean/PaymentWide.java:56-86).
+
+    Expects `payments(pay_id, okey, pay_ts, pay_amount, user_id?)` and
+    `order_wide(okey, o_ts, ...)`; emits one row per matched payment.
+    """
+    joined = interval_join(
+        order_wide, payments, on="okey", left_ts="o_ts", right_ts="pay_ts",
+        lower="0 seconds", upper="15 minutes",
+    )
+    merged_cols = [F.col(f"r.{c}").alias(c) for c in payments.columns if c != "okey"]
+    order_cols = [
+        F.coalesce(F.col(f"l.{c}"), F.lit(None)).alias(c)
+        for c in order_wide.columns
+        if c not in ("okey",)
+    ]
+    return joined.select(F.col("l.okey").alias("okey"), *merged_cols, *order_cols)
+
+
 def visitor_stats_app(
     page: DataFrame, uv: DataFrame, bounce: DataFrame, window: str = "10 minutes"
 ) -> DataFrame:

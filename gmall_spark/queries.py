@@ -1306,3 +1306,32 @@ def product_stats_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("comment_ct").alias("comment_ct"),
         F.sum("good_comment_ct").alias("good_comment_ct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Set operations beyond UNION ALL (engine completeness; the reference stops
+# at union — SURVEY §2.6): INTERSECT/EXCEPT with set semantics.
+# ---------------------------------------------------------------------------
+@register(
+    "set_ops_users",
+    """
+    SELECT user_id, 'both' AS cohort FROM (
+      SELECT user_id FROM events WHERE event_type = 'view'
+      INTERSECT
+      SELECT user_id FROM events WHERE event_type = 'purchase'
+    )
+    UNION ALL
+    SELECT user_id, 'view_only' AS cohort FROM (
+      SELECT user_id FROM events WHERE event_type = 'view'
+      EXCEPT
+      SELECT user_id FROM events WHERE event_type = 'purchase'
+    )
+    """,
+)
+def set_ops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    viewers = ev.filter(F.col("event_type") == "view").select("user_id")
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    both = viewers.intersect(buyers).withColumn("cohort", F.lit("both"))
+    view_only = viewers.subtract(buyers).withColumn("cohort", F.lit("view_only"))
+    return both.unionByName(view_only)

@@ -127,3 +127,45 @@ def test_keyword_stats_app(streams, spark, ev_counts):
         "fast",
         "table",
     }
+
+
+def test_payment_wide_app(spark):
+    """Payment ⋈ order-wide within [0, 15 min] + bean merge (T9)."""
+    from gmall_spark.apps.warehouse import payment_wide_app
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    ow = spark.createDataFrame(
+        [(1, base, "u1", "BUILDING"), (2, base, "u2", "AUTO")],
+        "okey long, o_ts timestamp, user string, segment string",
+    )
+    pays = spark.createDataFrame(
+        [
+            (100, 1, base + dt.timedelta(minutes=5), 9.99),   # in window
+            (101, 2, base + dt.timedelta(minutes=20), 5.00),  # too late
+            (102, 3, base + dt.timedelta(minutes=1), 1.00),   # no such order
+        ],
+        "pay_id long, okey long, pay_ts timestamp, pay_amount double",
+    )
+    out = payment_wide_app(pays, ow)
+    rows = out.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["okey"], r["pay_id"], r["user"], r["segment"]) == (1, 100, "u1", "BUILDING")
+
+
+def test_visitor_stats_app_with_bounces(streams, spark):
+    """uj_ct wired from real detected bounces (not an empty stream)."""
+    from gmall_spark.apps.warehouse import user_jump_app, visitor_stats_app
+
+    page = streams["page"]
+    bounces = user_jump_app(page, "10 minutes")
+    # reshape bounces back to log shape: semi-join page on (mid, ts)
+    b = page.join(
+        bounces.select(F.col("mid").alias("b_mid"), F.col("ts").alias("b_ts")),
+        (F.col("common.mid") == F.col("b_mid")) & (page["ts"] == F.col("b_ts")),
+        "left_semi",
+    )
+    stats = visitor_stats_app(page, page.limit(0), b)
+    total_uj = stats.agg(F.sum("uj_ct")).collect()[0][0]
+    assert total_uj == bounces.count()
