@@ -1208,16 +1208,23 @@ FROM facts GROUP BY sku_id
 
 @register("product_stats_full", _PS_FULL_ORACLE)
 def product_stats_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass formulation: ONE scan of events and ONE of lineitem
+    (the naive 8-branch UNION re-scans events 4x and lineitem 3x — at 100 TB
+    those are full extra passes over the biggest tables). Each source row
+    explodes into its 0..n metric contributions (a struct array built from
+    conditional logic), then everything reduces in one partial/final agg.
+    """
     ev = load_table(spark, sf_dir, "events")
     lineitem = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     kv = F.get_json_object("props", "$.k").cast("long")
 
-    zero = {
-        "display_ct": F.lit(0),
-        "click_ct": F.lit(0),
-        "favor_ct": F.lit(0),
-        "cart_ct": F.lit(0),
+    FIELDS = [
+        "display_ct", "click_ct", "favor_ct", "cart_ct", "order_sku_num",
+        "order_id", "paid_order_id", "refund_order_id", "order_amount",
+        "payment_amount", "refund_amount", "comment_ct", "good_comment_ct",
+    ]
+    DEFAULTS = {
         "order_sku_num": F.lit(0).cast("decimal(18,2)"),
         "order_id": F.lit(None).cast("long"),
         "paid_order_id": F.lit(None).cast("long"),
@@ -1225,72 +1232,70 @@ def product_stats_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         "order_amount": F.lit(0).cast("decimal(18,4)"),
         "payment_amount": F.lit(0).cast("decimal(18,4)"),
         "refund_amount": F.lit(0).cast("decimal(18,4)"),
-        "comment_ct": F.lit(0),
-        "good_comment_ct": F.lit(0),
     }
 
-    def stream(sku, **overrides):
-        cols = [sku.alias("sku_id")]
-        for name, default in zero.items():
-            cols.append(overrides.get(name, default).alias(name))
-        return cols
+    def contrib(sku, **over):
+        cols = [sku.cast("long").alias("sku_id")]
+        for f in FIELDS:
+            cols.append(over.get(f, DEFAULTS.get(f, F.lit(0))).alias(f))
+        return F.struct(*cols)
 
-    clicks = ev.filter(F.col("event_type") == "view").select(
-        *stream(kv % 100, click_ct=F.lit(1))
-    )
-    displays = (
-        ev.filter(F.col("event_type") == "purchase")
-        .select(F.explode(F.array(kv % 100, (kv + 1) % 100)).alias("sku"))
-        .select(*stream(F.col("sku"), display_ct=F.lit(1)))
-    )
-    favors = ev.filter((F.col("event_type") == "click") & (kv % 3 == 0)).select(
-        *stream(kv % 100, favor_ct=F.lit(1))
-    )
-    carts = ev.filter((F.col("event_type") == "click") & (kv % 3 == 1)).select(
-        *stream(kv % 100, cart_ct=F.lit(1))
-    )
-    orders_s = lineitem.select(
-        *stream(
-            F.col("l_partkey") % 100,
-            order_sku_num=money("l_quantity"),
-            order_id=F.col("l_orderkey"),
-            order_amount=_revenue(),
+    # events: one scan, 0..2 contributions per row by event_type
+    ev_contribs = (
+        F.when(F.col("event_type") == "view", F.array(contrib(kv % 100, click_ct=F.lit(1))))
+        .when(
+            F.col("event_type") == "purchase",
+            F.array(
+                contrib(kv % 100, display_ct=F.lit(1)),
+                contrib((kv + 1) % 100, display_ct=F.lit(1)),
+            ),
         )
-    )
-    paid = (
-        lineitem.join(
-            orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey"),
-            lineitem.l_orderkey == F.col("o_orderkey"),
-        ).select(
-            *stream(
-                F.col("l_partkey") % 100,
-                paid_order_id=F.col("l_orderkey"),
-                payment_amount=_revenue(),
-            )
+        .when(
+            (F.col("event_type") == "click") & (kv % 3 == 0),
+            F.array(contrib(kv % 100, favor_ct=F.lit(1))),
         )
-    )
-    refunds = (
-        lineitem.join(
-            orders.filter(F.col("o_orderstatus") == "P").select("o_orderkey"),
-            lineitem.l_orderkey == F.col("o_orderkey"),
-        ).select(
-            *stream(
-                F.col("l_partkey") % 100,
-                refund_order_id=F.col("l_orderkey"),
-                refund_amount=_revenue(),
-            )
+        .when(
+            (F.col("event_type") == "click") & (kv % 3 == 1),
+            F.array(contrib(kv % 100, cart_ct=F.lit(1))),
         )
-    )
-    comments = ev.filter(F.col("event_type") == "error").select(
-        *stream(
-            kv % 100,
-            comment_ct=F.lit(1),
-            good_comment_ct=F.when(kv % 4 == 0, 1).otherwise(0),
+        .when(
+            F.col("event_type") == "error",
+            F.array(
+                contrib(
+                    kv % 100,
+                    comment_ct=F.lit(1),
+                    good_comment_ct=F.when(kv % 4 == 0, 1).otherwise(0),
+                )
+            ),
         )
+        .otherwise(F.array().cast("array<struct<sku_id:long,display_ct:int,click_ct:int,favor_ct:int,cart_ct:int,order_sku_num:decimal(18,2),order_id:bigint,paid_order_id:bigint,refund_order_id:bigint,order_amount:decimal(18,4),payment_amount:decimal(18,4),refund_amount:decimal(18,4),comment_ct:int,good_comment_ct:int>>"))
     )
-    unioned = clicks
-    for s in (displays, favors, carts, orders_s, paid, refunds, comments):
-        unioned = unioned.unionByName(s)
+    ev_rows = ev.select(F.explode(ev_contribs).alias("c"))
+
+    # lineitem: one scan; order status arrives via ONE broadcast join, each
+    # row emits order + (paid|refund)? contributions
+    li = lineitem.join(
+        F.broadcast(orders.select("o_orderkey", "o_orderstatus")),
+        lineitem.l_orderkey == F.col("o_orderkey"),
+        "left",
+    )
+    sku = F.col("l_partkey") % 100
+    base_c = contrib(
+        sku,
+        order_sku_num=money("l_quantity"),
+        order_id=F.col("l_orderkey"),
+        order_amount=_revenue(),
+    )
+    paid_c = contrib(sku, paid_order_id=F.col("l_orderkey"), payment_amount=_revenue())
+    refund_c = contrib(sku, refund_order_id=F.col("l_orderkey"), refund_amount=_revenue())
+    li_contribs = (
+        F.when(F.col("o_orderstatus") == "F", F.array(base_c, paid_c))
+        .when(F.col("o_orderstatus") == "P", F.array(base_c, refund_c))
+        .otherwise(F.array(base_c))
+    )
+    li_rows = li.select(F.explode(li_contribs).alias("c"))
+
+    unioned = ev_rows.unionByName(li_rows).select("c.*")
     return unioned.groupBy("sku_id").agg(
         F.sum("display_ct").alias("display_ct"),
         F.sum("click_ct").alias("click_ct"),
