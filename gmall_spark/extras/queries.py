@@ -340,6 +340,111 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Quality filtering — the C4-style rule cascade that decides which documents
+# enter a training corpus. One scan, boolean rule columns kept in the output
+# so downstream can audit WHY a doc was dropped (standard practice: filters
+# must be explainable, not just applied).
+# ---------------------------------------------------------------------------
+_FILTER_ORACLE = f"""
+WITH m AS (
+  SELECT doc_id, n_chars,
+         len(list_filter(string_split(trim(text), ' '), x -> x <> '')) AS n_tokens,
+         len(list_filter(string_split(trim(text), ' '),
+                         x -> x IN ({_SW_LIST}))) AS stopword_ct,
+         CAST(list_max([len(x) for x in string_split(trim(text), ' ')]) AS BIGINT) AS max_token_len
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_tokens >= 20 AS BOOLEAN) AS pass_min_len,
+       CAST(n_chars <= 5000 AS BOOLEAN) AS pass_max_chars,
+       CAST(stopword_ct * 100 >= n_tokens * 2 AS BOOLEAN) AS pass_stopword,
+       CAST(max_token_len <= 30 AS BOOLEAN) AS pass_token_len,
+       CAST(n_tokens >= 20 AND n_chars <= 5000
+            AND stopword_ct * 100 >= n_tokens * 2
+            AND max_token_len <= 30 AS BOOLEAN) AS keep
+FROM m
+"""
+
+
+@register("document_filter", _FILTER_ORACLE)
+def document_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.trim("text"), " "), lambda x: x != "")
+    n_tokens = F.size(toks)
+    stopword_ct = F.size(F.filter(toks, lambda x: x.isin(*_STOPWORDS)))
+    max_token_len = F.array_max(F.transform(toks, lambda x: F.length(x))).cast("long")
+    rules = {
+        "pass_min_len": n_tokens >= 20,
+        "pass_max_chars": F.col("n_chars") <= 5000,
+        "pass_stopword": stopword_ct * 100 >= n_tokens * 2,
+        "pass_token_len": max_token_len <= 30,
+    }
+    keep = None
+    for r in rules.values():
+        keep = r if keep is None else keep & r
+    return docs.select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        *[v.alias(k) for k, v in rules.items()],
+        keep.alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup keep-list — the pipeline OUTPUT: which documents survive. Pairs alone
+# aren't actionable; the greedy resolution keeps every doc that never appears
+# as the higher-id member of a near-dup pair (min-id canonical per cluster
+# under transitive closure; one anti-join, no iteration).
+# ---------------------------------------------------------------------------
+_KEEP_ORACLE = f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+    FROM (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+         UNNEST(range(1, greatest(len(t) - 2, 1) + 1)) AS u(i)
+  )
+),
+card AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter_ct
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+dup_pairs AS (
+  SELECT p.doc_a, p.doc_b FROM pairs p
+  JOIN card ca ON p.doc_a = ca.doc_id
+  JOIN card cb ON p.doc_b = cb.doc_id
+  WHERE p.inter_ct * 100 >= (ca.n + cb.n - p.inter_ct) * 50
+),
+exact_drops AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM documents
+  ) WHERE rn > 1
+)
+SELECT d.doc_id FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_b FROM dup_pairs)
+  AND d.doc_id NOT IN (SELECT doc_id FROM exact_drops)
+"""
+
+
+@register("dedup_keep_list", _KEEP_ORACLE)
+def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fuzzy_pairs = dedup.ngram_jaccard(docs, "doc_id", "text", k=3, threshold_pct=50)
+    fuzzy_drops = fuzzy_pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    exact_keep = dedup.exact(docs, "doc_id", "text").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    return (
+        docs.select("doc_id")
+        .join(exact_keep, "doc_id", "left_semi")  # exact: keep min per hash
+        .join(fuzzy_drops, "doc_id", "left_anti")  # fuzzy: drop higher ids
+    )
+
+
+# ---------------------------------------------------------------------------
 # Multimodal plumbing (rows-only check — binary decode is stubbed, see
 # extras/multimodal.py): documents → binary payload + typed metadata →
 # mapInPandas feature extraction.

@@ -281,6 +281,51 @@ def route_cdc_stream(
     )
 
 
+def order_wide_stream(
+    orders_stream: DataFrame,
+    details_stream: DataFrame,
+    dim_paths: dict[str, tuple[str, str, str]],
+    out_path: str,
+    checkpoint: str,
+    join_on: str = "okey",
+    left_ts: str = "o_ts",
+    right_ts: str = "d_ts",
+    lower: str = "-5 seconds",
+    upper: str = "5 seconds",
+):
+    """OrderWideApp streaming end-to-end (SURVEY §3.3): stream-stream interval
+    join + dimension enrichment with LATEST dim values.
+
+    The reference needs async Phoenix lookups plus a Redis cache that must be
+    invalidated on every dim update (DimSinkFunction.java:41-45). Here the
+    dims are columnar tables RE-READ inside foreachBatch each micro-batch —
+    an updated dim row is visible to the next batch automatically, no cache
+    layer, no invalidation protocol; Catalyst broadcasts each fresh read.
+
+    dim_paths: {alias: (parquet_path, fact_key, dim_key)}.
+    """
+    from gmall_spark.operators.joins import dim_enrich
+
+    joined = interval_join_stream(
+        orders_stream, details_stream, join_on, left_ts, right_ts, lower, upper
+    ).drop(F.col(f"r.{join_on}"))  # both sides carry the equi key; keep one
+
+    def process(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        dims = [
+            (spark.read.parquet(path), fact_key, dim_key)  # fresh per batch
+            for path, fact_key, dim_key in dim_paths.values()
+        ]
+        dim_enrich(batch, dims).write.mode("append").parquet(out_path)
+
+    return (
+        joined.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def split_log_stream(raw_json: DataFrame, out_base: str, checkpoint: str):
     """T6 streaming — BaseLogApp's multi-way split as ONE streaming query
     with a foreachBatch multi-write (BaseLogApp.java:96-152: side outputs →
