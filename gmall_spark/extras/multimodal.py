@@ -87,3 +87,67 @@ def extract_features(assets: DataFrame, n_features: int = 4) -> DataFrame:
             )
 
     return assets.mapInPandas(op, FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = "asset_id long, frame_idx int, frame binary, n_bytes long"
+
+
+def sample_frames(assets: DataFrame, frame_size: int = 64, stride: int = 2) -> DataFrame:
+    """Frame sampling: one binary payload → 0..n frame rows (every `stride`-th
+    fixed-size chunk). The real decoder would emit decoded frames at
+    timestamps; the chunking fake keeps the ROW-EXPLOSION plumbing real —
+    output cardinality multiplies, so this runs in mapInPandas where a batch
+    can emit more rows than it received, and downstream partitioning must
+    assume frames-per-asset skew (a 2h video vs a 6s clip).
+    """
+    import pandas as pd
+
+    def op(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids, idxs, frames, sizes = [], [], [], []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                chunks = [
+                    payload[off : off + frame_size]
+                    for off in range(0, len(payload), frame_size)
+                ]
+                for i, ch in enumerate(chunks[::stride]):
+                    ids.append(aid)
+                    idxs.append(i)
+                    frames.append(ch)
+                    sizes.append(len(ch))
+            yield pd.DataFrame(
+                {"asset_id": ids, "frame_idx": idxs, "frame": frames, "n_bytes": sizes}
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(op, FRAME_SCHEMA)
+
+
+def fake_text_embedder(df: DataFrame, id_col: str, text_col: str, dims: int = 16) -> DataFrame:
+    """Deterministic text→embedding stub (the sentence-transformer slot):
+    md5-seeded pseudo-random unit vectors — identical text ⇒ identical
+    vector, so the downstream ANN/dedup pipeline is fully testable. The real
+    model swaps in behind the same mapInPandas signature (model loaded once
+    per worker in the generator prologue, NOT per batch)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    def op(batches):
+        # (real featurizer would load the model here, once per worker)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = []
+            for t in pdf[text_col]:
+                seed = int.from_bytes(hashlib.md5((t or "").encode()).digest()[:8], "big")
+                rng = np.random.RandomState(seed % (2**32))
+                v = rng.standard_normal(dims)
+                vecs.append((v / np.linalg.norm(v)).astype("float32"))
+            yield pd.DataFrame({id_col: pdf[id_col], "embedding": vecs})
+
+    return df.select(id_col, text_col).mapInPandas(
+        op, f"{id_col} long, embedding array<float>"
+    )

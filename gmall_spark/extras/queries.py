@@ -456,3 +456,25 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     assets = multimodal.to_assets(docs, "doc_id", "text")
     return multimodal.extract_features(assets)
+
+
+@register("multimodal_frames")
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary payloads (row explosion in mapInPandas);
+    rows-only — frame content is the stubbed decode's chunking."""
+    from gmall_spark.extras import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    assets = multimodal.to_assets(docs, "doc_id", "text")
+    return multimodal.sample_frames(assets).drop("frame")  # bytes out of the hash
+
+
+@register("text_embed_knn")
+def text_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text → (stub) embedding → exact cosine kNN: the composed pipeline;
+    rows-only (the embedder is the deterministic stand-in)."""
+    from gmall_spark.extras import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = multimodal.fake_text_embedder(docs, "doc_id", "text", dims=16)
+    return similarity.brute_force_knn(emb, "doc_id", "embedding", k=3)
