@@ -75,3 +75,32 @@ def test_sink_ddl_generates_valid_spark_sql(spark):
     assert cols == {"id": "string", "name": "string", "birthday": "string"}
     spark.sql(ddl)  # IF NOT EXISTS — idempotent
     spark.sql("DROP TABLE dim_user_info")
+
+
+def test_write_parquet_partitioned_roundtrip(spark, tmp_path):
+    """Partitioned DWS output: one dir per dt, partition pruning on read."""
+    from gmall_spark.sinks import write_parquet
+    from gmall_spark.plans import scan_info
+
+    ev = load_table(spark, SF, "events")
+    daily = ev.select(F.date_format("ts", "yyyy-MM-dd").alias("dt"), "event_id", "value")
+    write_parquet(daily, str(tmp_path / "out"), partition_by=["dt"])
+    back = spark.read.parquet(str(tmp_path / "out"))
+    assert back.count() == ev.count()
+    one_day = daily.select("dt").first()["dt"]
+    pruned = back.filter(F.col("dt") == one_day)
+    assert pruned.count() == daily.filter(F.col("dt") == one_day).count()
+
+
+def test_read_json_logs_schema_pinned(spark, tmp_path):
+    from gmall_spark.apps.fixtures import behavior_log_json
+    from gmall_spark.schemas import BEHAVIOR_LOG_SCHEMA
+    from gmall_spark.sources.batch import read_json_logs
+
+    raw = behavior_log_json(spark, SF)
+    raw.coalesce(1).write.mode("overwrite").text(str(tmp_path / "logs"))
+    logs = read_json_logs(spark, str(tmp_path / "logs"), BEHAVIOR_LOG_SCHEMA)
+    assert logs.count() == raw.count()
+    assert [f.name for f in logs.schema.fields] == [
+        f.name for f in BEHAVIOR_LOG_SCHEMA.fields
+    ]
