@@ -235,11 +235,22 @@ def simhash_pairs(
     ).withColumn("bv", F.expr(f"shiftright(sig, band * {band_bits}) & {mask}"))
     a = bands.select(F.col(id_col).alias("doc_a"), F.col("sig").alias("sig_a"), "band", "bv")
     b = bands.select(F.col(id_col).alias("doc_b"), F.col("sig").alias("sig_b"), "band", "bv")
+    # first-matching-band rule: a pair is emitted only from the LOWEST band
+    # where its values agree — exactly-once semantics without a multi-million
+    # row distinct (both sigs are in hand post-join, so "no earlier band
+    # matches" is a cheap bitmask check, not another shuffle)
+    no_earlier_match = F.expr(
+        f"""CASE WHEN band = 0 THEN true ELSE NOT EXISTS(
+              sequence(0, band - 1),
+              j -> (shiftright(sig_a, j * {band_bits}) & {mask})
+                   = (shiftright(sig_b, j * {band_bits}) & {mask})
+            ) END"""
+    )
     cand = (
         a.join(b, ["band", "bv"])
         .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(no_earlier_match)
         .select("doc_a", "doc_b", "sig_a", "sig_b")
-        .distinct()
     )
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("long")
     return (
