@@ -214,3 +214,64 @@ def test_rate_source_smoke(spark):
         time.sleep(0.25)
     q.stop()
     assert n > 0
+
+
+def test_late_data_cannot_resurrect_emitted_window(spark, tmp_path):
+    """ST10 — Spark's actual late-data guarantee: a row may still join LIVE
+    window state even if older than the watermark (observed: one-batch slack),
+    but once the watermark has EVICTED and emitted a window, a late row for
+    it is dropped — append mode never re-emits a closed window. The test
+    stages four micro-batches: seed window → advance watermark → eviction
+    batch → late arrival."""
+    import datetime as dt
+    import os
+    import time as _time
+    import pandas as pd
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def mk(eid, minutes, user):
+        return pd.DataFrame(
+            {
+                "event_id": [eid],
+                "ts": [base + dt.timedelta(minutes=minutes)],
+                "user_id": [user],
+                "event_type": ["view"],
+                "value": [1.0],
+                "props": ["{}"],
+            }
+        )
+
+    batches = [mk(1, 0, 1), mk(2, 40, 1), mk(4, 41, 1), mk(3, 1, 9)]  # last is late
+    src = tmp_path / "late"
+    src.mkdir()
+    for i, pdf in enumerate(batches):
+        p = src / f"p{i}.parquet"
+        pdf.to_parquet(p, index=False, coerce_timestamps="us",
+                       allow_truncated_timestamps=True)
+        t = _time.time() - 400 + i * 50  # file source orders by mtime
+        os.utime(p, (t, t))
+    stream = run_to_memory(
+        windowed_stats_stream(
+            read_stream(spark, str(src)), "ts", "10 minutes", ["event_type"],
+            [F.count(F.lit(1)).alias("pv_ct")], "2 seconds",
+        ),
+        "t_late",
+    )
+    first_window = stream.filter(F.col("stt") == "2024-01-01 12:00:00").collect()
+    assert len(first_window) == 1          # emitted exactly once, never re-emitted
+    assert first_window[0]["pv_ct"] == 1   # late event_id=3 not resurrected
+
+
+def test_drop_duplicates_within_watermark(spark, chunked_events):
+    """ST2's built-in form: dropDuplicatesWithinWatermark guarantees at most
+    one emission per key within the watermark delay; the key's first event is
+    always present."""
+    ev = read_stream(spark, chunked_events).withWatermark("ts", "2 seconds")
+    out = run_to_memory(ev.dropDuplicatesWithinWatermark(["user_id"]), "t_ddww")
+    ev_b = load_table(spark, SF, "events")
+    assert out.count() <= ev_b.count()
+    firsts = first_touch(ev_b, "user_id", "ts", "event_id").filter(F.col("is_first") == 1)
+    got_ids = {r["event_id"] for r in out.select("event_id").collect()}
+    first_ids = {r["event_id"] for r in firsts.select("event_id").collect()}
+    assert first_ids <= got_ids  # every key's first event emitted
