@@ -199,3 +199,75 @@ def detect_bounce_stream(
             fn, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
         )
     )
+
+
+def fix_is_new_tws(events: DataFrame, key: str = "user_id") -> DataFrame:
+    """ST1 on the Spark 4 transformWithStateInPandas API: the same seen-flag
+    repair as fix_is_new_stream, but with typed per-key ValueState managed by
+    a StatefulProcessor — the closest structural analog to the reference's
+    Flink ValueState code (BaseLogApp.java:69-94), and the forward path for
+    new stateful operators (multiple typed state variables, timers, TTL are
+    first-class on this API).
+
+    Requires `protobuf` (the TWS state-server protocol) — absent in this
+    container, so the applyInPandasWithState twins remain the default; the
+    equivalence test auto-skips when protobuf is missing."""
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - env-dependent
+        raise ImportError(
+            "transformWithStateInPandas needs the protobuf package; use "
+            "fix_is_new_stream (applyInPandasWithState) in this environment"
+        ) from exc
+    import pandas as pd
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField(key, T.LongType()),
+            T.StructField("is_new", T.IntegerType()),
+        ]
+    )
+
+    class IsNewProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.seen = handle.getValueState(
+                "seen", T.StructType([T.StructField("v", T.IntegerType())])
+            )
+
+        def handleInputRows(self, key_tuple, rows, timerValues):
+            seen = self.seen.exists() and self.seen.get()[0] == 1
+            for pdf in rows:
+                if not len(pdf):
+                    continue
+                pdf = pdf.sort_values(["ts", "event_id"])
+                flags = pd.Series(0, index=pdf.index, dtype="int32")
+                if not seen:
+                    flags.iloc[0] = 1
+                    seen = True
+                yield pd.DataFrame(
+                    {"event_id": pdf["event_id"], key: pdf[key], "is_new": flags}
+                )
+            self.seen.update((1 if seen else 0,))
+
+        def close(self) -> None:
+            pass
+
+    # transformWithState runs only on the RocksDB state store (its column-
+    # family model); the default HDFS-backed store can't host it
+    events.sparkSession.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    return events.groupBy(key).transformWithStateInPandas(
+        IsNewProcessor(),
+        outputStructType=out_schema,
+        outputMode="append",
+        timeMode="none",
+    )

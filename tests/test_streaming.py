@@ -275,3 +275,18 @@ def test_drop_duplicates_within_watermark(spark, chunked_events):
     got_ids = {r["event_id"] for r in out.select("event_id").collect()}
     first_ids = {r["event_id"] for r in firsts.select("event_id").collect()}
     assert first_ids <= got_ids  # every key's first event emitted
+
+
+def test_fix_is_new_tws_matches_batch(spark, chunked_events):
+    """The Spark 4 transformWithStateInPandas variant must agree with both
+    the applyInPandasWithState version and the batch twin."""
+    pytest.importorskip("google.protobuf", reason="TWS state protocol needs protobuf")
+    from gmall_spark.streaming.stateful import fix_is_new_tws
+
+    stream = run_to_memory(fix_is_new_tws(read_stream(spark, chunked_events)), "t_tws")
+    batch = first_touch(load_table(spark, SF, "events"), "user_id", "ts", "event_id").select(
+        "event_id", "user_id", F.col("is_first").alias("is_new")
+    )
+    assert rows_set(stream, ["event_id", "user_id", "is_new"]) == rows_set(
+        batch, ["event_id", "user_id", "is_new"]
+    )
