@@ -478,3 +478,62 @@ def text_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     emb = multimodal.fake_text_embedder(docs, "doc_id", "text", dims=16)
     return similarity.brute_force_knn(emb, "doc_id", "embedding", k=3)
+
+
+# ---------------------------------------------------------------------------
+# Text scrubbing — the PII/boilerplate-redaction shape (regex replace +
+# audit count). Patterns kept to the regex subset that behaves identically
+# in Java (Spark) and RE2 (DuckDB) engines.
+# ---------------------------------------------------------------------------
+_SCRUB_ORACLE = """
+SELECT doc_id,
+       regexp_replace(text, 'spark|table', '<TOK>', 'g') AS scrubbed,
+       CAST(len(regexp_extract_all(text, 'spark|table')) AS BIGINT) AS n_scrubbed,
+       CAST(length(text) AS BIGINT) AS len_before,
+       CAST(length(regexp_replace(text, 'spark|table', '<TOK>', 'g')) AS BIGINT) AS len_after
+FROM documents
+"""
+
+
+@register("text_scrub", _SCRUB_ORACLE)
+def text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scrubbed = F.regexp_replace("text", "spark|table", "<TOK>")
+    return docs.select(
+        "doc_id",
+        scrubbed.alias("scrubbed"),
+        F.regexp_count("text", F.lit("spark|table")).cast("long").alias("n_scrubbed"),
+        F.length("text").cast("long").alias("len_before"),
+        F.length(scrubbed).cast("long").alias("len_after"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Intra-document repetition — boilerplate/looping-text signal: how much of a
+# doc's shingle stream repeats (1 - distinct/total, kept as two integers).
+# ---------------------------------------------------------------------------
+_REPETITION_ORACLE = """
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(count(DISTINCT shingle) AS BIGINT) AS n_distinct_shingles
+FROM (
+  SELECT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+  FROM (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+       UNNEST(range(1, greatest(len(t) - 2, 1) + 1)) AS u(i)
+)
+GROUP BY doc_id
+"""
+
+
+@register("text_repetition", _REPETITION_ORACLE)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim("text"), " ")
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
+    )
+    return docs.select("doc_id", F.explode(sh).alias("shingle")).groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.countDistinct("shingle").alias("n_distinct_shingles"),
+    )
