@@ -71,6 +71,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard(docs, "doc_id", "text", k=3, threshold_pct=50)
 
 
+# PPJoin-style prefix-filtered variant — provably identical output (same
+# oracle), indexes only the rare-shingle prefix of each set for candidate
+# generation; the scale path when the naive inverted index's hot shingles
+# dominate the pair space.
+@register("dedup_jaccard_prefix", _JACCARD_ORACLE)
+def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_prefix(docs, "doc_id", "text", k=3, threshold_pct=50)
+
+
 # ---------------------------------------------------------------------------
 # MinHash signatures + LSH banding. Hash = md5(seed|shingle) hex-string min —
 # a uniform order statistic, so string-min IS a minhash; engine-portable.

@@ -86,3 +86,22 @@ def test_kernels_handle_empty_and_tiny_inputs(spark):
     )
     assert similarity.brute_force_knn(tiny, "vec_id", "embedding", k=5).count() == 2
     assert similarity.cosine_near_dup(tiny, "vec_id", "embedding", "label", 0.1).count() == 1
+
+
+def test_prefix_filtered_jaccard_is_exact(spark):
+    """PPJoin-style prefix filtering must return EXACTLY the plain inverted-
+    index result (no false negatives at the threshold) while indexing far
+    fewer postings."""
+    from gmall_spark.extras.dedup import ngram_jaccard, ngram_jaccard_prefix
+    from gmall_spark.sources import load_table
+
+    docs = load_table(spark, SF, "documents")
+    plain = {
+        (r.doc_a, r.doc_b, r.inter_ct, r.union_ct)
+        for r in ngram_jaccard(docs, "doc_id", "text", 3, 50).collect()
+    }
+    prefix = {
+        (r.doc_a, r.doc_b, r.inter_ct, r.union_ct)
+        for r in ngram_jaccard_prefix(docs, "doc_id", "text", 3, 50).collect()
+    }
+    assert prefix == plain
