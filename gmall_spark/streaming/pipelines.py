@@ -166,12 +166,18 @@ def interval_join_stream(
     lower: str,
     upper: str,
     watermark: str = "2 seconds",
+    how: str = "inner",
 ) -> DataFrame:
     """J1/J2 streaming — keyed event-time interval join
     (OrderWideApp.java:96-105). Both sides watermarked; the range conjunct
     bounds join state: Spark evicts left rows once the watermark passes
     left_ts + upper, right rows once it passes right_ts - lower. That's
     Flink's interval-join state cleanup, derived from the same predicate.
+
+    how='left_outer'/'full_outer' gives J5's outer semantics: the unmatched
+    side emits with nulls only once the watermark proves no match can still
+    arrive — the state-TTL-driven outer emission the reference demos in
+    TestFlinkSQLJoin.java:34-43.
     """
     l = left.withWatermark(left_ts, watermark).alias("l")
     r = right.withWatermark(right_ts, watermark).alias("r")
@@ -181,7 +187,7 @@ def interval_join_stream(
         f"l.{on} = r.{on} AND r.{right_ts} >= l.{left_ts} + INTERVAL '{qty_lo}' {unit_lo} "
         f"AND r.{right_ts} <= l.{left_ts} + INTERVAL '{qty_hi}' {unit_hi}"
     )
-    return l.join(r, cond, "inner")
+    return l.join(r, cond, how)
 
 
 def run_to_memory(

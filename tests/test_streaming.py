@@ -290,3 +290,39 @@ def test_fix_is_new_tws_matches_batch(spark, chunked_events):
     assert rows_set(stream, ["event_id", "user_id", "is_new"]) == rows_set(
         batch, ["event_id", "user_id", "is_new"]
     )
+
+
+def test_interval_join_stream_left_outer(spark, chunked_events):
+    """J5 streaming — left-outer interval join: unmatched left rows emit with
+    nulls once the watermark proves no match can arrive; matched rows equal
+    the inner join exactly."""
+    from gmall_spark.streaming.pipelines import interval_join_stream as ijs
+
+    ev_s = read_stream(spark, chunked_events)
+    views_s = ev_s.filter(F.col("event_type") == "view")
+    buys_s = ev_s.filter(F.col("event_type") == "purchase")
+    outer = run_to_memory(
+        ijs(views_s, buys_s, "user_id", "ts", "ts", "0 minutes", "15 minutes",
+            how="left_outer").select(
+            F.col("l.event_id").alias("view_id"),
+            F.col("r.event_id").alias("purchase_id"),
+        ),
+        "t_loj_stream",
+    )
+    ev_b = load_table(spark, SF, "events")
+    inner_b = interval_join(
+        ev_b.filter(F.col("event_type") == "view"),
+        ev_b.filter(F.col("event_type") == "purchase"),
+        "user_id", "ts", "ts", "0 minutes", "15 minutes",
+    ).select(F.col("l.event_id").alias("view_id"), F.col("r.event_id").alias("purchase_id"))
+
+    matched_s = {(r["view_id"], r["purchase_id"]) for r in outer.collect() if r["purchase_id"] is not None}
+    matched_b = {tuple(r) for r in inner_b.collect()}
+    assert matched_s == matched_b  # matched side identical to inner join
+    n_views = ev_b.filter(F.col("event_type") == "view").count()
+    null_rows = outer.filter(F.col("purchase_id").isNull()).count()
+    assert null_rows > 0  # outer rows actually emitted
+    # every view appears (matched or null) except watermark stragglers
+    seen_views = outer.select("view_id").distinct().count()
+    assert seen_views <= n_views
+    assert seen_views >= n_views * 0.9

@@ -97,3 +97,46 @@ def test_visitor_stats_streaming_union_topology(spark, log_stream_dir):
     assert total_sv is not None and total_sv <= n_entry
     assert total_pv >= n_page * 0.9
     assert total_sv >= n_entry * 0.9
+
+
+def test_decoupled_two_query_topology(spark, log_stream_dir, tmp_path):
+    """The reference's core architectural fact (SURVEY §0): apps communicate
+    only through a storage hop (Kafka topics there, files here). Query 1
+    (BaseLogApp) writes the page stream; query 2 (UniqueVisitApp) consumes
+    that OUTPUT as its source — two independent streaming queries, each with
+    its own checkpoint, chained through storage."""
+    from pyspark.sql import types as T
+    from gmall_spark.streaming.pipelines import split_log_stream, run_to_memory
+    from gmall_spark.streaming.stateful import dedup_daily_stream
+    from gmall_spark.apps.warehouse import base_log_app, unique_visit_app
+
+    hop = tmp_path / "hop"
+    # query 1: split the log, page stream lands in the storage hop
+    q1 = split_log_stream(
+        spark.readStream.option("maxFilesPerTrigger", "1").text(log_stream_dir),
+        str(hop),
+        str(tmp_path / "ckpt1"),
+    )
+    q1.awaitTermination()
+
+    # query 2: an independent streaming consumer of query 1's output
+    page_schema = spark.read.json(str(hop / "page")).schema
+    page_stream = (
+        spark.readStream.schema(page_schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(hop / "page"))
+        .select(
+            F.col("ts").alias("ts_ms"),
+            F.timestamp_millis("ts").alias("ts"),
+            F.expr("CAST(substring(common.mid, 5, 10) AS LONG)").alias("user_id"),
+            F.when(F.col("page.last_page_id").isNull(), "view").otherwise("other").alias("event_type"),
+            F.col("ts").alias("event_id"),  # ms timestamp as tiebreak id
+
+        )
+        .filter(F.col("event_type") == "view")
+        .drop("ts_ms")
+    )
+    uv = run_to_memory(dedup_daily_stream(page_stream), "t_hop_uv")
+    # batch twin over the same chain
+    batch_uv = unique_visit_app(base_log_app(behavior_log_json(spark, SF))["page"])
+    assert uv.count() == batch_uv.count()
