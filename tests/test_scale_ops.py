@@ -104,3 +104,33 @@ def test_read_json_logs_schema_pinned(spark, tmp_path):
     assert [f.name for f in logs.schema.fields] == [
         f.name for f in BEHAVIOR_LOG_SCHEMA.fields
     ]
+
+
+def test_stateful_ops_survive_hot_key_skew(spark):
+    """One entity owning half the stream (hot device/bot): keyed window ops
+    sort per key, so a hot key means one big sort run — must stay correct
+    (AQE can split skewed JOIN partitions but not per-key windows; salting
+    doesn't apply to order-sensitive state). 50k-row hot key vs 100 normal
+    keys, checked against per-key expectations."""
+    from gmall_spark.operators.stateful import first_touch, dedup_daily
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    hot = spark.range(50_000).select(
+        F.col("id").alias("event_id"),
+        (F.lit(base) + (F.col("id") * F.expr("INTERVAL '1' SECOND"))).alias("ts"),
+        F.lit(0).alias("user_id"),
+    )
+    cold = spark.range(50_000, 50_100).select(
+        F.col("id").alias("event_id"),
+        F.lit(base).cast("timestamp").alias("ts"),
+        F.col("id").alias("user_id"),
+    )
+    ev = hot.unionByName(cold)
+    ft = first_touch(ev, "user_id", "ts", "event_id")
+    firsts = ft.filter(F.col("is_first") == 1)
+    assert firsts.count() == 101  # one first-touch per key, hot key included
+    assert firsts.filter(F.col("user_id") == 0).collect()[0]["event_id"] == 0
+    # daily dedup: hot key spans ~14 hours -> exactly 1 day, one row
+    dd = dedup_daily(ev.filter(F.col("user_id") == 0), "user_id", "ts", "event_id")
+    assert dd.count() == 1
