@@ -151,3 +151,55 @@ def fake_text_embedder(df: DataFrame, id_col: str, text_col: str, dims: int = 16
     return df.select(id_col, text_col).mapInPandas(
         op, f"{id_col} long, embedding array<float>"
     )
+
+
+RESIZED_SCHEMA = (
+    "asset_id long, media_type string, payload binary, "
+    "meta struct<mime:string,width:int,height:int,duration_ms:bigint,n_bytes:bigint>"
+)
+
+
+def resize(assets: DataFrame, width: int = 8, height: int = 8) -> DataFrame:
+    """Resize/transcode: payload in → fixed-dimension payload out with meta
+    updated to the new geometry. The deterministic fake maps the input bytes
+    onto a width×height grid by strided sampling (truncate/repeat) — the real
+    PIL/ffmpeg call swaps in per batch. What's real here and matters at
+    scale: output size is BOUNDED regardless of input size (the whole point
+    of resizing before shuffling media through a pipeline), and meta travels
+    with the payload so downstream operators never re-decode to learn shape.
+    """
+    import pandas as pd
+
+    n_out = width * height
+
+    def op(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            payloads = pdf["payload"].map(
+                lambda b: bytes(
+                    b[(i * max(len(b), 1)) // n_out % max(len(b), 1)] for i in range(n_out)
+                )
+                if len(b)
+                else bytes(n_out)
+            )
+            metas = [
+                {
+                    "mime": "application/octet-stream",
+                    "width": width,
+                    "height": height,
+                    "duration_ms": None,
+                    "n_bytes": n_out,
+                }
+                for _ in range(len(pdf))
+            ]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "media_type": pdf["media_type"],
+                    "payload": payloads,
+                    "meta": metas,
+                }
+            )
+
+    return assets.select("asset_id", "media_type", "payload").mapInPandas(op, RESIZED_SCHEMA)

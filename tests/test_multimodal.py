@@ -61,3 +61,17 @@ def test_decode_real_is_explicitly_stubbed():
 
     with pytest.raises(NotImplementedError):
         multimodal.decode_real(b"bytes", "image")
+
+
+def test_resize_bounds_output_size(spark):
+    """Resize: every output payload is exactly width*height bytes no matter
+    the input size, and meta reflects the new geometry."""
+    docs = load_table(spark, SF, "documents")
+    assets = multimodal.to_assets(docs, "doc_id", "text")
+    small = multimodal.resize(assets, width=8, height=8)
+    rows = small.collect()
+    assert all(len(r["payload"]) == 64 for r in rows)
+    assert all(r["meta"]["width"] == 8 and r["meta"]["n_bytes"] == 64 for r in rows)
+    # deterministic
+    again = {r["asset_id"]: bytes(r["payload"]) for r in multimodal.resize(assets, 8, 8).collect()}
+    assert all(bytes(r["payload"]) == again[r["asset_id"]] for r in rows)
