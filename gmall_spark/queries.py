@@ -1340,3 +1340,30 @@ def set_ops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     both = viewers.intersect(buyers).withColumn("cohort", F.lit("both"))
     view_only = viewers.subtract(buyers).withColumn("cohort", F.lit("view_only"))
     return both.unionByName(view_only)
+
+
+# ---------------------------------------------------------------------------
+# argmax aggregates (min_by/max_by): first/last-event attribution per user —
+# the "entry page / exit page" DWS shape — without a window-sort pass (one
+# hash aggregation instead of partition-sort + row_number).
+# ---------------------------------------------------------------------------
+@register(
+    "first_last_events",
+    """
+    SELECT user_id,
+           min_by(event_type, CAST(floor(date_part('epoch', ts)) AS BIGINT) * 100000 + event_id) AS first_type,
+           max_by(event_type, CAST(floor(date_part('epoch', ts)) AS BIGINT) * 100000 + event_id) AS last_type,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY user_id
+    """,
+)
+def first_last_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    # unique, order-preserving sort key (epoch seconds ⋅ 1e5 + event_id) so
+    # argmax ties are impossible and both engines agree deterministically
+    key = F.col("ts").cast("long") * 100000 + F.col("event_id")
+    return ev.groupBy("user_id").agg(
+        F.min_by("event_type", key).alias("first_type"),
+        F.max_by("event_type", key).alias("last_type"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
