@@ -6,6 +6,11 @@ rules that keep the value-hash stable:
 
 - money/sums: cast to DECIMAL **before** aggregating (exact, engine-portable;
   DuckDB sum(BIGINT) returns HUGEINT → always CAST the oracle back to BIGINT);
+- final-output decimals: cast to DOUBLE on BOTH sides — Spark's toPandas()
+  yields Decimal objects while DuckDB yields float64, which defeats the
+  driver's value-hash even when values are equal. Both engines convert the
+  same exact decimal, so the doubles are bit-identical. Decimal math stays
+  internal; only the last projection widens;
 - temporal outputs: format to 'yyyy-MM-dd HH:mm:ss' strings (session TZ UTC);
 - no raw float aggregates in outputs; ratios use integer arithmetic;
 - every computed column aliased identically on both sides.
@@ -74,7 +79,7 @@ def register(name: str, oracle: str | None = None):
            event_type,
            count(*) AS pv_ct,
            count(DISTINCT user_id) AS uv_ct,
-           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS dur_sum
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS dur_sum
     FROM events
     GROUP BY 1, 2, 3
     """,
@@ -89,7 +94,7 @@ def visitor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         [
             F.count(F.lit(1)).alias("pv_ct"),
             F.countDistinct("user_id").alias("uv_ct"),
-            F.sum(money("value")).cast("decimal(18,2)").alias("dur_sum"),
+            F.sum(money("value")).cast("decimal(18,2)").cast("double").alias("dur_sum"),
         ],
     )
 
@@ -187,7 +192,7 @@ def bounce_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o.o_orderkey, l.l_linenumber, l.l_partkey,
            o.o_custkey, c.c_name, n.n_name, r.r_name,
            strftime(o.o_orderdate, '%Y-%m-%d') AS create_date,
-           CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4)) AS revenue
+           CAST(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
     FROM orders o
     JOIN lineitem l
       ON o.o_orderkey = l.l_orderkey
@@ -238,7 +243,7 @@ def order_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_name",
         "r_name",
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("create_date"),
-        _revenue().cast("decimal(18,4)").alias("revenue"),
+        _revenue().cast("decimal(18,4)").cast("double").alias("revenue"),
     )
 
 
@@ -253,7 +258,7 @@ def order_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT v.event_id AS view_id, p.event_id AS purchase_id, p.user_id,
            strftime(v.ts, '{_DUCK_FMT}') AS view_ts,
            strftime(p.ts, '{_DUCK_FMT}') AS pay_ts,
-           CAST(p.value AS DECIMAL(18,2)) AS amount
+           CAST(CAST(p.value AS DECIMAL(18,2)) AS DOUBLE) AS amount
     FROM (SELECT * FROM events WHERE event_type = 'view') v
     JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
       ON v.user_id = p.user_id
@@ -279,7 +284,7 @@ def payment_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l.user_id").alias("user_id"),
         F.date_format(F.col("l.ts"), TS_FMT).alias("view_ts"),
         F.date_format(F.col("r.ts"), TS_FMT).alias("pay_ts"),
-        money(F.col("r.value")).alias("amount"),
+        money(F.col("r.value")).cast("double").alias("amount"),
     )
 
 
@@ -295,8 +300,8 @@ def payment_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l.l_partkey AS sku_id, p.p_name AS sku_name, p.p_brand AS tm_name,
            CAST(count(*) AS BIGINT) AS item_ct,
            CAST(count(DISTINCT l.l_orderkey) AS BIGINT) AS order_ct,
-           CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sku_num,
-           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DECIMAL(18,4)) AS order_amount
+           CAST(CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sku_num,
+           CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DECIMAL(18,4)) AS DOUBLE) AS order_amount
     FROM lineitem l
     LEFT JOIN part p ON l.l_partkey = p.p_partkey
     GROUP BY 1, 2, 3
@@ -313,8 +318,8 @@ def product_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count(F.lit(1)).alias("item_ct"),
         F.countDistinct("l_orderkey").alias("order_ct"),
-        F.sum(money("l_quantity")).cast("decimal(18,2)").alias("sku_num"),
-        F.sum(_revenue()).cast("decimal(18,4)").alias("order_amount"),
+        F.sum(money("l_quantity")).cast("decimal(18,2)").cast("double").alias("sku_num"),
+        F.sum(_revenue()).cast("decimal(18,4)").cast("double").alias("order_amount"),
     )
 
 
@@ -352,7 +357,7 @@ def keyword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "province_stats",
     """
     SELECT n.n_nationkey AS province_id, n.n_name AS province_name,
-           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS order_amount,
+           CAST(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS order_amount,
            CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS order_count
     FROM orders o
     JOIN customer c ON o.o_custkey = c.c_custkey
@@ -372,7 +377,7 @@ def province_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enriched.groupBy(
         F.col("n_nationkey").alias("province_id"), F.col("n_name").alias("province_name")
     ).agg(
-        F.sum(money("o_totalprice")).cast("decimal(18,2)").alias("order_amount"),
+        F.sum(money("o_totalprice")).cast("decimal(18,2)").cast("double").alias("order_amount"),
         F.countDistinct("o_orderkey").alias("order_count"),
     )
 
@@ -385,10 +390,10 @@ def province_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(18,4)) AS sum_disc_price,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DECIMAL(18,6)) AS sum_charge,
+           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_base_price,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_disc_price,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DECIMAL(18,6)) AS DOUBLE) AS sum_charge,
            CAST(count(*) AS BIGINT) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -401,11 +406,12 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(money("l_quantity")).cast("decimal(18,2)").alias("sum_qty"),
-            F.sum(money("l_extendedprice")).cast("decimal(18,2)").alias("sum_base_price"),
-            F.sum(_revenue()).cast("decimal(18,4)").alias("sum_disc_price"),
+            F.sum(money("l_quantity")).cast("decimal(18,2)").cast("double").alias("sum_qty"),
+            F.sum(money("l_extendedprice")).cast("decimal(18,2)").cast("double").alias("sum_base_price"),
+            F.sum(_revenue()).cast("decimal(18,4)").cast("double").alias("sum_disc_price"),
             F.sum(_revenue() * (F.lit(1) + F.col("l_tax").cast("decimal(4,2)")))
             .cast("decimal(18,6)")
+            .cast("double")
             .alias("sum_charge"),
             F.count(F.lit(1)).alias("count_order"),
         )
@@ -418,7 +424,7 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "top_parts_per_brand",
     """
-    SELECT p_brand, sku_id, revenue, rnk FROM (
+    SELECT p_brand, sku_id, CAST(revenue AS DOUBLE) AS revenue, rnk FROM (
       SELECT p.p_brand, l.l_partkey AS sku_id,
              CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DECIMAL(18,4)) AS revenue,
              row_number() OVER (PARTITION BY p.p_brand
@@ -440,7 +446,12 @@ def top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(_revenue()).cast("decimal(18,4)").alias("revenue"))
     )
     w = Window.partitionBy("p_brand").orderBy(F.col("revenue").desc(), F.col("sku_id").asc())
-    return rev.withColumn("rnk", F.row_number().over(w).cast("long")).filter(F.col("rnk") <= 5)
+    return (
+        rev.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 5)
+        # rank on the exact decimal, emit double (driver-hashable) — same order
+        .withColumn("revenue", F.col("revenue").cast("double"))
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -536,7 +547,7 @@ def cdc_route(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(pv) AS BIGINT) AS pv_ct,
            CAST(sum(clk) AS BIGINT) AS click_ct,
            CAST(sum(buy) AS BIGINT) AS buy_ct,
-           CAST(sum(amount) AS DECIMAL(18,2)) AS buy_amount
+           CAST(CAST(sum(amount) AS DECIMAL(18,2)) AS DOUBLE) AS buy_amount
     FROM (
       SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS dt, 1 AS pv, 0 AS clk, 0 AS buy,
              CAST(0 AS DECIMAL(18,2)) AS amount
@@ -572,7 +583,7 @@ def union_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pv").alias("pv_ct"),
         F.sum("clk").alias("click_ct"),
         F.sum("buy").alias("buy_ct"),
-        F.sum("amount").cast("decimal(18,2)").alias("buy_amount"),
+        F.sum("amount").cast("decimal(18,2)").cast("double").alias("buy_amount"),
     )
 
 
@@ -621,7 +632,7 @@ def display_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT n.n_name AS nation, o.o_orderstatus AS status,
            CAST(count(*) AS BIGINT) AS order_ct,
-           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS amount
+           CAST(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS amount
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     JOIN nation n ON c.c_nationkey = n.n_nationkey
     GROUP BY CUBE (n.n_name, o.o_orderstatus)
@@ -638,7 +649,7 @@ def cube_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_name").alias("nation"), F.col("o_orderstatus").alias("status")
     ).agg(
         F.count(F.lit(1)).alias("order_ct"),
-        F.sum(money("o_totalprice")).cast("decimal(18,2)").alias("amount"),
+        F.sum(money("o_totalprice")).cast("decimal(18,2)").cast("double").alias("amount"),
     )
 
 
@@ -824,7 +835,8 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY version DESC) AS rn
       FROM (SELECT * FROM base UNION ALL SELECT * FROM updates)
     )
-    SELECT o_orderkey, o_orderstatus, o_totalprice, CAST(version AS BIGINT) AS version
+    SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+           CAST(version AS BIGINT) AS version
     FROM merged WHERE rn = 1
     """,
 )
@@ -855,6 +867,7 @@ def cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         merged.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .drop("rn")
+        .withColumn("o_totalprice", F.col("o_totalprice").cast("double"))
         .withColumn("version", F.col("version").cast("long"))
     )
 
@@ -891,7 +904,7 @@ def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shipping_priority",  # TPC-H Q3 shape
     """
     SELECT l.l_orderkey,
-           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DECIMAL(18,4)) AS revenue,
+           CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
            strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
            o.o_orderpriority
     FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
@@ -913,14 +926,14 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
         "o_orderpriority",
-    ).agg(F.sum(_revenue()).cast("decimal(18,4)").alias("revenue"))
+    ).agg(F.sum(_revenue()).cast("decimal(18,4)").cast("double").alias("revenue"))
 
 
 @register(
     "local_supplier_volume",  # TPC-H Q5 shape
     """
     SELECT n.n_name, r.r_name,
-           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DECIMAL(18,4)) AS revenue
+           CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -948,7 +961,7 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
     )
     return j.groupBy("n_name", "r_name").agg(
-        F.sum(_revenue()).cast("decimal(18,4)").alias("revenue")
+        F.sum(_revenue()).cast("decimal(18,4)").cast("double").alias("revenue")
     )
 
 
@@ -956,7 +969,7 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "returned_items",  # TPC-H Q10 shape
     """
     SELECT c.c_custkey, c.c_name, n.n_name,
-           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DECIMAL(18,4)) AS revenue,
+           CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
            CAST(count(*) AS BIGINT) AS item_ct
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -977,7 +990,7 @@ def returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
     )
     return j.groupBy("c_custkey", "c_name", "n_name").agg(
-        F.sum(_revenue()).cast("decimal(18,4)").alias("revenue"),
+        F.sum(_revenue()).cast("decimal(18,4)").cast("double").alias("revenue"),
         F.count(F.lit(1)).alias("item_ct"),
     )
 
@@ -992,7 +1005,7 @@ def returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     "province_stats_sql",
     """
     SELECT n.n_nationkey AS province_id, n.n_name AS province_name,
-           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS order_amount,
+           CAST(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS order_amount,
            CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS order_count
     FROM orders o
     JOIN customer c ON o.o_custkey = c.c_custkey
@@ -1007,7 +1020,7 @@ def province_stats_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT n.n_nationkey AS province_id, n.n_name AS province_name,
-               CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS order_amount,
+               CAST(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS order_amount,
                count(DISTINCT o.o_orderkey) AS order_count
         FROM orders o
         JOIN customer c ON o.o_custkey = c.c_custkey
@@ -1049,8 +1062,8 @@ def grouped_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_id, user_id,
            CAST(row_number() OVER w AS BIGINT) AS seq,
-           CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                ROWS UNBOUNDED PRECEDING) AS DECIMAL(18,2)) AS running_value,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS DECIMAL(18,2)) AS DOUBLE) AS running_value,
            first_value(event_type) OVER w AS first_type
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -1066,7 +1079,7 @@ def running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         F.row_number().over(w).cast("long").alias("seq"),
-        F.sum(money("value")).over(run).cast("decimal(18,2)").alias("running_value"),
+        F.sum(money("value")).over(run).cast("decimal(18,2)").cast("double").alias("running_value"),
         F.first("event_type").over(w).alias("first_type"),
     )
 
@@ -1079,7 +1092,7 @@ def running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
            o_orderpriority,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue,
+           CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS revenue,
            CAST(count(*) AS BIGINT) AS order_ct
     FROM orders GROUP BY 1, 2
     """,
@@ -1090,7 +1103,7 @@ def monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month"),
         "o_orderpriority",
     ).agg(
-        F.sum(money("o_totalprice")).cast("decimal(18,2)").alias("revenue"),
+        F.sum(money("o_totalprice")).cast("decimal(18,2)").cast("double").alias("revenue"),
         F.count(F.lit(1)).alias("order_ct"),
     )
 
@@ -1193,13 +1206,13 @@ SELECT sku_id,
        CAST(sum(click_ct) AS BIGINT) AS click_ct,
        CAST(sum(favor_ct) AS BIGINT) AS favor_ct,
        CAST(sum(cart_ct) AS BIGINT) AS cart_ct,
-       CAST(sum(order_sku_num) AS DECIMAL(18,2)) AS order_sku_num,
+       CAST(CAST(sum(order_sku_num) AS DECIMAL(18,2)) AS DOUBLE) AS order_sku_num,
        CAST(count(DISTINCT order_id) AS BIGINT) AS order_ct,
        CAST(count(DISTINCT paid_order_id) AS BIGINT) AS paid_order_ct,
        CAST(count(DISTINCT refund_order_id) AS BIGINT) AS refund_order_ct,
-       CAST(sum(order_amount) AS DECIMAL(18,4)) AS order_amount,
-       CAST(sum(payment_amount) AS DECIMAL(18,4)) AS payment_amount,
-       CAST(sum(refund_amount) AS DECIMAL(18,4)) AS refund_amount,
+       CAST(CAST(sum(order_amount) AS DECIMAL(18,4)) AS DOUBLE) AS order_amount,
+       CAST(CAST(sum(payment_amount) AS DECIMAL(18,4)) AS DOUBLE) AS payment_amount,
+       CAST(CAST(sum(refund_amount) AS DECIMAL(18,4)) AS DOUBLE) AS refund_amount,
        CAST(sum(comment_ct) AS BIGINT) AS comment_ct,
        CAST(sum(good_comment_ct) AS BIGINT) AS good_comment_ct
 FROM facts GROUP BY sku_id
@@ -1301,13 +1314,13 @@ def product_stats_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("click_ct").alias("click_ct"),
         F.sum("favor_ct").alias("favor_ct"),
         F.sum("cart_ct").alias("cart_ct"),
-        F.sum("order_sku_num").cast("decimal(18,2)").alias("order_sku_num"),
+        F.sum("order_sku_num").cast("decimal(18,2)").cast("double").alias("order_sku_num"),
         F.countDistinct("order_id").alias("order_ct"),
         F.countDistinct("paid_order_id").alias("paid_order_ct"),
         F.countDistinct("refund_order_id").alias("refund_order_ct"),
-        F.sum("order_amount").cast("decimal(18,4)").alias("order_amount"),
-        F.sum("payment_amount").cast("decimal(18,4)").alias("payment_amount"),
-        F.sum("refund_amount").cast("decimal(18,4)").alias("refund_amount"),
+        F.sum("order_amount").cast("decimal(18,4)").cast("double").alias("order_amount"),
+        F.sum("payment_amount").cast("decimal(18,4)").cast("double").alias("payment_amount"),
+        F.sum("refund_amount").cast("decimal(18,4)").cast("double").alias("refund_amount"),
         F.sum("comment_ct").alias("comment_ct"),
         F.sum("good_comment_ct").alias("good_comment_ct"),
     )
