@@ -220,10 +220,48 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # LSH-bucketed ANN — the 100TB scale path (candidates from shared hyperplane
-# buckets instead of n² pairs). Deterministic md5-derived hyperplane signs, so
-# no oracle-side RNG needed; still omitted from oracle_sql (the recall-bounded
-# result is compared rows-only; exactness is covered by embed_knn).
-@register("embed_ann_lsh")
+# buckets via an equi-join on (table, sig), never n² pairs). The whole
+# algorithm is deterministic — hyperplane signs from md5 parity, candidates
+# from bucket equality, fold-order cosine verify — so the oracle replays it
+# end-to-end in SQL and the driver hash-checks the actual ANN result.
+_LSH_ORACLE = """
+WITH norm AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+),
+planes AS (
+  SELECT t, b,
+         list_transform(range(0, 64), d ->
+           CASE WHEN substr(md5('h' || t || ':' || b || ',' || d), 1, 1) >= '8'
+                THEN 1.0 ELSE -1.0 END) AS w
+  FROM (SELECT unnest(range(0, 12)) AS t), (SELECT unnest(range(0, 6)) AS b)
+),
+sigs AS (
+  SELECT n.vec_id, p.t AS tbl,
+         CAST(sum(CASE WHEN list_dot_product(n.v, p.w) > 0
+                       THEN 1 << (5 - p.b) ELSE 0 END) AS BIGINT) AS sig
+  FROM norm n, planes p
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.vec_id, b.vec_id AS neighbor_id
+  FROM sigs a JOIN sigs b
+    ON a.tbl = b.tbl AND a.sig = b.sig AND a.vec_id <> b.vec_id
+)
+SELECT vec_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk FROM (
+  SELECT c.vec_id, c.neighbor_id,
+         row_number() OVER (PARTITION BY c.vec_id
+                            ORDER BY list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm) DESC,
+                                     c.neighbor_id) AS rnk
+  FROM cand c
+  JOIN norm na ON c.vec_id = na.vec_id
+  JOIN norm nb ON c.neighbor_id = nb.vec_id
+) WHERE rnk <= 5
+"""
+
+
+@register("embed_ann_lsh", _LSH_ORACLE)
 def embed_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.lsh_ann(emb, "vec_id", "embedding", n_bits=6, n_tables=12, k=5)
@@ -231,7 +269,91 @@ def embed_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # IVF variant — k-means cells + nprobe search (the other classic ANN scale
 # path; recall vs brute force asserted in tests/test_ann_quality.py).
-@register("embed_ann_ivf")
+# The quantizer is deterministic (seed = 16 lowest ids, 2 Lloyd iterations,
+# stale centroid kept for empty cells, argmin ties to the lower cell), so the
+# oracle replays the full pipeline: 2 k-means rounds → final assignment →
+# probe the 4 nearest non-empty cell centroids → exact-cosine top-5.
+def _ivf_assign(cent_cte: str, out: str) -> str:
+    return f"""
+{out} AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT n.vec_id, n.v, c.cell,
+           row_number() OVER (
+             PARTITION BY n.vec_id
+             ORDER BY list_sum(list_transform(range(1, 65),
+                       i -> (n.v[i] - c.c[i]) * (n.v[i] - c.c[i]))) ASC,
+                      c.cell ASC) AS rn
+    FROM norm n, {cent_cte} c
+  ) WHERE rn = 1
+)"""
+
+
+def _ivf_means(assign_cte: str, prev_cent: str, out: str) -> str:
+    return f"""
+{out}_m AS (
+  SELECT a.cell, u.d, avg(a.v[u.d]) AS m
+  FROM {assign_cte} a, (SELECT unnest(range(1, 65)) AS d) u
+  GROUP BY 1, 2
+),
+{out} AS (
+  SELECT p.cell, coalesce(l.c, p.c) AS c
+  FROM {prev_cent} p
+  LEFT JOIN (SELECT cell, list(m ORDER BY d) AS c FROM {out}_m GROUP BY cell) l
+    ON p.cell = l.cell
+)"""
+
+
+_IVF_ORACLE = f"""
+WITH norm AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+),
+seed AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, v AS c
+  FROM (SELECT vec_id, v FROM norm ORDER BY vec_id LIMIT 16)
+),
+{_ivf_assign("seed", "assign1")},
+{_ivf_means("assign1", "seed", "cent1")},
+{_ivf_assign("cent1", "assign2")},
+{_ivf_means("assign2", "cent1", "cent2")},
+{_ivf_assign("cent2", "assign3")},
+probecent_m AS (
+  SELECT a.cell, u.d, avg(a.v[u.d]) AS m
+  FROM assign3 a, (SELECT unnest(range(1, 65)) AS d) u
+  GROUP BY 1, 2
+),
+probecent AS (
+  SELECT cell, list(m ORDER BY d) AS c FROM probecent_m GROUP BY cell
+),
+probes AS (
+  SELECT vec_id, cell FROM (
+    SELECT n.vec_id, pc.cell,
+           row_number() OVER (
+             PARTITION BY n.vec_id
+             ORDER BY list_sum(list_transform(range(1, 65),
+                       i -> (n.v[i] - pc.c[i]) * (n.v[i] - pc.c[i]))) ASC,
+                      pc.cell ASC) AS rn
+    FROM norm n, probecent pc
+  ) WHERE rn <= 4
+),
+cand AS (
+  SELECT p.vec_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN assign3 a ON a.cell = p.cell AND a.vec_id <> p.vec_id
+)
+SELECT vec_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk FROM (
+  SELECT c.vec_id, c.neighbor_id,
+         row_number() OVER (PARTITION BY c.vec_id
+                            ORDER BY list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm) DESC,
+                                     c.neighbor_id) AS rnk
+  FROM cand c
+  JOIN norm na ON c.vec_id = na.vec_id
+  JOIN norm nb ON c.neighbor_id = nb.vec_id
+) WHERE rnk <= 5
+"""
+
+
+@register("embed_ann_ivf", _IVF_ORACLE)
 def embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.ivf_ann(emb, "vec_id", "embedding", k=5, n_clusters=16, nprobe=4)
@@ -455,23 +577,75 @@ def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Multimodal plumbing (rows-only check — binary decode is stubbed, see
-# extras/multimodal.py): documents → binary payload + typed metadata →
-# mapInPandas feature extraction.
+# Multimodal plumbing (binary decode is stubbed, see extras/multimodal.py):
+# documents → binary payload + typed metadata → mapInPandas feature
+# extraction. The payload is the UTF-8 text (all-ASCII in testdata, so
+# byte == codepoint) and the fake featurizer is pure byte arithmetic — both
+# fully replayable in SQL, so these get real value-hash oracles. The array
+# output is projected to scalar f0..f3 for the registry (the driver's
+# canonicalizer can't hash list cells); the array form stays in
+# extract_features for pipeline use.
 # ---------------------------------------------------------------------------
-@register("multimodal_features")
+_MM_FEATURES_ORACLE = """
+WITH bytes AS (
+  SELECT doc_id, ascii(substr(text, i + 1, 1)) AS b, i % 4 AS lane
+  FROM documents, UNNEST(range(0, strlen(text))) AS u(i)
+),
+agg AS (
+  SELECT doc_id, count(*) AS n, sum(b) AS s,
+         sum(CASE WHEN lane = 0 THEN b ELSE 0 END) AS s0,
+         sum(CASE WHEN lane = 1 THEN b ELSE 0 END) AS s1,
+         sum(CASE WHEN lane = 2 THEN b ELSE 0 END) AS s2,
+         sum(CASE WHEN lane = 3 THEN b ELSE 0 END) AS s3
+  FROM bytes GROUP BY doc_id
+)
+SELECT d.doc_id AS asset_id, 'image' AS media_type,
+       CAST(coalesce(a.n, 0) AS BIGINT) AS n_bytes,
+       CASE WHEN coalesce(a.n, 0) = 0 THEN 0.0
+            ELSE CAST(a.s AS DOUBLE) / a.n END AS byte_mean,
+       CAST(coalesce(a.s0, 0) % 997 AS DOUBLE) AS f0,
+       CAST(coalesce(a.s1, 0) % 997 AS DOUBLE) AS f1,
+       CAST(coalesce(a.s2, 0) % 997 AS DOUBLE) AS f2,
+       CAST(coalesce(a.s3, 0) % 997 AS DOUBLE) AS f3
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+"""
+
+
+@register("multimodal_features", _MM_FEATURES_ORACLE)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gmall_spark.extras import multimodal
 
     docs = load_table(spark, sf_dir, "documents")
     assets = multimodal.to_assets(docs, "doc_id", "text")
-    return multimodal.extract_features(assets)
+    feats = multimodal.extract_features(assets)
+    return feats.select(
+        "asset_id",
+        "media_type",
+        "n_bytes",
+        "byte_mean",
+        *[feats["features"][i].alias(f"f{i}") for i in range(4)],
+    )
 
 
-@register("multimodal_frames")
+# Frame sampling = every stride-th fixed-size chunk of the payload: output
+# cardinality is pure byte arithmetic over the (ASCII) text, hence the
+# substr-free length oracle below. Frame bytes stay out of the registry
+# output (binary cells aren't hashable driver-side).
+_MM_FRAMES_ORACLE = """
+WITH f AS (
+  SELECT doc_id, strlen(text) AS len,
+         CAST(ceil(strlen(text) / 64.0) AS BIGINT) AS nchunks
+  FROM documents
+)
+SELECT doc_id AS asset_id, CAST(i AS INT) AS frame_idx,
+       CAST(least(64, len - 2 * i * 64) AS BIGINT) AS n_bytes
+FROM f, UNNEST(range(0, (nchunks + 1) // 2)) AS u(i)
+"""
+
+
+@register("multimodal_frames", _MM_FRAMES_ORACLE)
 def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame sampling over binary payloads (row explosion in mapInPandas);
-    rows-only — frame content is the stubbed decode's chunking."""
+    """Frame sampling over binary payloads (row explosion in mapInPandas)."""
     from gmall_spark.extras import multimodal
 
     docs = load_table(spark, sf_dir, "documents")

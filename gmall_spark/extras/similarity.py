@@ -35,6 +35,23 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
+#: brute-force / pairwise kernels collect the index side to the driver and
+#: broadcast it — correct ONLY for an explicitly small corpus. The guard
+#: turns a would-be driver OOM at scale into an actionable error.
+MAX_BROADCAST_INDEX_ROWS = 2_000_000
+
+
+def _guarded_index(df: DataFrame, cols: list[str], caller: str, scale_path: str):
+    index = df.select(*cols).limit(MAX_BROADCAST_INDEX_ROWS + 1).toPandas()
+    if len(index) > MAX_BROADCAST_INDEX_ROWS:
+        raise ValueError(
+            f"{caller}: index side exceeds {MAX_BROADCAST_INDEX_ROWS} rows — "
+            f"the broadcast baseline is for small corpora; use {scale_path} "
+            "for the distributed path"
+        )
+    return index
+
+
 def brute_force_knn(df: DataFrame, id_col: str, vec_col: str, k: int = 5) -> DataFrame:
     """Exact top-k cosine neighbors for every vector. Output: (vec_id,
     neighbor_id, rnk) — ids+rank only, so fp summation noise cannot flip the
@@ -52,7 +69,7 @@ def brute_force_knn(df: DataFrame, id_col: str, vec_col: str, k: int = 5) -> Dat
     import numpy as np
     import pandas as pd
 
-    index = df.select(id_col, vec_col).toPandas()
+    index = _guarded_index(df, [id_col, vec_col], "brute_force_knn", "lsh_ann/ivf_ann")
     if not len(index):
         return _empty(df, "vec_id long, neighbor_id long, rnk long")
     ids = index[id_col].to_numpy()
@@ -102,7 +119,9 @@ def cosine_near_dup(
     import numpy as np
     import pandas as pd
 
-    index = df.select(id_col, vec_col, label_col).toPandas()
+    index = _guarded_index(
+        df, [id_col, vec_col, label_col], "cosine_near_dup", "lsh_ann buckets + per-bucket verify"
+    )
     if not len(index):
         return _empty(df, "vec_a long, vec_b long, same_label long")
     ids = index[id_col].to_numpy()
@@ -200,6 +219,49 @@ def signatures(
     )
 
 
+def _sqdist(a: Column, b: Column) -> Column:
+    """Sequential left-fold squared L2 distance — fold order matches the
+    oracle's list_sum(list_transform(...)) so both engines see the same
+    doubles."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _normed(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(_nid, _v double[], _nrm): the verify-side vector table."""
+    v = _as_double(F.col(vec_col))
+    return df.select(
+        F.col(id_col).alias("_nid"), v.alias("_v")
+    ).withColumn("_nrm", F.sqrt(_dot(F.col("_v"), F.col("_v"))))
+
+
+def _rank_candidates(cand: DataFrame, norm: DataFrame, k: int) -> DataFrame:
+    """Exact-cosine verify + top-k rank over a (vec_id, neighbor_id) candidate
+    set — the shared tail of every ANN variant. Two equi-joins fetch the
+    vectors, the fold-dot cosine ranks them; everything stays distributed
+    (shuffles keyed on the ids, window keyed on vec_id)."""
+    qa = norm.select(
+        F.col("_nid").alias("vec_id"), F.col("_v").alias("_va"), F.col("_nrm").alias("_na")
+    )
+    qb = norm.select(
+        F.col("_nid").alias("neighbor_id"), F.col("_v").alias("_vb"), F.col("_nrm").alias("_nb")
+    )
+    sims = (
+        cand.join(qa, "vec_id")
+        .join(qb, "neighbor_id")
+        .withColumn("_sim", _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("_sim").desc(), F.col("neighbor_id").asc())
+    return (
+        sims.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("vec_id", "neighbor_id", "rnk")
+    )
+
+
 def lsh_ann(
     df: DataFrame,
     id_col: str,
@@ -212,60 +274,23 @@ def lsh_ann(
     signature tables; exact cosine + rank within the candidate set.
     Output: vec_id, neighbor_id, rnk.
 
-    Candidate lookup is a broadcast hash of (table, bucket) → member ids;
-    verification is one BLAS matvec per query over its candidates only —
-    never the n² pair space. At 100 TB the broadcast hash becomes a
-    partitioned bucket table and the probe an equi-join on (table, sig);
-    the per-bucket verify kernel is unchanged.
-    """
-    import numpy as np
-    import pandas as pd
-
-    sig_pdf = signatures(df, id_col, vec_col, n_bits, n_tables).toPandas()
-    index = df.select(id_col, vec_col).toPandas()
-    if not len(index):
-        return _empty(df, "vec_id long, neighbor_id long, rnk long")
-    ids = index[id_col].to_numpy()
-    pos_of = {int(i): p for p, i in enumerate(ids)}
-    M = np.stack(index[vec_col].to_numpy()).astype("float64")
-    nrm = np.sqrt((M * M).sum(axis=1))
-    buckets: dict = {}
-    for rid, t, sg in zip(sig_pdf[id_col], sig_pdf["table"], sig_pdf["sig"]):
-        buckets.setdefault((int(t), int(sg)), []).append(pos_of[int(rid)])
-    bc = df.sparkSession.sparkContext.broadcast((ids, M, nrm, buckets))
-    W = _hyperplanes(n_tables, n_bits, M.shape[1]).reshape(n_tables * n_bits, M.shape[1])
-    bw = df.sparkSession.sparkContext.broadcast(W)
-    weights = (2 ** np.arange(n_bits - 1, -1, -1)).astype("int64")
-
-    def op(batches):
-        ids_b, M_b, nrm_b, buckets_b = bc.value
-        Wb = bw.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            Q = np.stack(pdf[vec_col].to_numpy()).astype("float64")
-            qn = np.sqrt((Q * Q).sum(axis=1))
-            qids = pdf[id_col].to_numpy()
-            bits = (Q @ Wb.T > 0).reshape(len(Q), n_tables, n_bits)
-            codes = bits @ weights
-            out_q, out_n, out_r = [], [], []
-            for r in range(len(Q)):
-                cand: set = set()
-                for t in range(n_tables):
-                    cand.update(buckets_b.get((t, int(codes[r, t])), ()))
-                cand.discard(pos_of.get(int(qids[r]), -1))
-                if not cand:
-                    continue
-                cl = np.fromiter(cand, dtype="int64")
-                sims = (M_b[cl] @ Q[r]) / (nrm_b[cl] * qn[r])
-                order = np.lexsort((ids_b[cl], -sims))[:k]
-                for rank, j in enumerate(order, 1):
-                    out_q.append(qids[r])
-                    out_n.append(ids_b[cl[j]])
-                    out_r.append(rank)
-            yield pd.DataFrame({"vec_id": out_q, "neighbor_id": out_n, "rnk": out_r})
-
-    return df.select(id_col, vec_col).mapInPandas(op, "vec_id long, neighbor_id long, rnk long")
+    Fully distributed — no driver-side index: the signature DataFrame
+    self-joins on (table, sig) to produce candidates (an equi-join on a small
+    key, never the n² pair space), and the verify stage is two id-keyed joins
+    + a fold-dot cosine + per-query window rank. At 100 TB every stage
+    partitions on its key; skewed buckets are split by AQE skew-join."""
+    sigs = signatures(df, id_col, vec_col, n_bits, n_tables)
+    a, b = sigs.alias("a"), sigs.alias("b")
+    cand = (
+        a.join(b, ["table", "sig"])
+        .filter(F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("vec_id"),
+            F.col(f"b.{id_col}").alias("neighbor_id"),
+        )
+        .distinct()
+    )
+    return _rank_candidates(cand, _normed(df, id_col, vec_col), k)
 
 
 def ivf_index(
@@ -343,50 +368,46 @@ def ivf_ann(
     nprobe: int = 4,
 ) -> DataFrame:
     """Approximate top-k cosine via IVF: candidates come from the query's
-    nprobe nearest cells (equi-join on cell) instead of the full corpus.
-    Recall is tunable by nprobe (validated vs brute force in tests).
-    Output: vec_id, neighbor_id, rnk."""
-    import numpy as np
-    import pandas as pd
+    nprobe nearest (non-empty) cells — an equi-join on cell instead of the
+    full corpus. Recall is tunable by nprobe (validated vs brute force in
+    tests). Output: vec_id, neighbor_id, rnk.
 
+    Fully distributed — the corpus never leaves the executors: cell
+    centroids reduce to an n_clusters-row DataFrame (broadcast-joined to the
+    queries for probe selection), candidates come from the probe⋈member
+    equi-join on cell, and the verify stage is the shared id-keyed
+    join + fold-dot cosine + window rank."""
     cells = ivf_index(df, id_col, vec_col, n_clusters)
-    indexed = df.join(cells, id_col).select(id_col, vec_col, "cell")
-    # corpus grouped by cell, broadcast (at 100 TB: per-cell parquet files +
-    # a distributed probe join — same plan shape, no broadcast)
-    corpus = indexed.toPandas()
-    if not len(corpus):
-        return _empty(df, "vec_id long, neighbor_id long, rnk long")
-    ids = corpus[id_col].to_numpy()
-    cell_of = corpus["cell"].to_numpy()
-    M = np.stack(corpus[vec_col].to_numpy()).astype("float64")
-    nrm = np.sqrt((M * M).sum(axis=1))
-    cent = np.stack(
-        [M[cell_of == c].mean(axis=0) if (cell_of == c).any() else M[0] * 0 for c in range(n_clusters)]
+    norm = _normed(df, id_col, vec_col)
+    member = norm.join(cells.withColumnRenamed(id_col, "_nid"), "_nid")
+    # per-cell mean vectors (n_clusters rows — legitimately tiny model state)
+    probe_cent = (
+        member.select("cell", F.posexplode("_v").alias("dim", "x"))
+        .groupBy("cell", "dim")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("cell")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("dim", "m"))), lambda s: s["m"]
+            ).alias("_c")
+        )
     )
-    bc = df.sparkSession.sparkContext.broadcast((ids, cell_of, M, nrm, cent))
-
-    def op(batches):
-        ids_b, cell_b, M_b, nrm_b, C = bc.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            Q = np.stack(pdf[vec_col].to_numpy()).astype("float64")
-            qn = np.sqrt((Q * Q).sum(axis=1))
-            qids = pdf[id_col].to_numpy()
-            dc = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-            probes = np.argsort(dc, axis=1)[:, :nprobe]
-            out_q, out_n, out_r = [], [], []
-            for r in range(len(Q)):
-                mask = np.isin(cell_b, probes[r]) & (ids_b != qids[r])
-                cand = np.nonzero(mask)[0]
-                if not len(cand):
-                    continue
-                sims = (M_b[cand] @ Q[r]) / (nrm_b[cand] * qn[r])
-                order = np.lexsort((ids_b[cand], -sims))[:k]
-                for rank, j in enumerate(order, 1):
-                    out_q.append(qids[r])
-                    out_n.append(ids_b[cand[j]])
-                    out_r.append(rank)
-            yield pd.DataFrame({"vec_id": out_q, "neighbor_id": out_n, "rnk": out_r})
-
-    return df.select(id_col, vec_col).mapInPandas(op, "vec_id long, neighbor_id long, rnk long")
+    # nprobe nearest non-empty cells per query: query ⨯ centroids (broadcast,
+    # ≤ n_clusters rows) → squared-L2 fold → per-query rank
+    wp = Window.partitionBy("_nid").orderBy(
+        _sqdist(F.col("_v"), F.col("_c")).asc(), F.col("cell").asc()
+    )
+    probes = (
+        norm.crossJoin(F.broadcast(probe_cent))
+        .withColumn("_rn", F.row_number().over(wp))
+        .filter(F.col("_rn") <= nprobe)
+        .select(F.col("_nid").alias("vec_id"), "cell")
+    )
+    # candidates: members of probed cells (cells partition the corpus, so no
+    # duplicate pairs — no distinct needed)
+    cand = (
+        probes.join(member.select(F.col("_nid").alias("neighbor_id"), "cell"), "cell")
+        .filter(F.col("vec_id") != F.col("neighbor_id"))
+        .select("vec_id", "neighbor_id")
+    )
+    return _rank_candidates(cand, norm, k)

@@ -62,3 +62,34 @@ def test_union_stats_shares_scan_shape(spark):
     # its needed columns (no SELECT * scans)
     for s in scan_info(QUERIES["union_stats"](spark, SF)):
         assert "props" not in s["read_schema"]
+
+
+def test_lsh_ann_is_distributed_no_eager_collect(spark):
+    """Building the LSH ANN plan must not run any Spark job (the r1 version
+    collected the whole index to the driver at construction time — a hard
+    wall at 100 TB). The plan must be a lazy DataFrame whose candidate stage
+    is an equi-join, not a nested loop."""
+    from gmall_spark.extras import similarity
+    from gmall_spark.sources import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    df = similarity.lsh_ann(emb, "vec_id", "embedding")
+    # signatures() peeks one row for dims — allow that single tiny job, but
+    # the index/bucket build itself must stay lazy
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after - before <= 1, "lsh_ann ran eager jobs while building the plan"
+    plan = physical_plan(df)
+    assert "NestedLoop" not in plan, plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_ann_verify_stage_shared_and_ranked(spark):
+    from gmall_spark.extras import similarity
+    from gmall_spark.sources import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    plan = physical_plan(similarity.ivf_ann(emb, "vec_id", "embedding"))
+    # per-query top-k must be a window rank, not a driver-side sort
+    assert "RunningWindowFunction" in plan or "Window" in plan, plan
