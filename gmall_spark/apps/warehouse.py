@@ -109,11 +109,18 @@ def payment_wide_app(payments: DataFrame, order_wide: DataFrame) -> DataFrame:
         order_wide, payments, on="okey", left_ts="o_ts", right_ts="pay_ts",
         lower="0 seconds", upper="15 minutes",
     )
-    merged_cols = [F.col(f"r.{c}").alias(c) for c in payments.columns if c != "okey"]
+    overlap = set(payments.columns) & set(order_wide.columns) - {"okey"}
+    # bean merge: names in BOTH schemas resolve to ONE column, payment value
+    # winning and the order side filling nulls (PaymentWide.mergeOtherOrderWide)
+    merged_cols = [
+        (F.coalesce(F.col(f"r.{c}"), F.col(f"l.{c}")) if c in overlap else F.col(f"r.{c}")).alias(c)
+        for c in payments.columns
+        if c != "okey"
+    ]
     order_cols = [
-        F.coalesce(F.col(f"l.{c}"), F.lit(None)).alias(c)
+        F.col(f"l.{c}").alias(c)
         for c in order_wide.columns
-        if c not in ("okey",)
+        if c != "okey" and c not in overlap
     ]
     return joined.select(F.col("l.okey").alias("okey"), *merged_cols, *order_cols)
 

@@ -12,9 +12,10 @@ inside whole-stage codegen and scale by shuffle width:
                 shingles also generate.
 - minhash_lsh:  fixed-size signatures (n_hashes rows per doc) + banded
                 bucket join — the linear-ish scale path for fuzzy dedup.
-- simhash:      fixed 16-bit signature; sf-scale verify is pairwise, scale
-                path joins on signature bands (hamming<=3 ⇒ at least one of
-                4 4-bit bands equal, pigeonhole).
+- simhash:      fixed 60-bit signature, candidates from signature bands
+                (hamming<=3 ⇒ at least one of 4 15-bit bands equal,
+                pigeonhole — exact, and each band has 2^15 bucket values so
+                the band self-join never degenerates toward n²).
 
 Hashes are md5-based (engine-portable: the DuckDB oracle computes identical
 values). A string-min of md5(seed|shingle) is a valid minhash: md5 is a
@@ -181,22 +182,36 @@ _HEX_HIGH = ("8", "9", "a", "b", "c", "d", "e", "f")
 
 def simhash_signatures(df: DataFrame, id_col: str, text_col: str, n_bits: int) -> DataFrame:
     """(id, sig): integer simhash. Bit i of a doc = sign of the token-weighted
-    sum of ±1 where +1 iff hex digit i of md5(token) >= 8; sig = Σ bit_i·2^i.
-    Integer signatures keep the verify step at one xor+popcount per pair
-    (a bit-string representation costs n_bits substring compares)."""
+    sum of ±1 where +1 iff hex digit i of md5(token) (digits 32+ come from
+    md5('x'|token)) >= 8; sig = Σ bit_i·2^i. Integer signatures keep the
+    verify step at one xor+popcount per pair (a bit-string representation
+    costs n_bits substring compares). n_bits is capped at 60: bit 63 of a
+    signed BIGINT isn't portable (DuckDB raises on 1<<63), and 60 bits in
+    15-bit bands gives the same pigeonhole guarantees."""
+    assert n_bits <= 60, "signed-64 top bits aren't engine-portable; use <= 60"
     toks = (
         df.select(F.col(id_col), F.explode(_tokens(text_col)).alias("token"))
         .filter(F.col("token") != "")
         .groupBy(id_col, "token")
         .agg(F.count(F.lit(1)).alias("w"))
+        # materialize the two hex strings ONCE per (doc, token) row — aggregate
+        # expressions don't share subexpressions, so slicing md5(token) inside
+        # each of the n_bits sums would recompute the digest n_bits times
+        .select(
+            id_col,
+            "w",
+            F.md5("token").alias("h1"),
+            F.md5(F.concat(F.lit("x"), F.col("token"))).alias("h2"),
+        )
     )
     # all n_bits weighted sums in ONE aggregation pass over (doc, token, w) —
-    # the ×n_bits row explosion would multiply the shuffle for no reason;
-    # md5(token) is evaluated once per row and sliced per bit
-    h = F.md5("token")
+    # the ×n_bits row explosion would multiply the shuffle for no reason
     contribs = [
         F.sum(
-            F.when(h.substr(i + 1, 1).isin(*_HEX_HIGH), F.col("w")).otherwise(-F.col("w"))
+            F.when(
+                F.col("h1" if i < 32 else "h2").substr((i % 32) + 1, 1).isin(*_HEX_HIGH),
+                F.col("w"),
+            ).otherwise(-F.col("w"))
         ).alias(f"s{i}")
         for i in range(n_bits)
     ]
@@ -212,17 +227,19 @@ def simhash_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    n_bits: int = 16,
+    n_bits: int = 60,
     max_hamming: int = 3,
-    band_bits: int = 4,
+    band_bits: int = 15,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= max_hamming.
 
     Candidates come from banding (pigeonhole: <=3 differing bits across 4
-    bands of 4 ⇒ at least one band identical), so this is EXACT — no recall
+    bands of 15 ⇒ at least one band identical), so this is EXACT — no recall
     loss — while pruning the n² pair space to same-bucket pairs; verification
     is one bit_count(xor) per candidate. This is the shape that survives
-    100 TB: candidate generation is an equi-join on (band, band_value).
+    100 TB: candidate generation is an equi-join on (band, band_value), and
+    15-bit bands give 32768 bucket values each — the r1 4-bit bands had 16,
+    which made each band's self-join ~n²/16 (quadratic in disguise).
     Output: doc_a, doc_b, hamming.
     """
     assert n_bits % band_bits == 0 and max_hamming < n_bits // band_bits

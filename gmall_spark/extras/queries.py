@@ -139,9 +139,10 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# SimHash near-dup: 16-bit signature from md5-hex-digit parity, pairwise
-# Hamming distance <= 3. (Pairwise stage is the sf-scale oracle; the scale
-# path blocks by signature bands — see extras/dedup.py::simhash notes.)
+# SimHash near-dup: 60-bit signature from md5-hex-digit parity (two md5s
+# cover the 60 digits), Hamming distance <= 3. The oracle verifies pairwise
+# at sf scale; the Spark path generates candidates from 4×15-bit bands
+# (pigeonhole-exact — see extras/dedup.py::simhash_pairs).
 # ---------------------------------------------------------------------------
 _SIMHASH_ORACLE = """
 WITH toks AS (
@@ -151,9 +152,11 @@ WITH toks AS (
 ),
 bits AS (
   SELECT doc_id, i,
-         CASE WHEN sum(CASE WHEN substr(md5(token), i + 1, 1) IN ('8','9','a','b','c','d','e','f')
+         CASE WHEN sum(CASE WHEN (CASE WHEN i < 32 THEN substr(md5(token), i + 1, 1)
+                                       ELSE substr(md5('x' || token), i - 31, 1) END)
+                                 IN ('8','9','a','b','c','d','e','f')
                             THEN w ELSE -w END) > 0 THEN 1 ELSE 0 END AS bit
-  FROM toks, UNNEST(range(0, 16)) AS u(i)
+  FROM toks, UNNEST(range(0, 60)) AS u(i)
   GROUP BY 1, 2
 ),
 sig AS (SELECT doc_id, CAST(sum(CAST(bit AS BIGINT) << i) AS BIGINT) AS sig FROM bits GROUP BY 1)
@@ -167,7 +170,7 @@ WHERE bit_count(xor(a.sig, b.sig)) <= 3
 @register("dedup_simhash", _SIMHASH_ORACLE)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.simhash_pairs(docs, "doc_id", "text", n_bits=16, max_hamming=3)
+    return dedup.simhash_pairs(docs, "doc_id", "text", n_bits=60, max_hamming=3)
 
 
 # ---------------------------------------------------------------------------
@@ -505,7 +508,11 @@ def document_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.filter(F.split(F.trim("text"), " "), lambda x: x != "")
     n_tokens = F.size(toks)
     stopword_ct = F.size(F.filter(toks, lambda x: x.isin(*_STOPWORDS)))
-    max_token_len = F.array_max(F.transform(toks, lambda x: F.length(x))).cast("long")
+    # coalesce: a whitespace-only doc has no tokens → array_max(empty) is
+    # NULL here but the oracle's list_max over unfiltered tokens gives 0
+    max_token_len = F.coalesce(
+        F.array_max(F.transform(toks, lambda x: F.length(x))).cast("long"), F.lit(0)
+    )
     rules = {
         "pass_min_len": n_tokens >= 20,
         "pass_max_chars": F.col("n_chars") <= 5000,

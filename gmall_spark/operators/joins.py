@@ -76,7 +76,15 @@ def salted_join(
     even a split partition, or engines/paths where AQE can't rewrite (e.g.
     streaming joins). Cost: right side replicated ×salt — use only when the
     right side is small-ish but above broadcast threshold.
+
+    Only inner/left joins are supported: the right side is exploded ×salt,
+    so right/full-outer would emit every unmatched right row `salt` times.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports inner/left joins only, got {how!r} — the "
+            "exploded right side would duplicate unmatched right rows"
+        )
     l = left.withColumn("__salt", (F.rand(seed=42) * salt).cast("int"))
     r = right.withColumn("__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
     out = l.join(r, [on, "__salt"], how)

@@ -1364,17 +1364,19 @@ def set_ops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     "first_last_events",
     """
     SELECT user_id,
-           min_by(event_type, CAST(floor(date_part('epoch', ts)) AS BIGINT) * 100000 + event_id) AS first_type,
-           max_by(event_type, CAST(floor(date_part('epoch', ts)) AS BIGINT) * 100000 + event_id) AS last_type,
+           min_by(event_type, (CAST(floor(date_part('epoch', ts)) AS BIGINT) << 32) + event_id) AS first_type,
+           max_by(event_type, (CAST(floor(date_part('epoch', ts)) AS BIGINT) << 32) + event_id) AS last_type,
            CAST(count(*) AS BIGINT) AS n_events
     FROM events GROUP BY user_id
     """,
 )
 def first_last_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    # unique, order-preserving sort key (epoch seconds ⋅ 1e5 + event_id) so
-    # argmax ties are impossible and both engines agree deterministically
-    key = F.col("ts").cast("long") * 100000 + F.col("event_id")
+    # unique, order-preserving sort key with disjoint bit ranges (epoch
+    # seconds in the high 32 bits, event_id below) — injective for any
+    # event_id < 2^32, unlike a decimal-shift key that collides once ids
+    # reach the multiplier
+    key = F.shiftleft(F.col("ts").cast("long"), 32) + F.col("event_id")
     return ev.groupBy("user_id").agg(
         F.min_by("event_type", key).alias("first_type"),
         F.max_by("event_type", key).alias("last_type"),
