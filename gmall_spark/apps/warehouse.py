@@ -208,13 +208,26 @@ def product_stats_app(page: DataFrame, display: DataFrame, window: str = "10 min
     )
 
 
-def keyword_stats_app(page: DataFrame, window: str = "10 minutes") -> DataFrame:
+def keyword_stats_app(
+    page: DataFrame, window: str = "10 minutes", segment_cjk: bool = False
+) -> DataFrame:
     """KeywordStatsApp.java: filter keyword searches (38-42), tokenize+explode
-    (46-47, the UDTF as split+explode), windowed counts (50-59)."""
+    (46-47, the UDTF as split+explode), windowed counts (50-59).
+
+    segment_cjk=True routes the tokenizer through the pluggable CJK segmenter
+    (extras.text.tokenize_udf: jieba → dictionary FMM — the reference's IK
+    smart mode, KeywordUtil.java:16-35); the default stays whitespace, which
+    is identical on ASCII input and exactly reproducible in SQL oracles."""
+    if segment_cjk:
+        from gmall_spark.extras.text import tokenize_udf
+
+        token_arr = tokenize_udf(F.trim(F.col("page.item")))
+    else:
+        token_arr = F.split(F.trim(F.col("page.item")), " ")
     kw = page.filter(
         (F.col("page.item_type") == "keyword") & F.col("page.item").isNotNull()
     ).select(
-        F.explode(F.split(F.trim(F.col("page.item")), " ")).alias("keyword"),
+        F.explode(token_arr).alias("keyword"),
         F.timestamp_millis("ts").alias("rt"),
     ).filter(F.col("keyword") != "")
     return tumbling_stats(

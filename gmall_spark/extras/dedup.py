@@ -59,29 +59,76 @@ def exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def ngram_jaccard(
-    df: DataFrame, id_col: str, text_col: str, k: int = 3, threshold_pct: int = 50
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold_pct: int = 50,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by exact Jaccard over k-token shingle sets, candidates
     from shared shingles. Integer-only threshold: inter*100 >= union*pct.
-    Output: doc_a, doc_b, inter_ct, union_ct."""
+    Output: doc_a, doc_b, inter_ct, union_ct.
+
+    max_shingle_df caps candidate generation at shingles whose document
+    frequency is <= the bound — the skew escape hatch for boilerplate
+    shingles that would otherwise each contribute ~df² candidate pairs.
+    With the cap the result is APPROXIMATE (a qualifying pair is missed only
+    if ALL its shared shingles are hotter than the bound — for near-dups at
+    meaningful thresholds, shared rare shingles exist in practice, but it is
+    not a guarantee); ngram_jaccard_prefix is the cap that stays provably
+    exact, and stays the recommended scale path. Verification always uses
+    the full shingle sets, so reported inter/union counts are exact for
+    every emitted pair."""
     # Reused 3× (both self-join sides + cardinalities): persist instead of
     # recomputing the explode+distinct subtree per reference. At cluster scale
     # this is a checkpoint/exchange-reuse decision, same reasoning.
     sh = shingle_set(df, id_col, text_col, k).persist()
     card = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    if max_shingle_df is not None:
+        # candidates from cold shingles only; intersection counts are then
+        # recomputed over the FULL shingle sets (capping affects which pairs
+        # become candidates, never their scores)
+        cold = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_shingle_df)
+            .select("shingle")
         )
-        .groupBy(
-            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        cand_sh = sh.join(cold, "shingle")
+        a, b = cand_sh.alias("a"), cand_sh.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .select(
+                F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+            )
+            .distinct()
         )
-        .agg(F.count(F.lit(1)).alias("inter_ct"))
-    )
+        sa = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+        sb = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+        pairs = (
+            cand.join(sa, "doc_a")
+            .join(sb, ["doc_b", "shingle"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("inter_ct"))
+        )
+    else:
+        a, b = sh.alias("a"), sh.alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .groupBy(
+                F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+            )
+            .agg(F.count(F.lit(1)).alias("inter_ct"))
+        )
     ca = card.select(F.col(id_col).alias("doc_a"), F.col("n").alias("na"))
     cb = card.select(F.col(id_col).alias("doc_b"), F.col("n").alias("nb"))
     return (

@@ -104,16 +104,70 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str, k: int = 5) -> DataFr
     )
 
 
-def tokenize_udf(text_col: str):
+# Small built-in lexicon of common zh e-commerce terms (the reference's
+# keyword domain: product search phrases — KeywordStatsApp.java segments
+# exactly this kind of text with IK smart mode). Pass a full public lexicon
+# (e.g. jieba's dict.txt contents) via `dictionary` for production use.
+DEFAULT_ZH_LEXICON = frozenset(
+    {
+        "小米", "手机", "苹果", "华为", "电视", "冰箱", "洗衣机", "空调",
+        "电脑", "笔记本", "平板", "耳机", "充电器", "数据线", "保护壳",
+        "双卡", "双待", "全面屏", "智能", "家电", "官方", "旗舰店", "正品",
+        "包邮", "高清", "无线", "蓝牙", "游戏", "相机", "口红", "图书",
+    }
+)
+
+
+def _is_cjk(ch: str) -> bool:
+    return "一" <= ch <= "鿿"
+
+
+def _fmm_segment(text: str, lexicon: frozenset, max_len: int) -> list[str]:
+    """Forward-maximum-matching over CJK runs (the classic dictionary
+    segmenter IK's smart mode descends from): at each position take the
+    longest lexicon word; unmatched CJK chars pass through as singletons.
+    Non-CJK spans fall back to whitespace tokens."""
+    out: list[str] = []
+    buf: list[str] = []  # pending non-CJK span
+
+    def flush():
+        if buf:
+            out.extend(w for w in "".join(buf).split() if w)
+            buf.clear()
+
+    i, n = 0, len(text)
+    while i < n:
+        if _is_cjk(text[i]):
+            flush()
+            for ln in range(min(max_len, n - i), 1, -1):
+                if text[i : i + ln] in lexicon:
+                    out.append(text[i : i + ln])
+                    i += ln
+                    break
+            else:
+                out.append(text[i])
+                i += 1
+        else:
+            buf.append(text[i])
+            i += 1
+    flush()
+    return out
+
+
+def tokenize_udf(text_col: str, dictionary: frozenset | None = None):
     """F1 — the pluggable tokenizer UDF (the reference's IK Chinese analyzer,
-    utils/KeywordUtil.java:16-35, as an Arrow-batched pandas UDF). Uses jieba
-    when importable (the public IK analogue), whitespace otherwise — the
-    fallback keeps the operator runnable in codec-less environments and the
-    oracle exact. Returns array<string>; compose with F.explode for the
+    utils/KeywordUtil.java:16-35, as an Arrow-batched pandas UDF). Chain:
+    jieba when importable (the public IK analogue) → dictionary-based
+    forward-maximum-matching over CJK runs (DEFAULT_ZH_LEXICON or the caller's
+    `dictionary`) with whitespace for non-CJK spans. Pure-ASCII text always
+    degrades to whitespace tokens, keeping the SQL oracle exact on the
+    synthetic corpus. Returns array<string>; compose with F.explode for the
     LATERAL TABLE shape (SplitFunction.java:9-18)."""
-    import pandas as pd
     from pyspark.sql import functions as F  # local: keep module import-light
     from pyspark.sql import types as T
+
+    lex = dictionary if dictionary is not None else DEFAULT_ZH_LEXICON
+    max_len = max((len(w) for w in lex), default=1)
 
     try:
         import jieba  # noqa: F401
@@ -126,7 +180,7 @@ def tokenize_udf(text_col: str):
     except ImportError:
 
         def _cut(s):
-            return s.fillna("").map(lambda t: [w for w in t.strip().split(" ") if w])
+            return s.fillna("").map(lambda t: _fmm_segment(t, lex, max_len))
 
     fn = F.pandas_udf(_cut, T.ArrayType(T.StringType()))
     return fn(text_col)

@@ -134,3 +134,26 @@ def test_stateful_ops_survive_hot_key_skew(spark):
     # daily dedup: hot key spans ~14 hours -> exactly 1 day, one row
     dd = dedup_daily(ev.filter(F.col("user_id") == 0), "user_id", "ts", "event_id")
     assert dd.count() == 1
+
+
+def test_ngram_jaccard_hot_shingle_cap(spark):
+    """The df-cap must (a) stop hot shingles from generating candidates and
+    (b) keep scores exact for every emitted pair — on this corpus near-dup
+    pairs share rare shingles, so a generous cap loses nothing while a cap
+    of 1 provably prunes (every shared shingle has df >= 2)."""
+    from gmall_spark.extras.dedup import ngram_jaccard
+    from gmall_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    exact = {
+        (r.doc_a, r.doc_b, r.inter_ct, r.union_ct)
+        for r in ngram_jaccard(docs, "doc_id", "text", 3, 50).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b, r.inter_ct, r.union_ct)
+        for r in ngram_jaccard(docs, "doc_id", "text", 3, 50, max_shingle_df=50).collect()
+    }
+    assert capped == exact  # generous bound: no recall loss, scores identical
+    assert (
+        ngram_jaccard(docs, "doc_id", "text", 3, 50, max_shingle_df=1).count() == 0
+    )  # a shared shingle has df >= 2 by definition — bound enforced
