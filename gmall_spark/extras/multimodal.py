@@ -126,31 +126,24 @@ def sample_frames(assets: DataFrame, frame_size: int = 64, stride: int = 2) -> D
 
 def fake_text_embedder(df: DataFrame, id_col: str, text_col: str, dims: int = 16) -> DataFrame:
     """Deterministic text→embedding stub (the sentence-transformer slot):
-    md5-seeded pseudo-random unit vectors — identical text ⇒ identical
-    vector, so the downstream ANN/dedup pipeline is fully testable. The real
-    model swaps in behind the same mapInPandas signature (model loaded once
-    per worker in the generator prologue, NOT per batch)."""
-    import hashlib
-
-    import numpy as np
-    import pandas as pd
-
-    def op(batches):
-        # (real featurizer would load the model here, once per worker)
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            vecs = []
-            for t in pdf[text_col]:
-                seed = int.from_bytes(hashlib.md5((t or "").encode()).digest()[:8], "big")
-                rng = np.random.RandomState(seed % (2**32))
-                v = rng.standard_normal(dims)
-                vecs.append((v / np.linalg.norm(v)).astype("float32"))
-            yield pd.DataFrame({id_col: pdf[id_col], "embedding": vecs})
-
-    return df.select(id_col, text_col).mapInPandas(
-        op, f"{id_col} long, embedding array<float>"
+    the vector is the centered byte expansion of md5(text) — identical text ⇒
+    identical vector, engine-portable (a SQL oracle recomputes it digit by
+    digit), and built from JVM expressions only, so the stub itself costs no
+    Python at all. A real model swaps in as a mapInPandas stage with the
+    same (id, embedding array<float>) contract — loaded once per worker in
+    the generator prologue, NOT per batch (see extract_features for the
+    batch-iterator shape)."""
+    assert dims <= 16, "one md5 yields 16 bytes; chain salted digests for more"
+    h = F.md5(F.coalesce(F.col(text_col), F.lit("")))
+    vec = F.array(
+        *[
+            (F.conv(F.substring(h, 2 * d + 1, 2), 16, 10).cast("double") - 127.5).cast(
+                "float"
+            )
+            for d in range(dims)
+        ]
     )
+    return df.select(F.col(id_col), vec.alias("embedding"))
 
 
 RESIZED_SCHEMA = (

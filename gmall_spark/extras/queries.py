@@ -660,10 +660,33 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.sample_frames(assets).drop("frame")  # bytes out of the hash
 
 
-@register("text_embed_knn")
+_TEXT_KNN_ORACLE = """
+WITH emb AS (
+  SELECT doc_id, list_transform(range(0, 16), d ->
+           (strpos('0123456789abcdef', substr(md5(coalesce(text, '')), 2*d + 1, 1)) - 1) * 16.0
+           + (strpos('0123456789abcdef', substr(md5(coalesce(text, '')), 2*d + 2, 1)) - 1)
+           - 127.5) AS v
+  FROM documents
+),
+norm AS (SELECT doc_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM emb),
+sims AS (
+  SELECT a.doc_id AS vec_id, b.doc_id AS neighbor_id,
+         list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS sim
+  FROM norm a JOIN norm b ON a.doc_id <> b.doc_id
+)
+SELECT vec_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk FROM (
+  SELECT vec_id, neighbor_id,
+         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS rnk
+  FROM sims
+) WHERE rnk <= 3
+"""
+
+
+@register("text_embed_knn", _TEXT_KNN_ORACLE)
 def text_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """text → (stub) embedding → exact cosine kNN: the composed pipeline;
-    rows-only (the embedder is the deterministic stand-in)."""
+    """text → (stub) embedding → exact cosine kNN: the composed pipeline.
+    The md5-byte embedder is engine-portable, so the oracle replays the
+    whole chain — embedding, cosine, rank — in SQL."""
     from gmall_spark.extras import multimodal
 
     docs = load_table(spark, sf_dir, "documents")

@@ -1,10 +1,18 @@
-"""Streaming registry entries (rows-only checks — append-mode streaming
-output is batch-output minus watermark stragglers, so a value-hash against
-the batch oracle would be flaky by design; tests/test_streaming.py asserts
-the exact equivalence modulo stragglers instead).
+"""Streaming registry entries — each drives a real Structured Streaming query
+(availableNow trigger → memory sink) over the testdata and returns the result
+DataFrame.
 
-Each entry drives a real Structured Streaming query (availableNow trigger →
-memory sink) over the testdata and returns the result DataFrame.
+These carry FULL value-hash oracles: with the file source pinned to one
+micro-batch (stream_events sets maxFilesPerTrigger=1 over a single file), an
+append-mode run is deterministic — it equals the batch result minus the
+groups still open at the final watermark (wm = ms-floor(max event time) −
+delay). Each oracle replays that in SQL: the batch computation plus a
+watermark-closure filter. Emission boundaries pinned by the oracles (and by
+the r1 row counts): window/session groups emit when end <= wm; event-time
+timers fire when timer < wm (strict); stream-stream inner-join matches and
+NoTimeout stateful emissions are not held back at all. Temporal outputs are
+formatted to strings at the registry edge (Spark hands pandas datetime64[ns],
+DuckDB [us] — same instant, different hash).
 """
 
 from __future__ import annotations
@@ -14,7 +22,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from gmall_spark.queries import register
+from gmall_spark.queries import TS_FMT, register
 from gmall_spark.streaming.pipelines import (
     interval_join_stream,
     run_to_memory,
@@ -28,12 +36,33 @@ from gmall_spark.streaming.stateful import (
     fix_is_new_stream,
 )
 
+_DUCK_FMT = "%Y-%m-%d %H:%M:%S"
+# final event-time watermark in ms: ms-floor of max event time minus the 2s
+# delay every streaming query here uses
+_WM_MS = "(SELECT epoch_us(max(ts)) // 1000 - 2000 AS wm_ms FROM events)"
+
 
 def _name(prefix: str) -> str:
     return f"{prefix}_{uuid.uuid4().hex[:8]}"
 
 
-@register("streaming_visitor_stats")
+@register(
+    "streaming_visitor_stats",
+    f"""
+    WITH wm AS {_WM_MS},
+    agg AS (
+      SELECT event_type, time_bucket(INTERVAL '10 minutes', ts) AS ws,
+             CAST(count(*) AS BIGINT) AS pv_ct,
+             CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS dur_sum
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, pv_ct, dur_sum,
+           strftime(ws, '{_DUCK_FMT}') AS stt,
+           strftime(ws + INTERVAL '10 minutes', '{_DUCK_FMT}') AS edt
+    FROM agg, wm
+    WHERE epoch_us(ws + INTERVAL '10 minutes') // 1000 <= wm.wm_ms
+    """,
+)
 def streaming_visitor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 as a live streaming query: watermarked tumbling window multi-agg."""
     ev = stream_events(spark, sf_dir)
@@ -44,35 +73,102 @@ def streaming_visitor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["event_type"],
         [
             F.count(F.lit(1)).alias("pv_ct"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(18,2)").alias("dur_sum"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias("dur_sum"),
         ],
     )
     return run_to_memory(out, _name("s_visitor"))
 
 
-@register("streaming_unique_visit")
+@register(
+    "streaming_unique_visit",
+    f"""
+    SELECT user_id,
+           strftime(CAST(ts AS DATE), '%Y-%m-%d') AS dt,
+           event_id AS first_event_id,
+           strftime(ts, '{_DUCK_FMT}') AS first_ts
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                   ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
 def streaming_unique_visit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ST2 as keyed streaming state (applyInPandasWithState)."""
-    return run_to_memory(dedup_daily_stream(stream_events(spark, sf_dir)), _name("s_uv"))
+    """ST2 as keyed streaming state (applyInPandasWithState). NoTimeout state
+    emits in-batch, so the single-batch run equals the batch dedup exactly."""
+    out = run_to_memory(dedup_daily_stream(stream_events(spark, sf_dir)), _name("s_uv"))
+    return out.select(
+        "user_id", "dt", "first_event_id", F.date_format("first_ts", TS_FMT).alias("first_ts")
+    )
 
 
-@register("streaming_is_new_repair")
+@register(
+    "streaming_is_new_repair",
+    """
+    SELECT event_id, user_id,
+           CAST(CASE WHEN row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) = 1
+                THEN 1 ELSE 0 END AS INT) AS is_new
+    FROM events
+    """,
+)
 def streaming_is_new_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST1 as keyed streaming state."""
     return run_to_memory(fix_is_new_stream(stream_events(spark, sf_dir)), _name("s_isnew"))
 
 
-@register("streaming_bounce_detect")
+@register(
+    "streaming_bounce_detect",
+    f"""
+    WITH wm AS {_WM_MS},
+    o AS (
+      SELECT event_id, user_id, ts, event_type,
+             lead(ts) OVER w AS nxt_ts,
+             lead(event_type = 'view') OVER w AS nxt_entry
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_id, user_id, strftime(ts, '{_DUCK_FMT}') AS ts,
+           CASE WHEN nxt_ts IS NULL
+                     OR epoch_us(nxt_ts) - epoch_us(ts) > 600000000 THEN 'timeout'
+                ELSE 'match' END AS bounce_reason
+    FROM o, wm
+    WHERE event_type = 'view'
+      AND (   (nxt_ts IS NOT NULL AND epoch_us(nxt_ts) - epoch_us(ts) > 600000000)
+           OR (nxt_ts IS NOT NULL AND epoch_us(nxt_ts) - epoch_us(ts) <= 600000000 AND nxt_entry)
+           -- trailing entry: emitted only when its event-time timer
+           -- (ms-floor(ts) + 600s) fires, i.e. lies strictly below the wm
+           OR (nxt_ts IS NULL AND epoch_us(ts) // 1000 + 600000 < wm.wm_ms))
+    """,
+)
 def streaming_bounce_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ST3 — CEP-with-timeout via event-time timers."""
-    return run_to_memory(
+    """ST3 — CEP-with-timeout via event-time timers. Match and in-batch
+    timeout decisions emit immediately; trailing entries emit from the timer
+    only if the final watermark passes ts+600s."""
+    out = run_to_memory(
         detect_bounce_stream(stream_events(spark, sf_dir)), _name("s_bounce")
+    )
+    return out.select(
+        "event_id", "user_id", F.date_format("ts", TS_FMT).alias("ts"), "bounce_reason"
     )
 
 
-@register("streaming_payment_wide")
+@register(
+    "streaming_payment_wide",
+    """
+    SELECT v.event_id AS view_id, p.event_id AS purchase_id, p.user_id
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON v.user_id = p.user_id
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL '15 minutes'
+    """,
+)
 def streaming_payment_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J2 — stream-stream interval join (purchase ⋈ preceding view ≤15min)."""
+    """J2 — stream-stream interval join (purchase ⋈ preceding view ≤15min).
+    Inner-join matches emit as they are found — no watermark holdback, so
+    the single-batch run equals the batch join exactly."""
     ev = stream_events(spark, sf_dir)
     views = ev.filter(F.col("event_type") == "view")
     buys = ev.filter(F.col("event_type") == "purchase")
@@ -86,17 +182,64 @@ def streaming_payment_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(joined, _name("s_paywide"))
 
 
-@register("streaming_session_stats")
+@register(
+    "streaming_session_stats",
+    f"""
+    WITH wm AS {_WM_MS},
+    marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                  THEN 1 ELSE 0 END AS is_new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             sum(is_new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM marked
+    ),
+    agg AS (
+      SELECT user_id, session_seq, min(ts) AS s_start, max(ts) AS s_last,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM sess GROUP BY 1, 2
+    )
+    SELECT user_id, n_events,
+           strftime(s_start, '{_DUCK_FMT}') AS session_start,
+           strftime(s_last + INTERVAL '30 minutes', '{_DUCK_FMT}') AS session_end
+    FROM agg, wm
+    WHERE epoch_us(s_last + INTERVAL '30 minutes') // 1000 <= wm.wm_ms
+    """,
+)
 def streaming_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based session windows (session_window) — the streaming twin of the
-    batch `sessionize` query; equivalence tested in tests/test_streaming.py."""
+    batch `sessionize` query. session_window is µs-precise and half-open
+    (a gap of exactly 30min starts a NEW session), which the oracle mirrors
+    with integer-µs comparisons; a session emits once the watermark passes
+    last_event + gap."""
     from gmall_spark.streaming.pipelines import session_stats_stream
 
     out = session_stats_stream(stream_events(spark, sf_dir), "ts", "user_id", "30 minutes")
     return run_to_memory(out, _name("s_sess"))
 
 
-@register("streaming_province_uv")
+@register(
+    "streaming_province_uv",
+    f"""
+    WITH wm AS {_WM_MS},
+    agg AS (
+      SELECT event_type, time_bucket(INTERVAL '10 minutes', ts) AS ws,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS user_uv_ct
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, user_uv_ct,
+           strftime(ws, '{_DUCK_FMT}') AS stt,
+           strftime(ws + INTERVAL '10 minutes', '{_DUCK_FMT}') AS edt
+    FROM agg, wm
+    WHERE epoch_us(ws + INTERVAL '10 minutes') // 1000 <= wm.wm_ms
+    """,
+)
 def streaming_province_uv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4's exact streaming count(distinct): dedup-then-count rewrite."""
     out = windowed_uv_stream(
