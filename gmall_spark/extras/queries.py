@@ -751,3 +751,156 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_shingles"),
         F.countDistinct("shingle").alias("n_distinct_shingles"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dataset splitting & sampling — the operations every training pipeline runs
+# before anything else. Both are hash-deterministic (no RNG state): the split
+# is stable under re-runs, insertions, and repartitioning — the property that
+# matters at 100 TB, where "sample 1%" must not mean "collect then shuffle".
+# ---------------------------------------------------------------------------
+_SPLIT_ORACLE = """
+SELECT doc_id, bucket,
+       CASE WHEN bucket < 204 THEN 'train'
+            WHEN bucket < 230 THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id,
+         CAST((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+              AS BIGINT) AS bucket
+  FROM documents
+)
+"""
+
+
+@register("split_by_hash", _SPLIT_ORACLE)
+def split_by_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment from the id hash (~80/10/10
+    via byte thresholds 204/230). One narrow projection, no shuffle, no RNG —
+    a row's split never changes when the corpus grows or repartitions."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10).cast(
+        "long"
+    )
+    return docs.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < 204, "train").when(bucket < 230, "val").otherwise("test").alias("split"),
+    )
+
+
+_STRAT_ORACLE = """
+SELECT doc_id, lang, CAST(rn AS BIGINT) AS rn FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+) WHERE rn <= 20
+"""
+
+
+@register("stratified_sample", _STRAT_ORACLE)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-size per-stratum sample: hash-order rank within each stratum,
+    keep the first n. Unlike df.sample(), the result is deterministic and
+    exactly n per stratum; the hash order makes it uniform-ish without RNG.
+    One shuffle on the stratum key."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chunk-level (paragraph-style) exact dedup: token-window chunks hashed and
+# deduplicated ACROSS the corpus — the boilerplate killer that document-level
+# dedup misses (shared headers/footers/licenses inside otherwise-unique
+# docs). Chunking is pure arithmetic, so the oracle replays it exactly.
+# ---------------------------------------------------------------------------
+_CHUNK_ORACLE = """
+WITH chunks AS (
+  SELECT doc_id,
+         md5(array_to_string(t[(c * 32 + 1):(c * 32 + 32)], ' ')) AS chunk_hash
+  FROM (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+       UNNEST(range(0, CAST(ceil(len(t) / 32.0) AS BIGINT))) AS u(c)
+)
+SELECT chunk_hash,
+       CAST(min(doc_id) AS BIGINT) AS keep_doc,
+       CAST(count(*) AS BIGINT) AS occurrence_ct
+FROM chunks GROUP BY 1
+"""
+
+
+@register("dedup_chunks", _CHUNK_ORACLE)
+def dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-token chunk dedup across the corpus: explode chunks, hash, one
+    groupBy on the hash (uniform key — no skew), keep the lowest doc id as
+    canonical. At 100 TB this is the same single-shuffle shape as exact
+    doc dedup, at chunk granularity."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim("text"), " ")
+    n_chunks = F.ceil(F.size(toks) / F.lit(32.0)).cast("int")
+    chunk = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda c: F.md5(F.concat_ws(" ", F.slice(toks, c * 32 + 1, 32))),
+    )
+    return (
+        docs.select("doc_id", F.explode(chunk).alias("chunk_hash"))
+        .groupBy("chunk_hash")
+        .agg(
+            F.min("doc_id").alias("keep_doc"),
+            F.count(F.lit(1)).alias("occurrence_ct"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# F2/F3 — user-defined aggregate (the slot the reference never fills): a
+# pandas GROUPED_AGG UDAF. Arrow ships each group's column once; the kernel
+# is vectorized numpy. Median is the demo because it's order-insensitive
+# and engine-exact (np.median == quantile_cont(0.5) == Spark percentile).
+# ---------------------------------------------------------------------------
+_UDAF_ORACLE = """
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.5) AS median_price,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem GROUP BY 1
+"""
+
+
+@register("udaf_median", _UDAF_ORACLE)
+def udaf_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas GROUPED_AGG UDAF (np.median per group). NOTE on scale: a
+    grouped-agg UDAF sees the whole group — it cannot partial-aggregate, so
+    the shuffle carries raw rows. Use only for genuinely holistic aggregates
+    (exact quantiles); anything decomposable belongs in built-ins."""
+    import numpy as np
+    import pandas as pd  # noqa: F401 — the UDAF input type
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit GROUPED_AGG marker: this module uses `from __future__ import
+    # annotations`, which stringifies type hints and defeats signature-based
+    # UDF-type inference
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def median_udaf(v):
+        return np.median(v)
+
+    # Spark disallows mixing grouped-agg pandas UDFs with JVM aggregates in
+    # one agg — the count rides along as a second UDAF
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def count_udaf(v):
+        return len(v)
+
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        median_udaf("l_extendedprice").alias("median_price"),
+        count_udaf("l_extendedprice").alias("n"),
+    )

@@ -279,7 +279,10 @@ def lsh_ann(
     key, never the n² pair space), and the verify stage is two id-keyed joins
     + a fold-dot cosine + per-query window rank. At 100 TB every stage
     partitions on its key; skewed buckets are split by AQE skew-join."""
-    sigs = signatures(df, id_col, vec_col, n_bits, n_tables)
+    # persist: the self-join references the signature table twice, and
+    # signatures are a mapInPandas product Catalyst can't dedup — without
+    # this every bucket probe recomputes the full signature pass
+    sigs = signatures(df, id_col, vec_col, n_bits, n_tables).persist()
     a, b = sigs.alias("a"), sigs.alias("b")
     cand = (
         a.join(b, ["table", "sig"])
@@ -290,7 +293,7 @@ def lsh_ann(
         )
         .distinct()
     )
-    return _rank_candidates(cand, _normed(df, id_col, vec_col), k)
+    return _rank_candidates(cand, _normed(df, id_col, vec_col).persist(), k)
 
 
 def ivf_index(
@@ -378,8 +381,11 @@ def ivf_ann(
     equi-join on cell, and the verify stage is the shared id-keyed
     join + fold-dot cosine + window rank."""
     cells = ivf_index(df, id_col, vec_col, n_clusters)
-    norm = _normed(df, id_col, vec_col)
-    member = norm.join(cells.withColumnRenamed(id_col, "_nid"), "_nid")
+    # persisted: norm feeds probes + both verify sides, member feeds the
+    # probe centroids + the candidate join — recomputing either repeats the
+    # double-cast + norm fold (and the cell join) per reference
+    norm = _normed(df, id_col, vec_col).persist()
+    member = norm.join(cells.withColumnRenamed(id_col, "_nid"), "_nid").persist()
     # per-cell mean vectors (n_clusters rows — legitimately tiny model state)
     probe_cent = (
         member.select("cell", F.posexplode("_v").alias("dim", "x"))

@@ -1382,3 +1382,189 @@ def first_last_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("event_type", key).alias("last_type"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Relational breadth (SURVEY §2.6/§7.2 widening): the remaining classic
+# shapes a warehouse user reaches for — priority-bucket counting with an
+# EXISTS gate (Q4), conditional-sum case aggregation (Q12), distinct-count
+# with NOT-IN exclusion (Q16), disjunctive multi-column predicates (Q19),
+# explicit GROUPING SETS with grouping_id, and the window-function suite
+# beyond row_number (lag/lead/ntile/percent_rank).
+# ---------------------------------------------------------------------------
+@register(
+    "order_priority_ct",  # TPC-H Q4 shape: EXISTS gate + priority buckets
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_ct
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate > o.o_orderdate + INTERVAL '20 days'
+    )
+    GROUP BY 1
+    """,
+)
+def order_priority_ct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (o.o_orderkey == l.l_orderkey) & (
+        l.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL '20' DAY")
+    )
+    return (
+        o.join(l, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_ct"))
+    )
+
+
+@register(
+    "linestatus_priority",  # TPC-H Q12 shape: conditional-sum case aggregation
+    """
+    SELECT l.l_returnflag,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_ct,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_ct
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= o.o_orderdate
+    GROUP BY 1
+    """,
+)
+def linestatus_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_ct"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_ct"),
+        )
+    )
+
+
+@register(
+    "parts_supplier_ct",  # TPC-H Q16 shape: distinct count + NOT-IN exclusion
+    """
+    SELECT p.p_brand, p.p_type,
+           CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_ct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_size IN (1, 10, 20, 30)
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2
+    """,
+)
+def parts_supplier_ct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size").isin(1, 10, 20, 30))
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        l.join(bad, l.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_ct"))
+    )
+
+
+@register(
+    "disjunctive_revenue",  # TPC-H Q19 shape: OR-of-conjuncts predicate
+    """
+    SELECT CAST(count(*) AS BIGINT) AS line_ct,
+           CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#11' AND l.l_quantity >= 1 AND l.l_quantity <= 11 AND p.p_size <= 15)
+       OR (p.p_brand = 'Brand#22' AND l.l_quantity >= 10 AND l.l_quantity <= 20 AND p.p_size <= 25)
+       OR (p.p_brand = 'Brand#33' AND l.l_quantity >= 20 AND l.l_quantity <= 30 AND p.p_size <= 35)
+    """,
+)
+def disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#11") & q.between(1, 11) & (F.col("p_size") <= 15))
+        | ((F.col("p_brand") == "Brand#22") & q.between(10, 20) & (F.col("p_size") <= 25))
+        | ((F.col("p_brand") == "Brand#33") & q.between(20, 30) & (F.col("p_size") <= 35))
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.count(F.lit(1)).alias("line_ct"),
+            F.sum(_revenue()).cast("decimal(18,4)").cast("double").alias("revenue"),
+        )
+    )
+
+
+@register(
+    "grouping_sets_stats",
+    """
+    SELECT n.n_name AS nation, o.o_orderpriority AS priority,
+           CAST(count(*) AS BIGINT) AS order_ct,
+           CAST(grouping(n.n_name) * 2 + grouping(o.o_orderpriority) AS BIGINT) AS gid
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY GROUPING SETS ((n.n_name, o.o_orderpriority), (n.n_name), ())
+    """,
+)
+def grouping_sets_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (one pass over the join for all three
+    granularities) + grouping_id disambiguation of the NULL rows."""
+    from gmall_spark.sources import register_views
+
+    register_views(spark, sf_dir, ("orders", "customer", "nation"))
+    return spark.sql(
+        """
+        SELECT n.n_name AS nation, o.o_orderpriority AS priority,
+               count(*) AS order_ct,
+               CAST(grouping(n.n_name) * 2 + grouping(o.o_orderpriority) AS BIGINT) AS gid
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY GROUPING SETS ((n.n_name, o.o_orderpriority), (n.n_name), ())
+        """
+    )
+
+
+@register(
+    "window_suite",
+    """
+    SELECT event_id, user_id,
+           lag(event_type) OVER w AS prev_type,
+           lead(event_type) OVER w AS next_type,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           CAST(nth_value(event_id, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS BIGINT) AS second_event
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The window-function surface beyond row_number: lag/lead, ntile,
+    percent_rank ((rank-1)/(n-1): an exact IEEE quotient of small ints, so
+    engine-portable), and a full-frame nth_value."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.nth_value("event_id", 2).over(full).cast("long").alias("second_event"),
+    )
