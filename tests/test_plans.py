@@ -93,3 +93,33 @@ def test_ann_verify_stage_shared_and_ranked(spark):
     plan = physical_plan(similarity.ivf_ann(emb, "vec_id", "embedding"))
     # per-query top-k must be a window rank, not a driver-side sort
     assert "RunningWindowFunction" in plan or "Window" in plan, plan
+
+
+def test_order_priority_semi_join_not_nested_loop(spark):
+    # the date inequality is a residual on the equi-keyed semi join, not a
+    # nested-loop demotion
+    plan = physical_plan(QUERIES["order_priority_ct"](spark, SF))
+    assert "NestedLoop" not in plan, plan
+    assert "LeftSemi" in plan, plan
+
+
+def test_parts_supplier_broadcasts_part_and_anti_joins(spark):
+    df = QUERIES["parts_supplier_ct"](spark, SF)
+    assert_broadcast(df, at_least=1)
+    assert "LeftAnti" in physical_plan(df)
+
+
+def test_split_by_hash_is_shuffle_free(spark):
+    # a row's split must be computable from the row alone — any Exchange in
+    # this plan means someone added a shuffle to a pure projection
+    plan = physical_plan(QUERIES["split_by_hash"](spark, SF))
+    assert "Exchange" not in plan, plan
+
+
+def test_dedup_chunks_single_shuffle(spark):
+    # explode + hash + one groupBy: exactly one shuffle (partial/final agg
+    # around a single Exchange). Counted on the raw plan tree — formatted
+    # explain lists every node twice (tree + details).
+    df = QUERIES["dedup_chunks"](spark, SF)
+    tree = df._jdf.queryExecution().executedPlan().toString()
+    assert tree.count("Exchange hashpartitioning") == 1, tree
