@@ -246,3 +246,45 @@ def streaming_province_uv(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_events(spark, sf_dir), "ts", "10 minutes", "user_id", ["event_type"]
     )
     return run_to_memory(out, _name("s_uvwin"))
+
+
+@register(
+    "streaming_dim_enrich",
+    f"""
+    WITH wm AS {_WM_MS},
+    agg AS (
+      SELECT n.n_name AS nation, time_bucket(INTERVAL '10 minutes', e.ts) AS ws,
+             CAST(count(*) AS BIGINT) AS ev_ct
+      FROM events e
+      JOIN customer c ON e.user_id = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2
+    )
+    SELECT nation, ev_ct,
+           strftime(ws, '{_DUCK_FMT}') AS stt,
+           strftime(ws + INTERVAL '10 minutes', '{_DUCK_FMT}') AS edt
+    FROM agg, wm
+    WHERE epoch_us(ws + INTERVAL '10 minutes') // 1000 <= wm.wm_ms
+    """,
+)
+def streaming_dim_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 streaming — stream-static dim enrichment: the Spark-first analog of
+    the reference's async Phoenix/Redis lookups (OrderWideApp.java:112-225)
+    is a broadcast join of the live stream against static dim tables — no
+    cache invalidation machinery, every micro-batch re-resolves the dim
+    (exactly the freshness contract the reference's 24h Redis TTL
+    approximates). Windowed per-nation counts emit on watermark closure."""
+    from gmall_spark.sources import load_table
+
+    ev = stream_events(spark, sf_dir)
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    enriched = (
+        ev.join(F.broadcast(customer), ev.user_id == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(F.col("n_name").alias("nation"), "ts")
+    )
+    out = windowed_stats_stream(
+        enriched, "ts", "10 minutes", ["nation"], [F.count(F.lit(1)).alias("ev_ct")]
+    )
+    return run_to_memory(out, _name("s_dim"))
