@@ -904,3 +904,120 @@ def udaf_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         median_udaf("l_extendedprice").alias("median_price"),
         count_udaf("l_extendedprice").alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination — the n-gram collision check every serious
+# training corpus runs against its eval sets (the classic 13-gram rule;
+# 5-token shingles here to suit the short synthetic docs). Eval stand-in:
+# doc_id % 10 == 0. Same inverted-index shape as ngram dedup: candidates
+# from shared shingles, one shuffle on the shingle key.
+# ---------------------------------------------------------------------------
+_DECON_ORACLE = """
+WITH sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS shingle
+  FROM (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+       UNNEST(range(1, greatest(len(t) - 4, 1) + 1)) AS u(i)
+),
+hits AS (
+  SELECT tr.doc_id, count(DISTINCT tr.shingle) AS hit_ct
+  FROM sh tr JOIN sh ev ON tr.shingle = ev.shingle
+  WHERE tr.doc_id % 10 <> 0 AND ev.doc_id % 10 = 0
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(h.hit_ct, 0) AS BIGINT) AS hit_ct,
+       CAST(coalesce(h.hit_ct, 0) > 0 AS BOOLEAN) AS contaminated
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+WHERE d.doc_id % 10 <> 0
+"""
+
+
+@register("decontaminate", _DECON_ORACLE)
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag training docs sharing any 5-token shingle with the eval split.
+    Inverted-index equi-join on the shingle — never a doc×doc product; the
+    count of distinct colliding shingles stays in the output so thresholded
+    policies (e.g. 'drop only if >2 collisions') are auditable."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.shingle_set(docs, "doc_id", "text", 5)
+    train_sh = sh.filter(F.col("doc_id") % 10 != 0)
+    eval_sh = (
+        sh.filter(F.col("doc_id") % 10 == 0).select(F.col("shingle")).distinct()
+    )
+    hits = (
+        train_sh.join(eval_sh, "shingle")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("shingle").alias("hit_ct"))
+    )
+    return (
+        docs.filter(F.col("doc_id") % 10 != 0)
+        .select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("hit_ct"), F.lit(0)).alias("hit_ct"),
+            (F.coalesce(F.col("hit_ct"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing — concatenate documents into fixed-token training
+# sequences. Packing is inherently sequential, so the scalable form is
+# two-level: hash-bucket the corpus (independent, parallel), then pack each
+# bucket's hash-ordered stream by cumulative token count. seq_id encodes
+# (bucket, position); a global renumber is one zipWithIndex away if a dense
+# id is ever needed.
+# ---------------------------------------------------------------------------
+_PACK_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(trim(text), ' '), x -> x <> '')) AS BIGINT) AS n_tokens,
+         CAST((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+              AS BIGINT) % 8 AS bucket
+  FROM documents
+),
+c AS (
+  SELECT doc_id, bucket, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY bucket
+                             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS off
+  FROM t
+)
+SELECT doc_id, n_tokens,
+       CAST(bucket * 1000000 + off // 2048 AS BIGINT) AS seq_id,
+       CAST(off % 2048 AS BIGINT) AS seq_offset
+FROM c
+"""
+
+
+@register("pack_sequences", _PACK_ORACLE)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign each doc a (seq_id, seq_offset) in 2048-token packed training
+    sequences: hash-deterministic order, cumulative token offsets, docs
+    straddle sequence boundaries exactly as a concatenate-then-chunk
+    tokenizer pipeline would. 8 independent buckets ⇒ the window sort never
+    sees more than corpus/8 rows in one partition."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.filter(F.split(F.trim("text"), " "), lambda x: x != "")).cast(
+        "long"
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10).cast("long")
+        % 8
+    )
+    t = docs.select("doc_id", n_tokens.alias("n_tokens"), bucket.alias("bucket"))
+    w = Window.partitionBy("bucket").orderBy(
+        F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    c = t.withColumn("offset", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    return c.select(
+        "doc_id",
+        "n_tokens",
+        (F.col("bucket") * 1000000 + (F.col("offset") / 2048).cast("long")).alias("seq_id"),
+        (F.col("offset") % 2048).alias("seq_offset"),
+    )
