@@ -43,6 +43,17 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
+def stream_table(spark: SparkSession, sf_dir: str, name: str, schema: str) -> DataFrame:
+    """Generic file-stream over any testdata table (the S1 Kafka stand-in for
+    non-event topics, e.g. the CDC'd `orders` binlog). Single file +
+    maxFilesPerTrigger=1 ⇒ one deterministic micro-batch."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(_table_dir(sf_dir, name))
+    )
+
+
 def _table_dir(sf_dir: str, name: str) -> str:
     """The file-stream source only accepts directories; expose the single
     table file through a per-table symlink directory (testdata is read-only)."""

@@ -288,3 +288,62 @@ def streaming_dim_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         enriched, "ts", "10 minutes", ["nation"], [F.count(F.lit(1)).alias("ev_ct")]
     )
     return run_to_memory(out, _name("s_dim"))
+
+
+@register(
+    "streaming_cdc_route",
+    """
+    SELECT CASE o_orderstatus WHEN 'O' THEN 'insert' WHEN 'F' THEN 'update' ELSE 'delete' END AS op,
+           CASE WHEN o_orderstatus = 'O' THEN 'dwd_order_insert'
+                ELSE 'dwd_order_update' END AS sink_table,
+           CAST(count(*) AS BIGINT) AS row_ct
+    FROM orders
+    WHERE o_orderstatus IN ('O', 'F')
+    GROUP BY 1, 2
+    """,
+)
+def streaming_cdc_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's PRIMARY pipeline (BaseDbApp.java:48-90) as a live
+    stream: orders file-streamed as the CDC'd binlog topic, wrapped in the
+    Debezium envelope, decoded (single from_json), deletes dropped, routed
+    by broadcast config — then rolled up per (op, sink_table) for a compact
+    driver-checkable summary. Stateless end to end ⇒ single-batch output
+    equals the batch pipeline exactly."""
+    from gmall_spark.operators.parse import decode_cdc, drop_cdc_deletes
+    from gmall_spark.operators.routing import route_by_config
+    from gmall_spark.schemas import TABLE_PROCESS_SCHEMA
+    from gmall_spark.streaming.pipelines import stream_table
+
+    orders = stream_table(
+        spark,
+        sf_dir,
+        "orders",
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    op = "CASE o_orderstatus WHEN 'O' THEN 'insert' WHEN 'F' THEN 'update' ELSE 'delete' END"
+    envelope = orders.select(
+        F.to_json(
+            F.struct(
+                F.lit("gmall").alias("database"),
+                F.lit("orders").alias("tableName"),
+                F.create_map(
+                    F.lit("id"), F.col("o_orderkey").cast("string"),
+                    F.lit("status"), F.col("o_orderstatus"),
+                ).alias("data"),
+                F.expr(op).alias("type"),
+            )
+        ).alias("value")
+    )
+    config = spark.createDataFrame(
+        [
+            ("orders", "insert", "kafka", "dwd_order_insert", "id,status", "id", None),
+            ("orders", "update", "kafka", "dwd_order_update", "id", "id", None),
+        ],
+        TABLE_PROCESS_SCHEMA,
+    )
+    routed = route_by_config(drop_cdc_deletes(decode_cdc(envelope)), config)
+    out = routed.groupBy(F.col("type").alias("op"), "sink_table").agg(
+        F.count(F.lit(1)).alias("row_ct")
+    )
+    return run_to_memory(out, _name("s_cdc"), output_mode="complete")
