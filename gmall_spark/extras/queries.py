@@ -275,7 +275,7 @@ def embed_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The quantizer is deterministic (seed = 16 lowest ids, 2 Lloyd iterations,
 # stale centroid kept for empty cells, argmin ties to the lower cell), so the
 # oracle replays the full pipeline: 2 k-means rounds → final assignment →
-# probe the 4 nearest non-empty cell centroids → exact-cosine top-5.
+# probe the 4 nearest trained centroids → exact-cosine top-5.
 def _ivf_assign(cent_cte: str, out: str) -> str:
     return f"""
 {out} AS (
@@ -321,14 +321,6 @@ seed AS (
 {_ivf_assign("cent1", "assign2")},
 {_ivf_means("assign2", "cent1", "cent2")},
 {_ivf_assign("cent2", "assign3")},
-probecent_m AS (
-  SELECT a.cell, u.d, avg(a.v[u.d]) AS m
-  FROM assign3 a, (SELECT unnest(range(1, 65)) AS d) u
-  GROUP BY 1, 2
-),
-probecent AS (
-  SELECT cell, list(m ORDER BY d) AS c FROM probecent_m GROUP BY cell
-),
 probes AS (
   SELECT vec_id, cell FROM (
     SELECT n.vec_id, pc.cell,
@@ -337,7 +329,7 @@ probes AS (
              ORDER BY list_sum(list_transform(range(1, 65),
                        i -> (n.v[i] - pc.c[i]) * (n.v[i] - pc.c[i]))) ASC,
                       pc.cell ASC) AS rn
-    FROM norm n, probecent pc
+    FROM norm n, cent2 pc
   ) WHERE rn <= 4
 ),
 cand AS (
@@ -741,15 +733,21 @@ GROUP BY doc_id
 
 @register("text_repetition", _REPETITION_ORACLE)
 def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc shingle stats computed row-local (size / array_distinct on the
+    shingle array) — no explode, no shuffle: the grouping key is the row
+    itself, so the explode + groupBy + countDistinct formulation (which
+    forces an Expand for the mixed distinct/plain aggregate) would shuffle
+    |docs|·|shingles| rows to recompute what a narrow projection knows."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.trim("text"), " ")
     sh = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1))),
         lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
     )
-    return docs.select("doc_id", F.explode(sh).alias("shingle")).groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_shingles"),
-        F.countDistinct("shingle").alias("n_distinct_shingles"),
+    return docs.select(
+        "doc_id",
+        F.size(sh).cast("long").alias("n_shingles"),
+        F.size(F.array_distinct(sh)).cast("long").alias("n_distinct_shingles"),
     )
 
 

@@ -1,19 +1,20 @@
 """Similarity search over embedding columns (array<float>).
 
-- brute_force_knn: exact cosine top-k, O(n²) — the correctness baseline.
-  Dot products via zip_with + aggregate (JVM higher-order functions, no
-  Python): a sequential left fold, matching the oracle's list_dot_product.
-- lsh_ann: random-hyperplane LSH — the 100 TB path. Signatures are
+- brute_force_knn: exact cosine top-k, O(n²) — the correctness baseline
+  (broadcast index + per-batch BLAS matmul, guarded to small corpora).
+- lsh_ann: random-hyperplane LSH — a 100 TB path. Signatures are
   deterministic (hyperplane signs derived from md5 parity, no RNG state to
-  ship), candidates come from equal signature buckets, so the join is an
-  equi-join on an 8-bit key instead of an n² cross product. Recall is
-  tunable via n_bits/multi-probe; exactness is validated against
-  brute_force_knn in tests.
+  ship); one shuffle groups rows into (table, sig) buckets and a per-bucket
+  BLAS kernel verifies — never an n² pair space. Recall is tunable via
+  n_bits/n_tables; validated against brute_force_knn in tests.
+- ivf_ann: k-means cells + nprobe — the other classic ANN scale path. The
+  centroid model trains in fsum-merged partial-sum passes, assignment and
+  probing are one broadcast-argmin pass, verify is per-cell BLAS.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -21,18 +22,6 @@ def _empty(df: DataFrame, schema: str) -> DataFrame:
     """Typed empty result — the kernels collect the index side driver-side,
     and an empty index must yield an empty result, not an np.stack error."""
     return df.sparkSession.createDataFrame([], schema)
-
-
-def _as_double(vec: Column) -> Column:
-    return F.transform(vec, lambda x: x.cast("double"))
-
-
-def _dot(a: Column, b: Column) -> Column:
-    """Sequential left-fold sum of products — bit-compatible with the
-    oracle's list_dot_product over the same doubles."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
 
 
 #: brute-force / pairwise kernels collect the index side to the driver and
@@ -69,6 +58,9 @@ def brute_force_knn(df: DataFrame, id_col: str, vec_col: str, k: int = 5) -> Dat
     import numpy as np
     import pandas as pd
 
+    # evaluated twice (index collect + distributed query pass) — persist so an
+    # expensive upstream (e.g. an embedder chain) runs once
+    df = df.select(id_col, vec_col).persist()
     index = _guarded_index(df, [id_col, vec_col], "brute_force_knn", "lsh_ann/ivf_ann")
     if not len(index):
         return _empty(df, "vec_id long, neighbor_id long, rnk long")
@@ -79,27 +71,45 @@ def brute_force_knn(df: DataFrame, id_col: str, vec_col: str, k: int = 5) -> Dat
 
     def op(batches):
         ids_b, M_b, nrm_b = bc.value
+        n_index = len(ids_b)
+        # top-m by sim via O(n) argpartition, then exact (sim desc, id asc)
+        # ordering within the candidate slab. m > k absorbs the self-match
+        # and boundary ties (exact-duplicate texts ⇒ exactly-equal sims, so
+        # ties are real); rows whose ties straddle the slab edge fall back
+        # to the full row — rare, still vectorized C either way.
+        m = min(n_index, k + 8)
         for pdf in batches:
             if not len(pdf):
                 continue
-            Q = np.stack(pdf[vec_col].to_numpy()).astype("float64")
-            qn = np.sqrt((Q * Q).sum(axis=1))
-            S = (Q @ M_b.T) / (qn[:, None] * nrm_b[None, :])
-            qids = pdf[id_col].to_numpy()
+            Qa = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            qna = np.sqrt((Qa * Qa).sum(axis=1))
+            qidsa = pdf[id_col].to_numpy()
             out_q, out_n, out_r = [], [], []
-            for r in range(S.shape[0]):
-                # sim desc, neighbor id asc — matches the oracle's ordering
-                order = np.lexsort((ids_b, -S[r]))
-                rank = 0
-                for idx in order:
-                    if ids_b[idx] == qids[r]:
-                        continue
-                    rank += 1
-                    out_q.append(qids[r])
-                    out_n.append(ids_b[idx])
-                    out_r.append(rank)
-                    if rank == k:
-                        break
+            # block the query side so the sims slab stays cache/alloc-friendly
+            # (a full |batch|×|index| float64 matrix is hundreds of MB of
+            # temporaries; 512×|index| is a few MB reused per block)
+            for s in range(0, len(Qa), 512):
+                Q, qn, qids = Qa[s : s + 512], qna[s : s + 512], qidsa[s : s + 512]
+                S = (Q @ M_b.T) / (qn[:, None] * nrm_b[None, :])
+                if m < n_index:
+                    slab = np.argpartition(-S, m - 1, axis=1)[:, :m]
+                else:
+                    slab = np.broadcast_to(np.arange(n_index), (len(S), n_index))
+                for r in range(S.shape[0]):
+                    cols = slab[r]
+                    if m < n_index:
+                        # exactness check: every index whose sim ties the
+                        # slab's worst kept sim must be inside the slab
+                        worst = S[r, cols].min()
+                        if (S[r] >= worst).sum() > m:
+                            cols = np.arange(n_index)
+                    sims = S[r, cols]
+                    cids = ids_b[cols]
+                    order = np.lexsort((cids, -sims))
+                    keep = cids[order][cids[order] != qids[r]][:k]
+                    out_q.extend([qids[r]] * len(keep))
+                    out_n.extend(keep.tolist())
+                    out_r.extend(range(1, len(keep) + 1))
             yield pd.DataFrame({"vec_id": out_q, "neighbor_id": out_n, "rnk": out_r})
 
     return df.select(id_col, vec_col).mapInPandas(op, "vec_id long, neighbor_id long, rnk long")
@@ -172,7 +182,12 @@ def _hyperplanes(n_tables: int, n_bits: int, dims: int):
 
 
 def signatures(
-    df: DataFrame, id_col: str, vec_col: str, n_bits: int = 6, n_tables: int = 12
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_bits: int = 6,
+    n_tables: int = 12,
+    with_vec: bool = False,
 ) -> DataFrame:
     """(id, table, sig): per-table random-hyperplane signatures. Multi-table
     is what makes hyperplane LSH usable on near-isotropic embeddings: a
@@ -206,57 +221,76 @@ def signatures(
             bits = (X @ W.T > 0).reshape(len(X), n_tables, n_bits)
             codes = bits @ weights  # (rows, tables) integer bucket codes
             ids = pdf[id_col].to_numpy()
-            yield pd.DataFrame(
-                {
-                    id_col: np.repeat(ids, n_tables),
-                    "table": np.tile(np.arange(n_tables), len(X)),
-                    "sig": codes.reshape(-1).astype("int64"),
-                }
-            )
+            out = {
+                id_col: np.repeat(ids, n_tables),
+                "table": np.tile(np.arange(n_tables), len(X)),
+                "sig": codes.reshape(-1).astype("int64"),
+            }
+            if with_vec:
+                out["_v"] = [row.tolist() for row in np.repeat(X, n_tables, axis=0)]
+            yield pd.DataFrame(out)
 
-    return df.select(id_col, vec_col).mapInPandas(
-        op, f"{id_col} long, table int, sig long"
-    )
-
-
-def _sqdist(a: Column, b: Column) -> Column:
-    """Sequential left-fold squared L2 distance — fold order matches the
-    oracle's list_sum(list_transform(...)) so both engines see the same
-    doubles."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    schema = f"{id_col} long, table int, sig long"
+    if with_vec:
+        schema += ", _v array<double>"
+    return df.select(id_col, vec_col).mapInPandas(op, schema)
 
 
-def _normed(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-    """(_nid, _v double[], _nrm): the verify-side vector table."""
-    v = _as_double(F.col(vec_col))
-    return df.select(
-        F.col(id_col).alias("_nid"), v.alias("_v")
-    ).withColumn("_nrm", F.sqrt(_dot(F.col("_v"), F.col("_v"))))
+def _bucket_topk_kernel(id_col: str, k: int, pair_space: bool):
+    """applyInPandas kernel: exact cosine within one bucket, per-query local
+    top-k under the global comparator (sim desc, id asc). The union of
+    per-bucket top-ks provably contains the global top-k (a total order's
+    top-k over a union is a subset of the per-part top-ks), so the final
+    global rank only sees ≤ buckets_probed·k tiny rows per query instead of
+    the full candidate set. Sims come from one BLAS matmul per bucket —
+    vectorized verify instead of a per-candidate interpreted fold.
+
+    pair_space=True: every bucket row is both query and member (LSH
+    self-join semantics). False: rows are tagged by _is_q (IVF probe rows vs
+    member rows)."""
+    import numpy as np
+    import pandas as pd
+
+    empty = pd.DataFrame({"vec_id": [], "neighbor_id": [], "sim": []})
+
+    def kernel(pdf):
+        if pair_space:
+            mem, qry = pdf, pdf
+        else:
+            mem, qry = pdf[~pdf["_is_q"]], pdf[pdf["_is_q"]]
+        if len(mem) < 1 or len(qry) < 1:
+            return empty
+        M = np.stack(mem["_v"].to_numpy()).astype("float64")
+        mids = mem[id_col].to_numpy()
+        mn = np.sqrt((M * M).sum(axis=1))
+        Q = np.stack(qry["_v"].to_numpy()).astype("float64")
+        qids = qry[id_col].to_numpy()
+        qn = np.sqrt((Q * Q).sum(axis=1))
+        S = (Q @ M.T) / (qn[:, None] * mn[None, :])
+        out_q, out_n, out_s = [], [], []
+        for r in range(len(Q)):
+            order = np.lexsort((mids, -S[r]))
+            sel = order[mids[order] != qids[r]][:k]
+            out_q.extend([qids[r]] * len(sel))
+            out_n.extend(mids[sel].tolist())
+            out_s.extend(S[r, sel].tolist())
+        return pd.DataFrame({"vec_id": out_q, "neighbor_id": out_n, "sim": out_s})
+
+    return kernel
 
 
-def _rank_candidates(cand: DataFrame, norm: DataFrame, k: int) -> DataFrame:
-    """Exact-cosine verify + top-k rank over a (vec_id, neighbor_id) candidate
-    set — the shared tail of every ANN variant. Two equi-joins fetch the
-    vectors, the fold-dot cosine ranks them; everything stays distributed
-    (shuffles keyed on the ids, window keyed on vec_id)."""
-    qa = norm.select(
-        F.col("_nid").alias("vec_id"), F.col("_v").alias("_va"), F.col("_nrm").alias("_na")
-    )
-    qb = norm.select(
-        F.col("_nid").alias("neighbor_id"), F.col("_v").alias("_vb"), F.col("_nrm").alias("_nb")
-    )
-    sims = (
-        cand.join(qa, "vec_id")
-        .join(qb, "neighbor_id")
-        .withColumn("_sim", _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")))
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("_sim").desc(), F.col("neighbor_id").asc())
+def _global_rank(local_topk: DataFrame, k: int, dedup_pairs: bool) -> DataFrame:
+    """Merge per-bucket local top-ks into the global per-query top-k. With
+    dedup_pairs (LSH: a pair collides in several tables) the per-pair sim is
+    collapsed with max() first — deterministic even if BLAS blocking yields
+    ±1ulp between buckets."""
+    if dedup_pairs:
+        local_topk = local_topk.groupBy("vec_id", "neighbor_id").agg(
+            F.max("sim").alias("sim")
+        )
+    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
     return (
-        sims.withColumn("rnk", F.row_number().over(w).cast("long"))
+        local_topk.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= k)
         .select("vec_id", "neighbor_id", "rnk")
     )
@@ -274,81 +308,110 @@ def lsh_ann(
     signature tables; exact cosine + rank within the candidate set.
     Output: vec_id, neighbor_id, rnk.
 
-    Fully distributed — no driver-side index: the signature DataFrame
-    self-joins on (table, sig) to produce candidates (an equi-join on a small
-    key, never the n² pair space), and the verify stage is two id-keyed joins
-    + a fold-dot cosine + per-query window rank. At 100 TB every stage
-    partitions on its key; skewed buckets are split by AQE skew-join."""
-    # persist: the self-join references the signature table twice, and
-    # signatures are a mapInPandas product Catalyst can't dedup — without
-    # this every bucket probe recomputes the full signature pass
-    sigs = signatures(df, id_col, vec_col, n_bits, n_tables).persist()
-    a, b = sigs.alias("a"), sigs.alias("b")
-    cand = (
-        a.join(b, ["table", "sig"])
-        .filter(F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
-        .select(
-            F.col(f"a.{id_col}").alias("vec_id"),
-            F.col(f"b.{id_col}").alias("neighbor_id"),
-        )
-        .distinct()
+    Fully distributed — no driver-side index: one shuffle groups signature
+    rows into their (table, sig) buckets, a per-bucket BLAS kernel emits each
+    member's local top-k (the candidate set LSH defines, verified vectorized
+    instead of through an n²-ish candidate join + per-pair interpreted fold),
+    and a tiny window merges local top-ks into the global rank. At 100 TB the
+    bucket shuffle partitions on (table, sig); a hot bucket's O(b²) kernel
+    cost is LSH's inherent candidate blowup — widen n_bits to split buckets
+    rather than fight the kernel."""
+    sigs = signatures(df, id_col, vec_col, n_bits, n_tables, with_vec=True)
+    local = sigs.groupBy("table", "sig").applyInPandas(
+        _bucket_topk_kernel(id_col, k, pair_space=True),
+        "vec_id long, neighbor_id long, sim double",
     )
-    return _rank_candidates(cand, _normed(df, id_col, vec_col).persist(), k)
+    return _global_rank(local, k, dedup_pairs=True)
+
+
+def _cell_dists(X, C, block: int = 1024):
+    """Blocked squared-L2 distances (rows × cells) — bounds the X×k×D
+    temporary at block×k×D."""
+    import numpy as np
+
+    out = np.empty((len(X), len(C)))
+    for s in range(0, len(X), block):
+        out[s : s + block] = ((X[s : s + block, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    return out
+
+
+def kmeans_centroids(
+    df: DataFrame, id_col: str, vec_col: str, n_clusters: int = 16, iters: int = 2
+):
+    """Deterministic Lloyd training: seeds = vectors of the n_clusters lowest
+    ids, fixed iteration count, argmin ties to the lower cell, empty cells
+    keep their stale centroid. Returns the float64 centroid matrix (or None
+    on an empty corpus).
+
+    Scale shape: each iteration is ONE narrow pass — a mapInPandas kernel
+    emits per-(partition, cell) partial sums (≤ partitions·n_clusters tiny
+    rows), the driver merges them with math.fsum. fsum is exactly rounded,
+    so the merged centroids are independent of partition order/count — no
+    shuffle, no per-row assignment materialization, deterministic across
+    cluster layouts. The classic groupBy-mean formulation shuffles n·d rows
+    per iteration to compute the same k·d numbers.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    base = df.select(id_col, vec_col)
+    seed_pdf = base.orderBy(id_col).limit(n_clusters).toPandas()
+    if not len(seed_pdf):
+        return None
+    centroids = np.stack(seed_pdf[vec_col].to_numpy()).astype("float64")
+    dims = centroids.shape[1]
+    sc = df.sparkSession.sparkContext
+    for _ in range(iters):
+        bc = sc.broadcast(centroids)
+
+        def partials(batches):
+            C = bc.value
+            acc_n = np.zeros(len(C), dtype="int64")
+            acc_s = np.zeros((len(C), C.shape[1]))
+            seen = False
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                seen = True
+                X = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+                cell = _cell_dists(X, C).argmin(axis=1)
+                np.add.at(acc_n, cell, 1)
+                np.add.at(acc_s, cell, X)
+            if seen:
+                nz = np.nonzero(acc_n)[0]
+                yield pd.DataFrame(
+                    {"cell": nz, "n": acc_n[nz], "s": [acc_s[i].tolist() for i in nz]}
+                )
+
+        rows = base.mapInPandas(partials, "cell int, n long, s array<double>").collect()
+        groups: dict[int, list] = {}
+        for r in rows:
+            groups.setdefault(r["cell"], []).append((r["n"], r["s"]))
+        new_c = centroids.copy()
+        for cell, parts in groups.items():
+            n = sum(p[0] for p in parts)
+            new_c[cell] = [
+                math.fsum(p[1][d] for p in parts) / n for d in range(dims)
+            ]
+        centroids = new_c
+    return centroids
 
 
 def ivf_index(
     df: DataFrame, id_col: str, vec_col: str, n_clusters: int = 16, iters: int = 2
 ) -> DataFrame:
     """IVF (inverted-file) index: k-means-quantize vectors into n_clusters
-    cells; ANN then probes only a few cells. Deterministic: centroids seed
-    from the n_clusters lowest ids, fixed Lloyd iterations, ties broken by
-    centroid index. Returns (id, cell).
-
-    Scale: each Lloyd iteration is one mapInPandas assign (broadcast
-    centroids, BLAS argmax) + one groupBy-mean — embarrassingly parallel;
-    the index build is O(n·k·d·iters) with no pairwise stage at all.
-    """
+    cells; ANN then probes only a few cells. Returns (id, cell) — one
+    broadcast-argmin pass over the trained centroids."""
     import numpy as np
     import pandas as pd
 
-    base = df.select(id_col, vec_col).orderBy(id_col)
-    seed_pdf = base.limit(n_clusters).toPandas()
-    if not len(seed_pdf):
+    centroids = kmeans_centroids(df, id_col, vec_col, n_clusters, iters)
+    if centroids is None:
         return _empty(df, f"{id_col} long, cell int")
-    seed = np.stack(seed_pdf[vec_col].to_numpy()).astype("float64")
-    sc = df.sparkSession.sparkContext
-    centroids = seed
-    for _ in range(iters):
-        bc = sc.broadcast(centroids)
-
-        def assign(batches):
-            C = bc.value
-            for pdf in batches:
-                X = np.stack(pdf[vec_col].to_numpy()).astype("float64")
-                d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-                yield pd.DataFrame(
-                    {"id": pdf[id_col], "cell": d.argmin(axis=1), "v": list(X)}
-                )
-
-        assigned = base.mapInPandas(assign, f"id long, cell int, v array<double>")
-        means = (
-            assigned.select("cell", F.posexplode("v").alias("dim", "x"))
-            .groupBy("cell", "dim")
-            .agg(F.avg("x").alias("m"))
-            .groupBy("cell")
-            .agg(
-                F.transform(
-                    F.sort_array(F.collect_list(F.struct("dim", "m"))), lambda s: s["m"]
-                ).alias("centroid")
-            )
-            .orderBy("cell")
-            .collect()
-        )
-        new_c = centroids.copy()
-        for r in means:
-            new_c[r["cell"]] = np.array(r["centroid"])
-        centroids = new_c
-    bc = sc.broadcast(centroids)
+    bc = df.sparkSession.sparkContext.broadcast(centroids)
 
     def final_assign(batches):
         C = bc.value
@@ -356,8 +419,9 @@ def ivf_index(
             if not len(pdf):
                 continue
             X = np.stack(pdf[vec_col].to_numpy()).astype("float64")
-            d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-            yield pd.DataFrame({id_col: pdf[id_col], "cell": d.argmin(axis=1)})
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "cell": _cell_dists(X, C).argmin(axis=1)}
+            )
 
     return df.select(id_col, vec_col).mapInPandas(final_assign, f"{id_col} long, cell int")
 
@@ -375,45 +439,54 @@ def ivf_ann(
     full corpus. Recall is tunable by nprobe (validated vs brute force in
     tests). Output: vec_id, neighbor_id, rnk.
 
-    Fully distributed — the corpus never leaves the executors: cell
-    centroids reduce to an n_clusters-row DataFrame (broadcast-joined to the
-    queries for probe selection), candidates come from the probe⋈member
-    equi-join on cell, and the verify stage is the shared id-keyed
-    join + fold-dot cosine + window rank."""
-    cells = ivf_index(df, id_col, vec_col, n_clusters)
-    # persisted: norm feeds probes + both verify sides, member feeds the
-    # probe centroids + the candidate join — recomputing either repeats the
-    # double-cast + norm fold (and the cell join) per reference
-    norm = _normed(df, id_col, vec_col).persist()
-    member = norm.join(cells.withColumnRenamed(id_col, "_nid"), "_nid").persist()
-    # per-cell mean vectors (n_clusters rows — legitimately tiny model state)
-    probe_cent = (
-        member.select("cell", F.posexplode("_v").alias("dim", "x"))
-        .groupBy("cell", "dim")
-        .agg(F.avg("x").alias("m"))
-        .groupBy("cell")
-        .agg(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("dim", "m"))), lambda s: s["m"]
-            ).alias("_c")
+    Fully distributed — the corpus never leaves the executors (only the
+    k·d-float centroid model does): ONE broadcast-argmin pass emits each
+    vector's cell AND its nprobe nearest cells, one shuffle groups member
+    rows + probe rows by cell, and a per-cell BLAS kernel verifies and emits
+    local top-ks that a tiny window merges into the global rank. Cells
+    partition the corpus, so no pair dedup is needed."""
+    import numpy as np
+    import pandas as pd
+
+    centroids = kmeans_centroids(df, id_col, vec_col, n_clusters)
+    if centroids is None:
+        return _empty(df, "vec_id long, neighbor_id long, rnk long")
+    bc = df.sparkSession.sparkContext.broadcast(centroids)
+
+    def assign_probes(batches):
+        C = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            d = _cell_dists(X, C)
+            # stable argsort ⇒ distance ties go to the lower cell, matching
+            # the oracle's ORDER BY dist ASC, cell ASC
+            pro = np.argsort(d, axis=1, kind="stable")[:, :nprobe]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "cell": d.argmin(axis=1),
+                    "probes": [p.tolist() for p in pro],
+                    "_v": [row.tolist() for row in X],
+                }
+            )
+
+    # persisted: the assignment feeds both the member side and the probe side
+    assign = (
+        df.select(id_col, vec_col)
+        .mapInPandas(
+            assign_probes,
+            f"{id_col} long, cell int, probes array<int>, _v array<double>",
         )
+        .persist()
     )
-    # nprobe nearest non-empty cells per query: query ⨯ centroids (broadcast,
-    # ≤ n_clusters rows) → squared-L2 fold → per-query rank
-    wp = Window.partitionBy("_nid").orderBy(
-        _sqdist(F.col("_v"), F.col("_c")).asc(), F.col("cell").asc()
+    member = assign.select(id_col, "cell", "_v", F.lit(False).alias("_is_q"))
+    probes = assign.select(
+        id_col, F.explode("probes").alias("cell"), "_v", F.lit(True).alias("_is_q")
     )
-    probes = (
-        norm.crossJoin(F.broadcast(probe_cent))
-        .withColumn("_rn", F.row_number().over(wp))
-        .filter(F.col("_rn") <= nprobe)
-        .select(F.col("_nid").alias("vec_id"), "cell")
+    local = member.unionByName(probes).groupBy("cell").applyInPandas(
+        _bucket_topk_kernel(id_col, k, pair_space=False),
+        "vec_id long, neighbor_id long, sim double",
     )
-    # candidates: members of probed cells (cells partition the corpus, so no
-    # duplicate pairs — no distinct needed)
-    cand = (
-        probes.join(member.select(F.col("_nid").alias("neighbor_id"), "cell"), "cell")
-        .filter(F.col("vec_id") != F.col("neighbor_id"))
-        .select("vec_id", "neighbor_id")
-    )
-    return _rank_candidates(cand, norm, k)
+    return _global_rank(local, k, dedup_pairs=False)

@@ -82,7 +82,10 @@ def test_lsh_ann_is_distributed_no_eager_collect(spark):
     assert after - before <= 1, "lsh_ann ran eager jobs while building the plan"
     plan = physical_plan(df)
     assert "NestedLoop" not in plan, plan
-    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan, plan
+    # bucket verify = one hash-partitioned shuffle into (table, sig) groups
+    # feeding the Arrow kernel — never an n² pair join
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert "hashpartitioning(table" in plan, plan
 
 
 def test_ann_verify_stage_shared_and_ranked(spark):
