@@ -1019,3 +1019,137 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("bucket") * 1000000 + (F.col("offset") / 2048).cast("long")).alias("seq_id"),
         (F.col("offset") % 2048).alias("seq_offset"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary building — the global token histogram every tokenizer/BPE
+# training run starts from. Scale: one shuffle on (doc, token) for the
+# per-doc counts, one on token for the global merge — both with map-side
+# partial aggregation; the min-count filter prunes the long tail before any
+# driver interaction. No global rank column on purpose: a total order over
+# the vocabulary is a single-reducer sort at 100 TB — downstream consumers
+# threshold or sort their own (bounded) slice.
+# ---------------------------------------------------------------------------
+_VOCAB_ORACLE = """
+WITH dt AS (
+  SELECT doc_id, token, count(*) AS c
+  FROM (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token FROM documents)
+  WHERE token <> ''
+  GROUP BY 1, 2
+)
+SELECT token,
+       CAST(sum(c) AS BIGINT) AS tok_ct,
+       CAST(count(*) AS BIGINT) AS doc_ct
+FROM dt GROUP BY token HAVING sum(c) >= 5
+"""
+
+
+@register("vocab_build", _VOCAB_ORACLE)
+def vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(token, tok_ct, doc_ct) for every token with corpus frequency >= 5."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = (
+        docs.select("doc_id", F.explode(F.split(F.trim("text"), " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        per_doc.groupBy("token")
+        .agg(
+            F.sum("c").cast("long").alias("tok_ct"),
+            F.count(F.lit(1)).cast("long").alias("doc_ct"),
+        )
+        .filter(F.col("tok_ct") >= 5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-document salient terms — tf over df ranking (monotone in idf for fixed
+# tf; integer-ratio ordering so both engines compare the same exactly-rounded
+# double tf/df). The shape of "top characteristic terms per doc" feature
+# extraction: per-doc tf, global df via one token-keyed shuffle, broadcast-
+# joined back (df table ≤ vocabulary size), per-doc window top-5.
+# ---------------------------------------------------------------------------
+_TFDF_ORACLE = """
+WITH tf AS (
+  SELECT doc_id, token, count(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token FROM documents)
+  WHERE token <> ''
+  GROUP BY 1, 2
+),
+df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1)
+SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT t.doc_id, t.token, t.tf, d.df,
+         row_number() OVER (PARTITION BY t.doc_id
+                            ORDER BY CAST(t.tf AS DOUBLE) / d.df DESC, t.token) AS rnk
+  FROM tf t JOIN df d ON t.token = d.token
+) WHERE rnk <= 5
+"""
+
+
+@register("tf_df_terms", _TFDF_ORACLE)
+def tf_df_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 salient terms per document by tf/df ratio."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(F.split(F.trim("text"), " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        (F.col("tf").cast("double") / F.col("df")).desc(), F.col("token").asc()
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "token")
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 5)
+        .select("doc_id", "token", F.col("tf").cast("long"), F.col("df").cast("long"), "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-space clustering — corpus diversity/composition analysis (the
+# "what's in my training mix" op). Same deterministic quantizer as the IVF
+# index (seed = lowest ids, 2 fsum-merged Lloyd rounds, stale centroids for
+# empty cells), so the oracle replays it; output adds the per-cell size via
+# one tiny aggregation joined back on cell.
+# ---------------------------------------------------------------------------
+_CLUSTER_ORACLE = f"""
+WITH norm AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+),
+seed AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, v AS c
+  FROM (SELECT vec_id, v FROM norm ORDER BY vec_id LIMIT 16)
+),
+{_ivf_assign("seed", "assign1")},
+{_ivf_means("assign1", "seed", "cent1")},
+{_ivf_assign("cent1", "assign2")},
+{_ivf_means("assign2", "cent1", "cent2")},
+{_ivf_assign("cent2", "assign3")}
+SELECT a.vec_id, CAST(a.cell AS INT) AS cell,
+       CAST(count(*) OVER (PARTITION BY a.cell) AS BIGINT) AS cell_size
+FROM assign3 a
+"""
+
+
+@register("embed_clusters", _CLUSTER_ORACLE)
+def embed_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cell, cell_size): deterministic k-means cluster assignment
+    over the embedding corpus, with cluster populations."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cells = similarity.ivf_index(emb, "vec_id", "embedding", n_clusters=16)
+    return cells.withColumn(
+        "cell_size", F.count(F.lit(1)).over(Window.partitionBy("cell")).cast("long")
+    )
