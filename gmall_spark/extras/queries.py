@@ -652,6 +652,44 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.sample_frames(assets).drop("frame")  # bytes out of the hash
 
 
+# Resize = strided byte-sampling onto a fixed w×h grid (bounded output —
+# the property that matters before shuffling media). Registry output is the
+# hashable summary (geometry + resized byte sum); the binary payload itself
+# stays in the pipeline API.
+_MM_RESIZE_ORACLE = """
+WITH r AS (
+  SELECT doc_id, strlen(text) AS len,
+         CASE WHEN strlen(text) = 0 THEN 0
+              ELSE (SELECT sum(ascii(substr(text, ((i * len) // 64) + 1, 1)))
+                    FROM UNNEST(range(0, 64)) AS u(i)) END AS byte_sum
+  FROM documents
+)
+SELECT doc_id AS asset_id, CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+       CAST(64 AS BIGINT) AS n_bytes, CAST(byte_sum AS BIGINT) AS byte_sum
+FROM r
+"""
+
+
+@register("multimodal_resize", _MM_RESIZE_ORACLE)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_spark.extras import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    assets = multimodal.to_assets(docs, "doc_id", "text")
+    resized = multimodal.resize(assets, width=8, height=8)
+    return resized.select(
+        "asset_id",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.expr(
+            "aggregate(transform(sequence(1, length(decode(payload, 'UTF-8'))), "
+            "i -> bigint(ascii(substring(decode(payload, 'UTF-8'), i, 1)))), "
+            "bigint(0), (acc, x) -> acc + x)"
+        ).alias("byte_sum"),
+    )
+
+
 _TEXT_KNN_ORACLE = """
 WITH emb AS (
   SELECT doc_id, list_transform(range(0, 16), d ->

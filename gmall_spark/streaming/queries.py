@@ -291,6 +291,42 @@ def streaming_dim_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_keyword_stats",
+    f"""
+    -- wm derives from the CLICK-filtered stream (the watermark column is
+    -- tracked after the filter), not the full event stream
+    WITH wm AS (SELECT epoch_us(max(ts)) // 1000 - 2000 AS wm_ms
+                FROM events WHERE event_type = 'click'),
+    agg AS (
+      SELECT json_extract_string(props, '$.k') AS kw,
+             time_bucket(INTERVAL '10 minutes', ts) AS ws,
+             CAST(count(*) AS BIGINT) AS ct
+      FROM events WHERE event_type = 'click'
+      GROUP BY 1, 2
+    )
+    SELECT kw, ct, 'CLICK' AS source,
+           strftime(ws, '{_DUCK_FMT}') AS stt,
+           strftime(ws + INTERVAL '10 minutes', '{_DUCK_FMT}') AS edt
+    FROM agg, wm
+    WHERE epoch_us(ws + INTERVAL '10 minutes') // 1000 <= wm.wm_ms
+    """,
+)
+def streaming_keyword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3+F1+T4 live: the reference's KeywordStatsApp (KeywordStatsApp.java:38-59)
+    as a streaming query — extract the keyword prop from the JSON payload
+    (nested-field access), TUMBLE-window count per keyword, emit on watermark
+    closure."""
+    ev = stream_events(spark, sf_dir).filter(F.col("event_type") == "click")
+    kw = ev.select(
+        F.get_json_object("props", "$.k").alias("kw"), "ts"
+    )
+    out = windowed_stats_stream(
+        kw, "ts", "10 minutes", ["kw"], [F.count(F.lit(1)).alias("ct")]
+    ).withColumn("source", F.lit("CLICK"))
+    return run_to_memory(out, _name("s_kw")).select("kw", "ct", "source", "stt", "edt")
+
+
+@register(
     "streaming_cdc_route",
     """
     SELECT CASE o_orderstatus WHEN 'O' THEN 'insert' WHEN 'F' THEN 'update' ELSE 'delete' END AS op,
