@@ -1191,3 +1191,46 @@ def embed_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cells.withColumn(
         "cell_size", F.count(F.lit(1)).over(Window.partitionBy("cell")).cast("long")
     )
+
+
+# ---------------------------------------------------------------------------
+# Table profiling — the ANALYZE pass every ingestion runs before anything
+# else: per-column null counts, distinct cardinality, numeric min/max. One
+# aggregation job for the whole table (every stat is a partial-aggregable
+# expression over one scan); exact distincts here because the driver hash
+# needs determinism — swap count_distinct for approx_count_distinct (HLL)
+# when cardinality itself is the scale problem.
+# ---------------------------------------------------------------------------
+_PROFILE_ORACLE = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count(doc_id) AS BIGINT) AS doc_id_nulls,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_id_distinct,
+       CAST(count(*) - count(lang) AS BIGINT) AS lang_nulls,
+       CAST(count(DISTINCT lang) AS BIGINT) AS lang_distinct,
+       CAST(count(*) - count(text) AS BIGINT) AS text_nulls,
+       CAST(count(DISTINCT text) AS BIGINT) AS text_distinct,
+       CAST(min(n_chars) AS BIGINT) AS n_chars_min,
+       CAST(max(n_chars) AS BIGINT) AS n_chars_max,
+       CAST(min(doc_id) AS BIGINT) AS doc_id_min,
+       CAST(max(doc_id) AS BIGINT) AS doc_id_max
+FROM documents
+"""
+
+
+@register("profile_table", _PROFILE_ORACLE)
+def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.count(F.lit(1))
+    return docs.agg(
+        n.alias("n_rows"),
+        (n - F.count("doc_id")).alias("doc_id_nulls"),
+        F.countDistinct("doc_id").alias("doc_id_distinct"),
+        (n - F.count("lang")).alias("lang_nulls"),
+        F.countDistinct("lang").alias("lang_distinct"),
+        (n - F.count("text")).alias("text_nulls"),
+        F.countDistinct("text").alias("text_distinct"),
+        F.min("n_chars").cast("long").alias("n_chars_min"),
+        F.max("n_chars").cast("long").alias("n_chars_max"),
+        F.min("doc_id").alias("doc_id_min"),
+        F.max("doc_id").alias("doc_id_max"),
+    )

@@ -126,3 +126,27 @@ def test_dedup_chunks_single_shuffle(spark):
     df = QUERIES["dedup_chunks"](spark, SF)
     tree = df._jdf.queryExecution().executedPlan().toString()
     assert tree.count("Exchange hashpartitioning") == 1, tree
+
+
+def test_vocab_build_partial_agg_no_expand(spark):
+    # two-level agg (doc,token)->(token) must keep map-side partial
+    # aggregation and must NOT plan an Expand (no mixed distinct aggregates)
+    plan = physical_plan(QUERIES["vocab_build"](spark, SF))
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "Expand" not in plan, plan
+
+
+def test_tf_df_terms_broadcasts_df_table(spark):
+    df = QUERIES["tf_df_terms"](spark, SF)
+    assert_broadcast(df, at_least=1)
+
+
+def test_profile_table_single_scan(spark):
+    # every stat folds into one aggregation over one scan
+    scans = scan_info(QUERIES["profile_table"](spark, SF))
+    assert len(scans) == 1, scans
+
+
+def test_text_repetition_shuffle_free(spark):
+    plan = physical_plan(QUERIES["text_repetition"](spark, SF))
+    assert "Exchange" not in plan, plan
