@@ -1183,14 +1183,14 @@ FROM assign3 a
 @register("embed_clusters", _CLUSTER_ORACLE)
 def embed_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, cell, cell_size): deterministic k-means cluster assignment
-    over the embedding corpus, with cluster populations."""
-    from pyspark.sql import Window
-
+    over the embedding corpus, with cluster populations. Sizes come from a
+    k-row aggregate broadcast-joined back — a count() window partitioned by
+    cell would funnel each cell's full membership through one partition."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cells = similarity.ivf_index(emb, "vec_id", "embedding", n_clusters=16)
-    return cells.withColumn(
-        "cell_size", F.count(F.lit(1)).over(Window.partitionBy("cell")).cast("long")
-    )
+    # persisted: referenced by both the size aggregate and the join side
+    cells = similarity.ivf_index(emb, "vec_id", "embedding", n_clusters=16).persist()
+    sizes = cells.groupBy("cell").agg(F.count(F.lit(1)).cast("long").alias("cell_size"))
+    return cells.join(F.broadcast(sizes), "cell").select("vec_id", "cell", "cell_size")
 
 
 # ---------------------------------------------------------------------------
@@ -1233,4 +1233,65 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_chars").cast("long").alias("n_chars_max"),
         F.min("doc_id").alias("doc_id_min"),
         F.max("doc_id").alias("doc_id_max"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Provenance mixture — per-(source, lang) composition stats, the table a
+# mixture-weighting step consumes. One partial-agg shuffle on the pair key.
+# ---------------------------------------------------------------------------
+_SOURCE_MIX_ORACLE = """
+SELECT source, lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(len(list_filter(string_split(trim(text), ' '), x -> x <> ''))) AS BIGINT)
+         AS total_tokens,
+       CAST(min(n_chars) AS BIGINT) AS min_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars
+FROM documents
+GROUP BY 1, 2
+"""
+
+
+@register("source_mix", _SOURCE_MIX_ORACLE)
+def source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.filter(F.split(F.trim("text"), " "), lambda x: x != ""))
+    return docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum(n_tokens).cast("long").alias("total_tokens"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Length-outlier filter — drop docs outside the per-language p05..p95 length
+# band (the trim-the-tails step before packing). Exact interpolated
+# percentiles per stratum (engine parity proven by percentile_stats); the
+# 5-row bounds table broadcast-joins back, so the corpus shuffles zero times.
+# ---------------------------------------------------------------------------
+_LEN_OUTLIER_ORACLE = """
+WITH b AS (
+  SELECT lang, quantile_cont(n_chars, 0.05) AS lo, quantile_cont(n_chars, 0.95) AS hi
+  FROM documents GROUP BY lang
+)
+SELECT d.doc_id, d.lang, d.n_chars, b.lo, b.hi
+FROM documents d JOIN b ON d.lang = b.lang
+WHERE d.n_chars >= b.lo AND d.n_chars <= b.hi
+"""
+
+
+@register("length_outlier_filter", _LEN_OUTLIER_ORACLE)
+def length_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bounds = docs.groupBy("lang").agg(
+        F.expr("percentile(n_chars, 0.05)").alias("lo"),
+        F.expr("percentile(n_chars, 0.95)").alias("hi"),
+    )
+    return (
+        docs.join(F.broadcast(bounds), "lang")
+        .filter((F.col("n_chars") >= F.col("lo")) & (F.col("n_chars") <= F.col("hi")))
+        .select("doc_id", "lang", "n_chars", "lo", "hi")
     )
