@@ -1295,3 +1295,40 @@ def length_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("n_chars") >= F.col("lo")) & (F.col("n_chars") <= F.col("hi")))
         .select("doc_id", "lang", "n_chars", "lo", "hi")
     )
+
+
+# ---------------------------------------------------------------------------
+# Salted skew join — value-identical to the plain equi-join (the oracle IS
+# the plain join): salting only changes the physical key distribution, so
+# the driver hash proves the skew path is semantics-preserving. The shape
+# for the pathological hot key that outgrows even AQE's skew split.
+# ---------------------------------------------------------------------------
+_SALTED_ORACLE = """
+SELECT o.o_orderpriority,
+       CAST(count(*) AS BIGINT) AS line_ct,
+       CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                     * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DECIMAL(18,4)) AS DOUBLE)
+         AS revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1
+"""
+
+
+@register("skew_salted_join", _SALTED_ORACLE)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_spark.operators.joins import salted_join
+
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = salted_join(lineitem, orders, on="l_orderkey", salt=8)
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("line_ct"),
+        F.sum(rev).cast("decimal(18,4)").cast("double").alias("revenue"),
+    )

@@ -327,6 +327,59 @@ def streaming_keyword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_product_stats",
+    f"""
+    WITH wm AS {_WM_MS},
+    agg AS (
+      SELECT json_extract_string(props, '$.k') AS kw,
+             time_bucket(INTERVAL '10 minutes', ts) AS ws,
+             CAST(count(*) AS BIGINT) AS ev_ct,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS user_ct,
+             CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS amount
+      FROM events GROUP BY 1, 2
+    )
+    SELECT kw, ev_ct, user_ct, amount,
+           strftime(ws, '{_DUCK_FMT}') AS stt,
+           strftime(ws + INTERVAL '10 minutes', '{_DUCK_FMT}') AS edt
+    FROM agg, wm
+    WHERE epoch_us(ws + INTERVAL '10 minutes') // 1000 <= wm.wm_ms
+    """,
+)
+def streaming_product_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 live — the reference's biggest DWS rollup (ProductStatsApp.java:243-284)
+    as ONE streaming query with an exact distinct count: two chained stateful
+    aggregations in append mode (Spark 4 multi-stateful support). Level 1
+    keys (window, kw, user) — sum(per-user counts) at level 2 is the total
+    count, count(level-1 rows) is the exact distinct-user count, and the
+    decimal amount stays exact through the two-level sum. Both levels close
+    at the same final watermark, so the single-batch run replays in SQL."""
+    ev = stream_events(spark, sf_dir)
+    l1 = (
+        ev.select("ts", F.get_json_object("props", "$.k").alias("kw"), "user_id", "value")
+        .withWatermark("ts", "2 seconds")
+        .groupBy(F.window("ts", "10 minutes").alias("w"), "kw", "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("ev_ct"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("amt"),
+        )
+    )
+    l2 = l1.groupBy("w", "kw").agg(
+        F.sum("ev_ct").cast("long").alias("ev_ct"),
+        F.count(F.lit(1)).cast("long").alias("user_ct"),
+        F.sum("amt").cast("decimal(18,2)").cast("double").alias("amount"),
+    )
+    out = l2.select(
+        "kw",
+        "ev_ct",
+        "user_ct",
+        "amount",
+        F.date_format(F.col("w.start"), TS_FMT).alias("stt"),
+        F.date_format(F.col("w.end"), TS_FMT).alias("edt"),
+    )
+    return run_to_memory(out, _name("s_product"))
+
+
+@register(
     "streaming_cdc_route",
     """
     SELECT CASE o_orderstatus WHEN 'O' THEN 'insert' WHEN 'F' THEN 'update' ELSE 'delete' END AS op,
