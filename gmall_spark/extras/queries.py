@@ -1106,8 +1106,9 @@ def vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Per-document salient terms — tf over df ranking (monotone in idf for fixed
 # tf; integer-ratio ordering so both engines compare the same exactly-rounded
 # double tf/df). The shape of "top characteristic terms per doc" feature
-# extraction: per-doc tf, global df via one token-keyed shuffle, broadcast-
-# joined back (df table ≤ vocabulary size), per-doc window top-5.
+# extraction: per-doc tf, global df via one token-keyed shuffle, joined back
+# (AQE broadcasts the df table when it is actually small), per-doc window
+# top-5.
 # ---------------------------------------------------------------------------
 _TFDF_ORACLE = """
 WITH tf AS (
@@ -1145,7 +1146,9 @@ def tf_df_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("tf").cast("double") / F.col("df")).desc(), F.col("token").asc()
     )
     return (
-        tf.join(F.broadcast(dfreq), "token")
+        # no broadcast hint: a vocabulary can exceed broadcast size at scale —
+        # Catalyst/AQE broadcasts when the df table is actually small
+        tf.join(dfreq, "token")
         .withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= 5)
         .select("doc_id", "token", F.col("tf").cast("long"), F.col("df").cast("long"), "rnk")
