@@ -58,6 +58,36 @@ def exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def _verify_pairs(
+    cand: DataFrame, sh: DataFrame, id_col: str, threshold_pct: int
+) -> DataFrame:
+    """Exact Jaccard verify over a (doc_a, doc_b) candidate set: join each
+    side's COLLECTED shingle array (one bounded-width row per doc) and
+    intersect per pair — the re-explode formulation shuffles
+    |candidates|·|shingles| rows through a join + groupBy to compute the
+    same counts. Arrays are per-doc bounded (shingles ≈ tokens), so row
+    width is bounded too; at scale both joins key on doc ids with AQE
+    picking broadcast when the set table is small."""
+    sets = sh.groupBy(id_col).agg(
+        F.collect_list("shingle").alias("_set"), F.count(F.lit(1)).alias("n")
+    )
+    sa = sets.select(
+        F.col(id_col).alias("doc_a"), F.col("_set").alias("_sa"), F.col("n").alias("na")
+    )
+    sb = sets.select(
+        F.col(id_col).alias("doc_b"), F.col("_set").alias("_sb"), F.col("n").alias("nb")
+    )
+    inter = F.size(F.array_intersect("_sa", "_sb"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("inter_ct", inter.cast("long"))
+        .withColumn("union_ct", (F.col("na") + F.col("nb") - F.col("inter_ct")).cast("long"))
+        .filter(F.col("inter_ct") * 100 >= F.col("union_ct") * threshold_pct)
+        .select("doc_a", "doc_b", "inter_ct", "union_ct")
+    )
+
+
 def ngram_jaccard(
     df: DataFrame,
     id_col: str,
@@ -108,14 +138,7 @@ def ngram_jaccard(
             )
             .distinct()
         )
-        sa = sh.select(F.col(id_col).alias("doc_a"), "shingle")
-        sb = sh.select(F.col(id_col).alias("doc_b"), "shingle")
-        pairs = (
-            cand.join(sa, "doc_a")
-            .join(sb, ["doc_b", "shingle"])
-            .groupBy("doc_a", "doc_b")
-            .agg(F.count(F.lit(1)).alias("inter_ct"))
-        )
+        return _verify_pairs(cand, sh, id_col, threshold_pct)
     else:
         a, b = sh.alias("a"), sh.alias("b")
         pairs = (
@@ -368,20 +391,4 @@ def ngram_jaccard_prefix(
         .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
         .distinct()
     )
-    sa = sh.select(F.col(id_col).alias("doc_a"), "shingle")
-    sb = sh.select(F.col(id_col).alias("doc_b"), "shingle")
-    pairs = (
-        cand.join(sa, "doc_a")
-        .join(sb, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter_ct"))
-    )
-    ca = card.select(F.col(id_col).alias("doc_a"), F.col("n").alias("na"))
-    cb = card.select(F.col(id_col).alias("doc_b"), F.col("n").alias("nb"))
-    return (
-        pairs.join(ca, "doc_a")
-        .join(cb, "doc_b")
-        .withColumn("union_ct", F.col("na") + F.col("nb") - F.col("inter_ct"))
-        .filter(F.col("inter_ct") * 100 >= F.col("union_ct") * threshold_pct)
-        .select("doc_a", "doc_b", "inter_ct", "union_ct")
-    )
+    return _verify_pairs(cand, sh, id_col, threshold_pct)
