@@ -1568,3 +1568,87 @@ def window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rank"),
         F.nth_value("event_id", 2).over(full).cast("long").alias("second_event"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q17 shape — small-quantity-order revenue: a correlated aggregate
+# (per-part average quantity) decorrelated into a per-part agg joined back.
+# Scale: the agg table is |part| rows (AQE broadcasts when small); lineitem
+# scans once per side — the correlated-subquery formulation would rescan per
+# row. The 0.2·avg threshold is compared in exact decimal.
+# ---------------------------------------------------------------------------
+@register(
+    "small_quantity_revenue",
+    """
+    WITH pq AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS qty_sum,
+             CAST(count(*) AS BIGINT) AS line_ct
+      FROM lineitem GROUP BY 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS line_ct,
+           CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE)
+             AS total_price
+    FROM lineitem l JOIN pq ON l.l_partkey = pq.l_partkey
+    WHERE CAST(l.l_quantity AS DECIMAL(18,2)) * 5 * pq.line_ct < pq.qty_sum
+    """,
+)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lines below 20% of their part's average quantity (qty < 0.2·avg ⇔
+    qty·5·count < sum — integer/decimal-exact, no float division)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    pq = lineitem.groupBy("l_partkey").agg(
+        F.sum(money("l_quantity")).cast("decimal(18,2)").alias("qty_sum"),
+        F.count(F.lit(1)).alias("line_ct"),
+    )
+    return (
+        lineitem.join(pq, "l_partkey")
+        .filter(money("l_quantity") * 5 * F.col("line_ct") < F.col("qty_sum"))
+        .agg(
+            F.count(F.lit(1)).alias("line_ct"),
+            F.sum(money("l_extendedprice")).cast("decimal(18,2)").cast("double")
+            .alias("total_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18 shape — large-volume orders: HAVING on an order-level rollup,
+# joined back to the customer dim. One shuffle on orderkey for the rollup,
+# dims broadcast.
+# ---------------------------------------------------------------------------
+@register(
+    "large_orders",
+    """
+    WITH oq AS (
+      SELECT l_orderkey,
+             CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS qty_sum
+      FROM lineitem GROUP BY 1
+      HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 150
+    )
+    SELECT o.o_orderkey, c.c_name, o.o_orderpriority, oq.qty_sum,
+           CAST(o.o_totalprice AS DOUBLE) AS o_totalprice
+    FROM oq
+    JOIN orders o ON oq.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    oq = (
+        lineitem.groupBy(F.col("l_orderkey"))
+        .agg(F.sum(money("l_quantity")).cast("decimal(18,2)").alias("_q"))
+        .filter(F.col("_q") > 150)
+        .select("l_orderkey", F.col("_q").cast("double").alias("qty_sum"))
+    )
+    return (
+        oq.join(orders, oq.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer.select("c_custkey", "c_name")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "o_orderkey", "c_name", "o_orderpriority", "qty_sum",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        )
+    )
