@@ -327,6 +327,52 @@ def streaming_keyword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_union_stats",
+    f"""
+    -- the watermark column is marked AFTER the union, so its event-time max
+    -- ranges over the unioned (click ∪ purchase) rows only
+    WITH wm AS (
+      SELECT epoch_us(max(ts)) // 1000 - 2000 AS wm_ms
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    u AS (
+      SELECT 'click' AS src, ts FROM events WHERE event_type = 'click'
+      UNION ALL
+      SELECT 'purchase' AS src, ts FROM events WHERE event_type = 'purchase'
+    ),
+    agg AS (
+      SELECT src, time_bucket(INTERVAL '10 minutes', ts) AS ws,
+             CAST(count(*) AS BIGINT) AS ev_ct
+      FROM u GROUP BY 1, 2
+    )
+    SELECT src, ev_ct,
+           strftime(ws, '{_DUCK_FMT}') AS stt,
+           strftime(ws + INTERVAL '10 minutes', '{_DUCK_FMT}') AS edt
+    FROM agg, wm
+    WHERE epoch_us(ws + INTERVAL '10 minutes') // 1000 <= wm.wm_ms
+    """,
+)
+def streaming_union_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 live — union of two streams feeding one windowed agg
+    (VisitorStatsApp.java:66-118 unions three DWD topics). The watermark is
+    tracked on the UNIONED stream (had each branch carried its own, the
+    union would track min(branch watermarks)) — the oracle's closure filter
+    uses the event-time max over the unioned rows."""
+    ev = stream_events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.lit("click").alias("src"), "ts"
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        F.lit("purchase").alias("src"), "ts"
+    )
+    out = windowed_stats_stream(
+        clicks.unionByName(buys), "ts", "10 minutes", ["src"],
+        [F.count(F.lit(1)).alias("ev_ct")],
+    )
+    return run_to_memory(out, _name("s_union"))
+
+
+@register(
     "streaming_product_stats",
     f"""
     WITH wm AS {_WM_MS},
