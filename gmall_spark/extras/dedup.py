@@ -392,3 +392,59 @@ def ngram_jaccard_prefix(
         .distinct()
     )
     return _verify_pairs(cand, sh, id_col, threshold_pct)
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    node_col: str,
+    src: str,
+    dst: str,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components by iterative min-label propagation: every node's
+    label converges to the minimum node id reachable in its component — the
+    transitive closure fuzzy dedup actually needs (pair resolution alone
+    drops b of (a,b) but misses a~b~c chains). Output: (node, cluster_id).
+
+    Deterministic: labels only ever decrease toward the component minimum.
+    Each iteration is one join + one min-groupBy on the (bounded) edge list —
+    no driver-side graph. Convergence needs O(component diameter) rounds;
+    near-dup clusters are shallow (stars/cliques, diameter ≤ ~3), so the
+    driver-checked fixpoint exits in a handful of rounds. For adversarial
+    long-chain graphs swap in large-star/small-star (alternating pointer
+    jumping) — same per-round shape, O(log n) rounds.
+    """
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    )
+    labels = nodes.select(F.col(node_col).alias("node")).withColumn(
+        "label", F.col("node")
+    ).persist()
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(
+                labels.select(F.col("node").alias("b"), F.col("label").alias("bl")), "b"
+            )
+            .groupBy("a")
+            .agg(F.min("bl").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(nbr, labels["node"] == nbr["a"], "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("cluster_id"))

@@ -1335,3 +1335,83 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("line_ct"),
         F.sum(rev).cast("decimal(18,4)").cast("double").alias("revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup clustering — transitive closure over the near-dup pair graph.
+# Pair resolution (dedup_keep_list) drops b of every (a,b) but misses
+# chains: a~b and b~c must put {a,b,c} in ONE cluster even when a~c fails
+# the threshold. Spark side: iterative min-label propagation (bounded
+# per-round join + min-groupBy, no driver-side graph); oracle side: a
+# recursive CTE enumerating reachable labels. Edges = exact-duplicate
+# stars ∪ Jaccard>=50% pairs; every document gets a cluster (singletons
+# keep their own id).
+# ---------------------------------------------------------------------------
+_CLUSTERS_ORACLE = """
+WITH RECURSIVE sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+    FROM (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+         UNNEST(range(1, greatest(len(t) - 2, 1) + 1)) AS u(i)
+  )
+),
+card AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter_ct
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+fuzzy AS (
+  SELECT p.doc_a, p.doc_b FROM pairs p
+  JOIN card ca ON p.doc_a = ca.doc_id
+  JOIN card cb ON p.doc_b = cb.doc_id
+  WHERE p.inter_ct * 100 >= (ca.n + cb.n - p.inter_ct) * 50
+),
+exact_edges AS (
+  SELECT keep_id AS doc_a, doc_id AS doc_b FROM (
+    SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+    FROM documents
+  ) WHERE doc_id <> keep_id
+),
+sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM fuzzy
+  UNION SELECT doc_b, doc_a FROM fuzzy
+  UNION SELECT doc_a, doc_b FROM exact_edges
+  UNION SELECT doc_b, doc_a FROM exact_edges
+),
+walk(node, lab) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT s.a, w.lab FROM sym s JOIN walk w ON w.node = s.b
+),
+cc AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM walk GROUP BY 1)
+SELECT cc.doc_id, cc.cluster_id,
+       CAST(count(*) OVER (PARTITION BY cc.cluster_id) AS BIGINT) AS cluster_size
+FROM cc
+"""
+
+
+@register("dedup_clusters", _CLUSTERS_ORACLE)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    fuzzy = dedup.ngram_jaccard(docs, "doc_id", "text", k=3, threshold_pct=50).select(
+        "doc_a", "doc_b"
+    )
+    keep = F.min("doc_id").over(Window.partitionBy(F.md5("text")))
+    exact_edges = (
+        docs.select("doc_id", keep.alias("keep_id"))
+        .filter(F.col("doc_id") != F.col("keep_id"))
+        .select(F.col("keep_id").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    )
+    cc = dedup.connected_components(
+        docs, fuzzy.unionByName(exact_edges), "doc_id", "doc_a", "doc_b"
+    )
+    sizes = cc.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return (
+        cc.join(sizes, "cluster_id")
+        .select(F.col("node").alias("doc_id"), "cluster_id", "cluster_size")
+    )

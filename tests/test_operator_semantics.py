@@ -77,3 +77,20 @@ def test_bounce_at_reference_10s_window(spark):
     out = detect_bounce(ev, "user_id", "ts", "event_id", F.col("event_type") == "view", "10 seconds")
     got = {(r["event_id"], r["bounce_reason"]) for r in out.collect()}
     assert got == {(0, "match"), (3, "timeout"), (4, "timeout")}
+
+
+def test_connected_components_transitive_chains(spark):
+    """a~b and b~c must cluster {a,b,c} even though a~c is not an edge —
+    the property one-hop pair resolution misses; plus singleton and
+    two-component separation."""
+    from gmall_spark.extras.dedup import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 8)], "id long")
+    edges = spark.createDataFrame(
+        [(2, 3), (3, 4), (6, 7), (4, 5)], "src long, dst long"
+    )
+    got = {
+        (r.node, r.cluster_id)
+        for r in connected_components(nodes, edges, "id", "src", "dst").collect()
+    }
+    assert got == {(1, 1), (2, 2), (3, 2), (4, 2), (5, 2), (6, 6), (7, 6)}
