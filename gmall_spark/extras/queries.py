@@ -1415,3 +1415,103 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         cc.join(sizes, "cluster_id")
         .select(F.col("node").alias("doc_id"), "cluster_id", "cluster_size")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental-ingest dedup — the daily-batch shape: dedup a NEW batch
+# against the EXISTING corpus without recomparing the corpus to itself.
+# New docs (doc_id % 10 = 7 stands in for today's partition) are dropped if
+# (a) their content hash already exists in the corpus (anti-join on md5 —
+# one shuffle keyed on the hash), or (b) any minhash band collides with a
+# corpus doc (the LSH probe — an equi-join against the banded index, which
+# a real pipeline keeps materialized). Output: the surviving new doc ids
+# with the reason columns the audit log wants.
+# ---------------------------------------------------------------------------
+_INCR_ORACLE = """
+WITH newdocs AS (SELECT * FROM documents WHERE doc_id % 10 = 7),
+corpus AS (SELECT * FROM documents WHERE doc_id % 10 <> 7),
+exact_hit AS (
+  SELECT DISTINCT n.doc_id FROM newdocs n
+  JOIN corpus c ON md5(n.text) = md5(c.text)
+),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+    FROM (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+         UNNEST(range(1, greatest(len(t) - 2, 1) + 1)) AS u(i)
+  )
+),
+agg AS (
+  SELECT doc_id,
+         min(substr(md5(shingle), 1, 8)) AS m0,
+         min(substr(md5(shingle), 9, 8)) AS m1,
+         min(substr(md5(shingle), 17, 8)) AS m2,
+         min(substr(md5(shingle), 25, 8)) AS m3,
+         min(substr(md5('x' || shingle), 1, 8)) AS m4,
+         min(substr(md5('x' || shingle), 9, 8)) AS m5,
+         min(substr(md5('x' || shingle), 17, 8)) AS m6,
+         min(substr(md5('x' || shingle), 25, 8)) AS m7
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, b.band, b.bk FROM agg,
+  UNNEST([
+    {'band': 0, 'bk': m0 || '|' || m1}, {'band': 1, 'bk': m2 || '|' || m3},
+    {'band': 2, 'bk': m4 || '|' || m5}, {'band': 3, 'bk': m6 || '|' || m7}
+  ]) AS u(b)
+),
+lsh_hit AS (
+  SELECT DISTINCT nb.doc_id
+  FROM bands nb
+  JOIN bands cb ON nb.band = cb.band AND nb.bk = cb.bk
+  WHERE nb.doc_id % 10 = 7 AND cb.doc_id % 10 <> 7
+)
+SELECT n.doc_id,
+       CAST(CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END AS INT) AS exact_dup,
+       CAST(CASE WHEN l.doc_id IS NOT NULL THEN 1 ELSE 0 END AS INT) AS near_dup
+FROM newdocs n
+LEFT JOIN exact_hit e ON n.doc_id = e.doc_id
+LEFT JOIN lsh_hit l ON n.doc_id = l.doc_id
+"""
+
+
+@register("dedup_incremental", _INCR_ORACLE)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % 10 == 7
+    newdocs = docs.filter(is_new)
+    corpus = docs.filter(~is_new)
+    exact_hit = (
+        newdocs.select("doc_id", F.md5("text").alias("h"))
+        .join(corpus.select(F.md5("text").alias("h")).distinct(), "h", "left_semi")
+        .select("doc_id")
+    )
+    # banded minhash index over both sides; probe = new-band ⋈ corpus-band
+    sig = dedup.minhash_signatures(docs, "doc_id", "text", k=3, n_hashes=8)
+    banded = (
+        sig.withColumn("band", (F.substring("seed", 2, 2).cast("int") / 2).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.concat_ws(
+                "|",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("seed", "mh"))), lambda s: s["mh"]
+                ),
+            ).alias("bk")
+        )
+    )
+    nb = banded.filter(F.col("doc_id") % 10 == 7)
+    cb = banded.filter(F.col("doc_id") % 10 != 7).select(
+        "band", "bk"
+    ).distinct()
+    lsh_hit = nb.join(cb, ["band", "bk"], "left_semi").select("doc_id").distinct()
+    return (
+        newdocs.select("doc_id")
+        .join(exact_hit.withColumn("exact_dup", F.lit(1)), "doc_id", "left")
+        .join(lsh_hit.withColumn("near_dup", F.lit(1)), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("exact_dup", F.lit(0)).cast("int").alias("exact_dup"),
+            F.coalesce("near_dup", F.lit(0)).cast("int").alias("near_dup"),
+        )
+    )
