@@ -111,3 +111,44 @@ def test_ngram_jaccard_matches_set_model(spark, texts):
         for r in ngram_jaccard(df, "doc_id", "text", k=3, threshold_pct=50).collect()
     }
     assert got == _jaccard_model(texts)
+
+
+def _uf_components(n_nodes: int, edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Reference model: union-find, canonical label = min node id."""
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {i: find(i) for i in range(n_nodes)}
+
+
+_EDGES = st.lists(
+    st.tuples(st.integers(0, 9), st.integers(0, 9)).filter(lambda e: e[0] != e[1]),
+    min_size=0,
+    max_size=12,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(edges=_EDGES)
+def test_connected_components_matches_union_find(spark, edges):
+    from gmall_spark.extras.dedup import connected_components
+
+    n = 10
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    edf = spark.createDataFrame(edges or [(0, 0)], "src long, dst long")
+    if not edges:
+        edf = edf.filter("src <> dst")  # typed-empty edge list
+    got = {
+        (r["node"], r["cluster_id"])
+        for r in connected_components(nodes, edf, "id", "src", "dst").collect()
+    }
+    assert got == set(_uf_components(n, edges).items())
