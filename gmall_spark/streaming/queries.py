@@ -327,6 +327,67 @@ def streaming_keyword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_order_wide",
+    """
+    SELECT o.o_orderkey, l.l_linenumber, o.o_custkey, c.c_name,
+           CAST(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                     * (1 - CAST(l.l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4)) AS DOUBLE)
+             AS revenue
+    FROM orders o
+    JOIN lineitem l
+      ON o.o_orderkey = l.l_orderkey
+     AND l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate <= o.o_orderdate + INTERVAL '30 days'
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def streaming_order_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1+J3 live — the reference's flagship pipeline (OrderWideApp.java:
+    96-105, 112-225) end to end: order and detail streams interval-joined
+    on the shared key within the event-time window, then dim-enriched via a
+    stream-static broadcast join. Inner matches emit as found (no watermark
+    holdback), so the single-batch run equals the batch join exactly."""
+    from gmall_spark.sources import load_table
+    from gmall_spark.streaming.pipelines import stream_table
+
+    orders = stream_table(
+        spark,
+        sf_dir,
+        "orders",
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).withColumnRenamed("o_orderkey", "okey")
+    lineitem = stream_table(
+        spark,
+        sf_dir,
+        "lineitem",
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    ).withColumnRenamed("l_orderkey", "okey")
+    joined = interval_join_stream(
+        orders, lineitem, "okey", "o_orderdate", "l_shipdate", "0 days", "30 days"
+    )
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    wide = joined.select(
+        F.col("l.okey").alias("o_orderkey"),
+        "l_linenumber",
+        "o_custkey",
+        (
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+        )
+        .cast("decimal(18,4)")
+        .cast("double")
+        .alias("revenue"),
+    ).join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey")).select(
+        "o_orderkey", "l_linenumber", "o_custkey", "c_name", "revenue"
+    )
+    return run_to_memory(wide, _name("s_ow"))
+
+
+@register(
     "streaming_union_stats",
     f"""
     -- the watermark column is marked AFTER the union, so its event-time max
