@@ -415,8 +415,13 @@ def connected_components(
     long-chain graphs swap in large-star/small-star (alternating pointer
     jumping) — same per-round shape, O(log n) rounds.
     """
-    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
-        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    # persisted: every propagation round re-references the edge list — without
+    # this the (possibly expensive) upstream pair-generation DAG re-executes
+    # once per iteration
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .persist()
     )
     labels = nodes.select(F.col(node_col).alias("node")).withColumn(
         "label", F.col("node")
