@@ -1515,3 +1515,52 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("near_dup", F.lit(0)).cast("int").alias("near_dup"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed embedding near-dup — the scale path for dedup_embedding_cosine
+# (which stays the guarded broadcast baseline): candidates from shared
+# hyperplane buckets, cosine verified per bucket, pair-deduped across
+# tables. Approximate by construction (recall vs the exact kernel asserted
+# in tests); fully deterministic, so the oracle replays it end to end.
+# ---------------------------------------------------------------------------
+_NEAR_DUP_LSH_ORACLE = """
+WITH norm AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+),
+planes AS (
+  SELECT t, b,
+         list_transform(range(0, 64), d ->
+           CASE WHEN substr(md5('h' || t || ':' || b || ',' || d), 1, 1) >= '8'
+                THEN 1.0 ELSE -1.0 END) AS w
+  FROM (SELECT unnest(range(0, 12)) AS t), (SELECT unnest(range(0, 6)) AS b)
+),
+sigs AS (
+  SELECT n.vec_id, p.t AS tbl,
+         CAST(sum(CASE WHEN list_dot_product(n.v, p.w) > 0
+                       THEN 1 << (5 - p.b) ELSE 0 END) AS BIGINT) AS sig
+  FROM norm n, planes p
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM sigs a JOIN sigs b
+    ON a.tbl = b.tbl AND a.sig = b.sig AND a.vec_id < b.vec_id
+)
+SELECT c.vec_a, c.vec_b,
+       CAST(CASE WHEN na.label = nb.label THEN 1 ELSE 0 END AS BIGINT) AS same_label
+FROM cand c
+JOIN norm na ON c.vec_a = na.vec_id
+JOIN norm nb ON c.vec_b = nb.vec_id
+WHERE list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm) > 0.4
+"""
+
+
+@register("dedup_embedding_lsh", _NEAR_DUP_LSH_ORACLE)
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_near_dup_lsh(
+        emb, "vec_id", "embedding", "label", threshold=0.4, n_bits=6, n_tables=12
+    )

@@ -490,3 +490,56 @@ def ivf_ann(
         "vec_id long, neighbor_id long, sim double",
     )
     return _global_rank(local, k, dedup_pairs=False)
+
+
+def cosine_near_dup_lsh(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    threshold: float = 0.4,
+    n_bits: int = 6,
+    n_tables: int = 12,
+) -> DataFrame:
+    """The 100 TB path for embedding near-dup pairs: candidates from shared
+    LSH buckets (never n²), cosine verified per bucket with one BLAS matmul,
+    pair-deduped across tables. APPROXIMATE by construction — a qualifying
+    pair is missed only if it collides in none of the L tables (recall is
+    tuned by n_bits/n_tables and asserted vs the exact kernel in tests).
+    Output: (vec_a, vec_b, same_label), a < b — the same contract as
+    cosine_near_dup, which stays the guarded small-corpus baseline."""
+    import numpy as np
+    import pandas as pd
+
+    sigs = signatures(df, id_col, vec_col, n_bits, n_tables, with_vec=True)
+    empty = pd.DataFrame({"vec_a": [], "vec_b": []})
+
+    def kernel(pdf):
+        if len(pdf) < 2:
+            return empty
+        X = np.stack(pdf["_v"].to_numpy()).astype("float64")
+        ids = pdf[id_col].to_numpy()
+        nrm = np.sqrt((X * X).sum(axis=1))
+        S = (X @ X.T) / (nrm[:, None] * nrm[None, :])
+        ia, ib = np.nonzero(np.triu(S > threshold, k=1))
+        a, b = ids[ia], ids[ib]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame({"vec_a": lo, "vec_b": hi})
+
+    pairs = (
+        sigs.groupBy("table", "sig")
+        .applyInPandas(kernel, "vec_a long, vec_b long")
+        .distinct()
+    )
+    labels = df.select(F.col(id_col), F.col(label_col))
+    la = labels.select(F.col(id_col).alias("vec_a"), F.col(label_col).alias("_la"))
+    lb = labels.select(F.col(id_col).alias("vec_b"), F.col(label_col).alias("_lb"))
+    return (
+        pairs.join(la, "vec_a")
+        .join(lb, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            (F.col("_la") == F.col("_lb")).cast("long").alias("same_label"),
+        )
+    )

@@ -105,3 +105,25 @@ def test_prefix_filtered_jaccard_is_exact(spark):
         for r in ngram_jaccard_prefix(docs, "doc_id", "text", 3, 50).collect()
     }
     assert prefix == plain
+
+
+def test_lsh_near_dup_recall_vs_exact(spark):
+    """The LSH-bucketed near-dup path must recover a meaningful fraction of
+    the exact pair set, and NEVER emit a pair the exact kernel would not
+    (per-bucket verify uses the same cosine threshold)."""
+    emb = load_table(spark, SF, "embeddings")
+    exact_pairs = {
+        (r.vec_a, r.vec_b)
+        for r in similarity.cosine_near_dup(
+            emb, "vec_id", "embedding", "label", threshold=0.4
+        ).collect()
+    }
+    lsh_pairs = {
+        (r.vec_a, r.vec_b)
+        for r in similarity.cosine_near_dup_lsh(
+            emb, "vec_id", "embedding", "label", threshold=0.4
+        ).collect()
+    }
+    assert lsh_pairs <= exact_pairs  # no false positives
+    if exact_pairs:
+        assert len(lsh_pairs) / len(exact_pairs) > 0.3
