@@ -19,10 +19,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table. Columnar scan: column pruning + predicate
     pushdown reach the parquet reader (verify via plans.scan_info).
 
-    The testdata writes TIMESTAMP(NANOS) parquet, which Spark's vectorized
-    reader rejects; we read nanos as long (runtime-settable legacy conf) and
-    truncate to micros exactly like DuckDB's ns→µs view does. Integer `div`
-    keeps 19-digit nanos exact (a double round-trip would corrupt them).
+    Testdata timestamps are naive (no zone) and have shipped as both
+    TIMESTAMP(NANOS) and TIMESTAMP(MICROS) parquet across driver versions.
+    Nanos would crash Spark's vectorized reader, so we read them as long
+    (runtime-settable legacy conf) and truncate to micros exactly like
+    DuckDB's ns→µs view does — integer `div` keeps 19-digit nanos exact.
+    Naive micros infer as TIMESTAMP_NTZ under Spark 4 defaults, which breaks
+    numeric casts and differs per calling session, so every temporal column
+    is normalized to plain TIMESTAMP in the pinned-UTC session: identical
+    wall-clock values to DuckDB's naive timestamps either way.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # every temporal-string output assumes UTC; the caller's session (e.g.
@@ -33,6 +38,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(path)
     for col in _nanos_columns(path):
         df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    for field in df.schema.fields:
+        if isinstance(field.dataType, T.TimestampNTZType):
+            df = df.withColumn(field.name, F.col(field.name).cast(T.TimestampType()))
     return df
 
 

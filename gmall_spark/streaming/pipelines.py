@@ -26,21 +26,28 @@ from gmall_spark.schemas import EVENTS_SCHEMA
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-stream over the events table (S1 stand-in; schema from
-    schemas.EVENTS_SCHEMA, ns-timestamps read as long then truncated to µs
-    exactly like the batch loader).
+    schemas.EVENTS_SCHEMA, normalized to µs TIMESTAMP exactly like the batch
+    loader — testdata has shipped both ns and µs naive timestamps, so the
+    declared schema branches on the parquet footer).
 
     maxFilesPerTrigger=1 keeps micro-batches bounded — the same knob that
     caps per-trigger intake from Kafka (maxOffsetsPerTrigger) at scale.
     """
+    import pyarrow.parquet as pq
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
+    ts_type = str(pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type)
+    ts_decl = "long" if ts_type == "timestamp[ns]" else "timestamp"
+    schema = f"event_id long, ts {ts_decl}, user_id long, event_type string, value double, props string"
     raw = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(_table_dir(sf_dir, "events"))
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_decl == "long":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
 
 
 def stream_table(spark: SparkSession, sf_dir: str, name: str, schema: str) -> DataFrame:
