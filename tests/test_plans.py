@@ -150,3 +150,67 @@ def test_profile_table_single_scan(spark):
 def test_text_repetition_shuffle_free(spark):
     plan = physical_plan(QUERIES["text_repetition"](spark, SF))
     assert "Exchange" not in plan, plan
+
+
+# --- TPC-H-shape completion (queries_tpch.py) ------------------------------
+
+
+def test_volume_shipping_broadcasts_dims_no_nested_loop(spark):
+    df = QUERIES["volume_shipping"](spark, SF)
+    assert_broadcast(df, at_least=3)  # supplier + both nation roles
+    assert "NestedLoop" not in physical_plan(df).replace(
+        "BroadcastNestedLoopJoin", ""
+    )
+
+
+def test_market_share_broadcasts_all_dims(spark):
+    # part, cust-nation, region, supplier, supp-nation
+    assert_broadcast(QUERIES["market_share"](spark, SF), at_least=5)
+
+
+def test_min_cost_supplier_part_filter_pushdown(spark):
+    df = QUERIES["min_cost_supplier"](spark, SF)
+    assert_pushdown(df, "p_size")
+    # window-min decorrelation: the candidate set is built from ONE
+    # lineitem rollup, not one scan per correlated probe
+    lineitem_scans = [
+        s for s in scan_info(df) if "l_partkey" in s["read_schema"]
+    ]
+    assert len(lineitem_scans) == 1, lineitem_scans
+
+
+def test_product_type_profit_broadcasts(spark):
+    # part, supplier, nation
+    assert_broadcast(QUERIES["product_type_profit"](spark, SF), at_least=3)
+
+
+def test_promo_revenue_shipdate_pushdown(spark):
+    assert_pushdown(QUERIES["promo_revenue"](spark, SF), "l_shipdate")
+
+
+def test_top_supplier_shipdate_pushdown(spark):
+    assert_pushdown(QUERIES["top_supplier"](spark, SF), "l_shipdate")
+
+
+def test_potential_promotion_single_rollup_scan(spark):
+    # the per-part total is a window over the (supp, part) rollup — adding
+    # it must NOT re-scan lineitem
+    df = QUERIES["potential_promotion"](spark, SF)
+    lineitem_scans = [
+        s for s in scan_info(df) if "l_quantity" in s["read_schema"]
+    ]
+    assert len(lineitem_scans) == 1, lineitem_scans
+
+
+def test_waiting_orders_no_cartesian(spark):
+    # EXISTS/NOT-EXISTS decorrelated into a per-order rollup: no join in
+    # the plan may degrade to a cartesian product
+    plan = physical_plan(QUERIES["waiting_orders"](spark, SF))
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_sales_opportunity_anti_join_and_date_pushdown(spark):
+    df = QUERIES["sales_opportunity"](spark, SF)
+    plan = physical_plan(df)
+    assert "LeftAnti" in plan, plan
+    assert_pushdown(df, "o_orderdate")
