@@ -137,3 +137,74 @@ def dim_enrich(
         d = F.broadcast(dim) if broadcast_dims else dim
         out = out.join(d, out[fact_key] == dim[dim_key], how)
     return out
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    direction: str = "backward",
+) -> DataFrame:
+    """As-of join: each left row picks the single nearest right row at-or-
+    before its timestamp (``direction="backward"``; ``"forward"`` = at-or-
+    after). Left-outer semantics — unmatched left rows keep nulls for the
+    right columns. Ties on the timestamp match (at-or-before is inclusive).
+
+    Spark has no ASOF JOIN (DuckDB/Pandas do), and the naive formulations
+    die at scale: a range join explodes into O(|matches|) intermediate rows
+    before the argmax prunes them, and a windowed self-join rescans. This is
+    the union-carry-forward formulation instead: tag both sides, union on a
+    common layout, and carry the latest right payload forward with
+    ``last(ignorenulls)`` over (key, ts) ordering — ONE shuffle on the key,
+    O(n) state, no row explosion, and the sort is the same sort a sort-merge
+    join would have done anyway.
+
+    Right rows order before left rows at equal timestamps (secondary sort on
+    a side tag), which is exactly the inclusive at-or-before tie rule.
+
+    Output columns: all of ``left``'s, then right's payload columns (the
+    right key column is dropped as redundant; its timestamp is kept — for
+    gap arithmetic — and must therefore be named differently from
+    ``left_ts``).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if left_ts == right_ts:
+        raise ValueError("left_ts and right_ts must be named differently")
+    from pyspark.sql import Window
+
+    rpay = [c for c in right.columns if c != on]
+    overlap = set(rpay) & set(left.columns)
+    if overlap:
+        raise ValueError(f"right payload columns collide with left: {sorted(overlap)}")
+    rstruct = F.struct(*[F.col(c) for c in rpay])
+    l2 = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_l"),
+        F.lit(None).cast(right.select(rstruct).schema[0].dataType).alias("_r"),
+    )
+    r2 = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(left.select(F.struct(*left.columns)).schema[0].dataType).alias("_l"),
+        rstruct.alias("_r"),
+    )
+    order = [F.col("_ts").asc(), F.col("_side").asc()]
+    if direction == "forward":
+        order = [F.col("_ts").desc(), F.col("_side").asc()]
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        l2.unionByName(r2)
+        .withColumn("_m", F.last("_r", ignorenulls=True).over(w))
+        .filter(F.col("_side") == 1)
+    )
+    return matched.select("_l.*", *[F.col(f"_m.{c}").alias(c) for c in rpay])

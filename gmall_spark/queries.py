@@ -1652,3 +1652,51 @@ def large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_totalprice").cast("double").alias("o_totalprice"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# As-of join — the classic time-series enrichment Spark lacks as a built-in
+# (DuckDB ships ASOF JOIN natively, which is the oracle here). Each purchase
+# event is attributed to the same user's most recent at-or-before view via
+# operators.joins.asof_join — the union-carry-forward formulation: one
+# shuffle on user_id, O(n) state, no range-explosion (a naive range join
+# materializes every earlier view per purchase before pruning).
+# The view side is pre-deduped to one row per (user, ts) — max event_id —
+# so the at-or-before tie-break is deterministic on both engines.
+# ---------------------------------------------------------------------------
+@register(
+    "asof_view_attrib",
+    """
+    WITH p AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ), v AS (
+      SELECT user_id, ts AS view_ts, CAST(max(event_id) AS BIGINT) AS view_event_id
+      FROM events WHERE event_type = 'view' GROUP BY 1, 2
+    )
+    SELECT p.event_id, p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           v.view_event_id,
+           strftime(v.view_ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+           CAST(date_diff('second', v.view_ts, p.ts) AS BIGINT) AS gap_sec
+    FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.view_ts <= p.ts
+    """,
+)
+def asof_view_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_spark.operators.joins import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id", F.col("ts").alias("view_ts"))
+        .agg(F.max("event_id").alias("view_event_id"))
+    )
+    j = asof_join(p, v, on="user_id", left_ts="ts", right_ts="view_ts")
+    return j.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", TS_FMT).alias("purchase_ts"),
+        "view_event_id",
+        F.date_format("view_ts", TS_FMT).alias("view_ts"),
+        (F.col("ts").cast("long") - F.col("view_ts").cast("long")).alias("gap_sec"),
+    )

@@ -157,3 +157,66 @@ def test_ngram_jaccard_hot_shingle_cap(spark):
     assert (
         ngram_jaccard(docs, "doc_id", "text", 3, 50, max_shingle_df=1).count() == 0
     )  # a shared shingle has df >= 2 by definition — bound enforced
+
+
+def test_asof_join_matches_naive_range_argmax(spark):
+    """asof_join (union-carry-forward, one shuffle) must equal the naive
+    range-join + per-left-row argmax it replaces."""
+    from pyspark.sql import functions as F
+
+    from gmall_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(k, t, f"L{k}-{t}") for k in range(20) for t in range(0, 100, 7)],
+        "k int, lt int, lval string",
+    )
+    right = spark.createDataFrame(
+        # deliberately sparse + some keys absent entirely
+        [(k, t, f"R{k}-{t}") for k in range(15) for t in range(0, 100, 13)],
+        "k int, rt int, rval string",
+    )
+    got = asof_join(left, right, on="k", left_ts="lt", right_ts="rt").orderBy(
+        "k", "lt"
+    )
+    naive = (
+        left.join(right, (left.k == right.k) & (F.col("rt") <= F.col("lt")), "left")
+        .drop(right.k)
+        .groupBy("k", "lt", "lval")
+        .agg(F.max_by(F.struct("rt", "rval"), "rt").alias("m"))
+        .select("k", "lt", "lval", F.col("m.rt").alias("rt"), F.col("m.rval").alias("rval"))
+        .orderBy("k", "lt")
+    )
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in naive.collect()]
+
+
+def test_asof_join_forward_and_tie_inclusive(spark):
+    from gmall_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame([(1, 10, "a"), (1, 20, "b")], "k int, lt int, lv string")
+    right = spark.createDataFrame(
+        [(1, 10, "r10"), (1, 15, "r15"), (1, 25, "r25")], "k int, rt int, rv string"
+    )
+    back = {
+        (r["lt"]): r["rv"]
+        for r in asof_join(left, right, "k", "lt", "rt").collect()
+    }
+    # at-or-before is INCLUSIVE: lt=10 matches rt=10
+    assert back == {10: "r10", 20: "r15"}
+    fwd = {
+        (r["lt"]): r["rv"]
+        for r in asof_join(left, right, "k", "lt", "rt", direction="forward").collect()
+    }
+    assert fwd == {10: "r10", 20: "r25"}
+
+
+def test_asof_join_single_shuffle(spark):
+    """The whole as-of join is ONE hash exchange on the key — the property
+    that makes it viable at 100 TB (a range join explodes first, an
+    argmax-after-join shuffles twice)."""
+    from gmall_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame([(1, 10, "a")], "k int, lt int, lv string")
+    right = spark.createDataFrame([(1, 5, "r")], "k int, rt int, rv string")
+    df = asof_join(left, right, "k", "lt", "rt")
+    tree = df._jdf.queryExecution().executedPlan().toString()
+    assert tree.count("Exchange hashpartitioning") == 1, tree
