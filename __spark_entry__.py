@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 def _registry():
     from gmall_spark import queries as core
+    import gmall_spark.extras.graph  # noqa: F401 — registers graph entries
     import gmall_spark.extras.queries  # noqa: F401 — registers extras on import
     import gmall_spark.queries_tpch  # noqa: F401 — registers TPC-H-shape entries
     import gmall_spark.streaming.queries  # noqa: F401 — registers streaming entries
