@@ -208,3 +208,46 @@ def asof_join(
         .filter(F.col("_side") == 1)
     )
     return matched.select("_l.*", *[F.col(f"_m.{c}").alias(c) for c in rpay])
+
+
+def range_join(
+    facts: DataFrame,
+    bands: DataFrame,
+    value_col: str,
+    lo_col: str,
+    hi_col: str,
+    grid: float,
+    how: str = "inner",
+) -> DataFrame:
+    """Range join: match each fact row to every band with
+    ``lo <= value < hi`` — WITHOUT the nested-loop plan Spark would pick
+    for a bare range predicate.
+
+    Grid bucketing: every band explodes over the width-``grid`` cells it
+    covers, facts compute their single cell, and the join becomes an
+    EQUI-join on the cell with the range as a residual filter. A
+    nested-loop compares every fact against every band (|facts|·|bands|
+    work — the 100 TB killer even when the band table broadcasts); the
+    bucketed form does one hash probe per fact plus |band_width/grid|
+    duplicate band rows, tunable via ``grid``.
+
+    Bands may overlap (a fact matches each); hi is exclusive.
+    """
+    cells = bands.withColumn(
+        "_cell",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / grid).cast("long"),
+                (F.ceil(F.col(hi_col) / grid) - 1).cast("long"),
+            )
+        ),
+    )
+    probed = facts.withColumn("_cell", F.floor(F.col(value_col) / grid).cast("long"))
+    out = probed.join(
+        F.broadcast(cells),
+        (probed["_cell"] == cells["_cell"])
+        & (probed[value_col] >= cells[lo_col])
+        & (probed[value_col] < cells[hi_col]),
+        how,
+    )
+    return out.drop("_cell")

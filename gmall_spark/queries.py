@@ -1700,3 +1700,37 @@ def asof_view_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("view_ts", TS_FMT).alias("view_ts"),
         (F.col("ts").cast("long") - F.col("view_ts").cast("long")).alias("gap_sec"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Range join — banded value classification via operators.joins.range_join
+# (grid-bucketed: bands explode over covering cells, facts hash-probe their
+# cell — an equi-join, not the nested loop a bare range predicate plans).
+# ---------------------------------------------------------------------------
+@register(
+    "value_band_stats",
+    """
+    SELECT b.band,
+           CAST(count(*) AS BIGINT) AS event_ct,
+           CAST(CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS value_sum
+    FROM events e
+    JOIN (VALUES ('micro', 0, 1), ('small', 1, 5), ('mid', 5, 20),
+                 ('large', 20, 100), ('huge', 100, 500)) b(band, lo, hi)
+      ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY 1
+    """,
+)
+def value_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_spark.operators.joins import range_join
+
+    e = load_table(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        [("micro", 0, 1), ("small", 1, 5), ("mid", 5, 20),
+         ("large", 20, 100), ("huge", 100, 500)],
+        "band string, lo int, hi int",
+    )
+    j = range_join(e, bands, "value", "lo", "hi", grid=25.0)
+    return j.groupBy("band").agg(
+        F.count(F.lit(1)).alias("event_ct"),
+        F.sum(money("value")).cast("decimal(18,2)").cast("double").alias("value_sum"),
+    )

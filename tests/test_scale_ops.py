@@ -247,3 +247,44 @@ def test_pagerank_star_sink_accumulates(spark):
     assert len({got[i] for i in range(1, 5)}) == 1  # leaves identical
     total = sum(got.values())
     assert 5 * 1_000_000 - 100 <= total <= 5 * 1_000_000
+
+
+def test_range_join_matches_naive_and_handles_overlap(spark):
+    from pyspark.sql import functions as F
+
+    from gmall_spark.operators.joins import range_join
+
+    facts = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate([0.0, 0.5, 1.0, 7.3, 24.9, 25.0, 99.99, 100.0, 250.0])],
+        "id int, v double",
+    )
+    bands = spark.createDataFrame(
+        # deliberately overlapping: [5,30) and [20,100) both cover 24.9
+        [("a", 0, 1), ("b", 1, 5), ("c", 5, 30), ("d", 20, 100), ("e", 100, 500)],
+        "band string, lo int, hi int",
+    )
+    got = sorted(
+        (r["id"], r["band"])
+        for r in range_join(facts, bands, "v", "lo", "hi", grid=7.0).collect()
+    )
+    naive = sorted(
+        (r["id"], r["band"])
+        for r in facts.join(
+            bands, (facts.v >= bands.lo) & (facts.v < bands.hi)
+        ).collect()
+    )
+    assert got == naive
+    assert (24.9, ) not in got  # sanity: tuples are (id, band)
+    # 24.9 (id=4) matches both overlapping bands
+    assert [b for i, b in got if i == 4] == ["c", "d"]
+
+
+def test_range_join_plans_equi_not_nested_loop(spark):
+    from gmall_spark.operators.joins import range_join
+
+    facts = spark.createDataFrame([(1, 3.0)], "id int, v double")
+    bands = spark.createDataFrame([("a", 0, 10)], "band string, lo int, hi int")
+    df = range_join(facts, bands, "v", "lo", "hi", grid=5.0)
+    tree = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in tree, tree
+    assert "BroadcastHashJoin" in tree, tree
