@@ -25,6 +25,13 @@ Scale notes per query in the docstrings — the shared posture: dims
 (supplier/nation/region/part) broadcast; facts shuffle once on their
 join/agg key; correlated subqueries decorrelated into window functions or
 agg-and-join-back so lineitem scans stay O(1) per query.
+
+Broadcast nuance: nation/region are BOUNDED dims (25/5 rows at any scale) —
+their hints hold at 1000×. part/supplier grow with scale factor; their
+explicit hints are sized to the benchmark SFs, and past the executor-memory
+point the right move is to drop the hint and let AQE's size-based
+promotion pick broadcast vs shuffle at runtime (the filtered sides here —
+one region's suppliers, one type's parts — stay far below that point).
 """
 
 from __future__ import annotations

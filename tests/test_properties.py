@@ -152,3 +152,44 @@ def test_connected_components_matches_union_find(spark, edges):
         for r in connected_components(nodes, edf, "id", "src", "dst").collect()
     }
     assert got == set(_uf_components(n, edges).items())
+
+
+# --- as-of join vs a direct scan model --------------------------------------
+
+_ASOF_LEFT = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 50)), min_size=1, max_size=25
+)
+_ASOF_RIGHT = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 50)), min_size=0, max_size=25
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(raw_l=_ASOF_LEFT, raw_r=_ASOF_RIGHT)
+def test_asof_join_matches_scan_model(spark, raw_l, raw_r):
+    """asof_join vs the obvious per-row scan: for each left row, the right
+    row with the max rt <= lt on the same key (rows deduped per (k, ts) so
+    the match is well-defined)."""
+    from gmall_spark.operators.joins import asof_join
+
+    lefts = sorted(set(raw_l))
+    rights = sorted(set(raw_r))
+    left = spark.createDataFrame(
+        [(k, t, f"L{k}:{t}") for k, t in lefts], "k long, lt long, lv string"
+    )
+    right = spark.createDataFrame(
+        [(k, t, f"R{k}:{t}") for k, t in rights], "k long, rt long, rv string"
+    ).filter("rt >= 0")
+
+    expect = {}
+    for k, lt in lefts:
+        cand = [(rt, rv) for (rk, rt), rv in
+                (((rk, rt), f"R{rk}:{rt}") for rk, rt in rights)
+                if rk == k and rt <= lt]
+        expect[(k, lt)] = max(cand)[1] if cand else None
+
+    got = {
+        (r["k"], r["lt"]): r["rv"]
+        for r in asof_join(left, right, "k", "lt", "rt").collect()
+    }
+    assert got == expect
