@@ -54,3 +54,53 @@ def write_jdbc(
         .options(**opts)
         .save()
     )
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    target_mb: int = 256,
+    partition_by: Sequence[str] = (),
+) -> int:
+    """Small-files compaction — the maintenance op every long-running
+    partitioned sink needs at scale: streaming micro-batches and routed
+    writes leave thousands of KB-sized files per directory, and at 100 TB
+    the NameNode/listing pressure plus per-file open cost dominate reads.
+
+    Rewrites ``path`` so files are ~``target_mb``: sizes the shuffle from
+    the ACTUAL byte size on disk (not row counts), writes to a sibling
+    temp dir, then atomically swaps directories. Returns the output file
+    count. Local/posix rename semantics; object stores need a
+    copy-then-delete variant.
+
+    repartition (not coalesce): coalesce collapses upstream parallelism
+    into the merged tasks; a shuffle-repartition keeps the read parallel
+    and balances output file sizes.
+    """
+    import math
+    import os
+    import shutil
+
+    total_bytes = sum(
+        os.path.getsize(os.path.join(dirpath, f))
+        for dirpath, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total_bytes / (target_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "__compacting"
+    w = df.repartition(n_files).write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(tmp)
+    old = path.rstrip("/") + "__old"
+    shutil.move(path, old)
+    shutil.move(tmp, path)
+    shutil.rmtree(old)
+    return sum(
+        1
+        for _, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )

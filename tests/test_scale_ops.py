@@ -288,3 +288,21 @@ def test_range_join_plans_equi_not_nested_loop(spark):
     tree = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in tree, tree
     assert "BroadcastHashJoin" in tree, tree
+
+
+def test_compact_parquet_shrinks_files_preserves_rows(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from gmall_spark.sinks.batch import compact_parquet
+
+    path = str(tmp_path / "frag")
+    # simulate a micro-batch-fragmented sink: 64 tiny files
+    spark.range(10_000).withColumn("v", F.col("id") * 2).repartition(64).write.parquet(path)
+    import os
+    before = sum(1 for _, _, fs in os.walk(path) for f in fs if f.endswith(".parquet"))
+    assert before == 64
+    n_after = compact_parquet(spark, path, target_mb=256)
+    assert n_after == 1  # 10k rows ≪ 256 MB
+    out = spark.read.parquet(path)
+    assert out.count() == 10_000
+    assert out.agg(F.sum("v")).collect()[0][0] == 2 * sum(range(10_000))
