@@ -543,3 +543,56 @@ def streaming_cdc_route(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("row_ct")
     )
     return run_to_memory(out, _name("s_cdc"), output_mode="complete")
+
+
+@register(
+    "streaming_value_band",
+    f"""
+    WITH wm AS {_WM_MS},
+    agg AS (
+      SELECT b.band, time_bucket(INTERVAL '10 minutes', e.ts) AS ws,
+             CAST(count(*) AS BIGINT) AS event_ct,
+             CAST(CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS value_sum
+      FROM events e
+      JOIN (VALUES ('micro', 0, 1), ('small', 1, 5), ('mid', 5, 20),
+                   ('large', 20, 100), ('huge', 100, 500)) b(band, lo, hi)
+        ON e.value >= b.lo AND e.value < b.hi
+      GROUP BY 1, 2
+    )
+    SELECT band, event_ct, value_sum,
+           strftime(ws, '{_DUCK_FMT}') AS stt,
+           strftime(ws + INTERVAL '10 minutes', '{_DUCK_FMT}') AS edt
+    FROM agg, wm
+    WHERE epoch_us(ws + INTERVAL '10 minutes') // 1000 <= wm.wm_ms
+    """,
+)
+def streaming_value_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join on a live stream: band classification is stream-static
+    (the grid-bucketed equi-join works unchanged per micro-batch — stateless,
+    so no watermark interaction), then a watermarked tumbling count/sum per
+    band emits on closure. The streaming twin of value_band_stats."""
+    from gmall_spark.operators.joins import range_join
+
+    ev = stream_events(spark, sf_dir)
+    bands = spark.createDataFrame(
+        [("micro", 0, 1), ("small", 1, 5), ("mid", 5, 20),
+         ("large", 20, 100), ("huge", 100, 500)],
+        "band string, lo int, hi int",
+    )
+    j = range_join(ev, bands, "value", "lo", "hi", grid=25.0).select(
+        "band", "ts", "value"
+    )
+    out = windowed_stats_stream(
+        j,
+        "ts",
+        "10 minutes",
+        ["band"],
+        [
+            F.count(F.lit(1)).alias("event_ct"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias("value_sum"),
+        ],
+    )
+    return run_to_memory(out, _name("s_band"))
