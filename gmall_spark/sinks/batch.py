@@ -104,3 +104,57 @@ def compact_parquet(
         for f in files
         if f.endswith(".parquet")
     )
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    cols: Sequence[str],
+    n_files: int = 16,
+    bits: int = 16,
+) -> None:
+    """Z-order (Morton) layout write — multi-column data skipping for scans
+    that filter on ANY of ``cols``, not just a lexicographic prefix. A plain
+    sort by (a, b) clusters a perfectly and b not at all; interleaving the
+    bit patterns clusters both, so parquet row-group min/max stats prune
+    files for predicates on either column. At 100 TB this is the difference
+    between scanning a shard and scanning the table when queries filter on
+    two independent dimensions.
+
+    Each column is min-max normalized to ``bits`` bits (two scalar aggs,
+    broadcast — no collect), the z-value is built from pure JVM bit
+    expressions (shiftright/and/shiftleft — whole-stage codegen, no UDF),
+    and repartitionByRange + sortWithinPartitions gives globally
+    range-partitioned, locally sorted files.
+    """
+    from pyspark.sql import functions as F
+
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"_min_{c}"), F.max(c).alias(f"_max_{c}")]
+    stats = df.agg(*aggs)
+    out = df.crossJoin(F.broadcast(stats))
+    scaled = []
+    top = (1 << bits) - 1
+    for c in cols:
+        rng = F.col(f"_max_{c}") - F.col(f"_min_{c}")
+        norm = F.when(rng == 0, F.lit(0)).otherwise(
+            ((F.col(c) - F.col(f"_min_{c}")) * top / rng).cast("long")
+        )
+        scaled.append(norm)
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, s in enumerate(scaled):
+            z = z + F.shiftleft(
+                F.shiftright(s, i).bitwiseAND(F.lit(1)), i * len(cols) + j
+            ).cast("long")
+    out = out.withColumn("_z", z).drop(
+        *[f"_min_{c}" for c in cols], *[f"_max_{c}" for c in cols]
+    )
+    (
+        out.repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -306,3 +306,50 @@ def test_compact_parquet_shrinks_files_preserves_rows(spark, tmp_path):
     out = spark.read.parquet(path)
     assert out.count() == 10_000
     assert out.agg(F.sum("v")).collect()[0][0] == 2 * sum(range(10_000))
+
+
+def test_zorder_write_clusters_both_columns(spark, tmp_path):
+    """Z-ordered files must have narrow per-file min/max ranges on BOTH
+    z-columns (parquet stats prune either predicate); a plain single-column
+    sort clusters only its leading column."""
+    import os
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from gmall_spark.sinks.batch import zorder_write
+
+    df = (
+        spark.range(40_000)
+        .withColumn("a", (F.hash("id") % 10_000 + 10_000) % 10_000)
+        .withColumn("b", (F.hash("id", "id") % 10_000 + 10_000) % 10_000)
+    )
+    path = str(tmp_path / "z")
+    zorder_write(df, path, ["a", "b"], n_files=16)
+
+    def _col_stat(rg, name):
+        for i in range(rg.num_columns):
+            c = rg.column(i)
+            if c.path_in_schema == name:
+                return c.statistics
+        raise KeyError(name)
+
+    def file_span(p, col):
+        spans = []
+        for f in sorted(os.listdir(p)):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(p, f)).metadata
+            los, his = [], []
+            for i in range(md.num_row_groups):
+                st = _col_stat(md.row_group(i), col)
+                los.append(st.min)
+                his.append(st.max)
+            spans.append(max(his) - min(los))
+        return sum(spans) / len(spans)
+
+    # both dimensions cluster: per-file span well below the 10k global range
+    assert file_span(path, "a") < 5_000
+    assert file_span(path, "b") < 5_000
+    # data intact
+    assert spark.read.parquet(path).count() == 40_000
