@@ -390,3 +390,61 @@ def kafka_dynamic_topic_sink(df: DataFrame, brokers: str, checkpoint: str):
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def asof_enrich_stream(
+    stream: DataFrame,
+    static_ref: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+) -> DataFrame:
+    """Streaming point-in-time enrichment: each stream row picks the static
+    reference row with the greatest ``right_ts <= left_ts`` for its key —
+    the as-of lookup a feature store does at serving time.
+
+    The batch asof_join's union-carry-forward needs a global sort, which
+    streaming can't do; instead this is the Pandas-kernel escape hatch the
+    built-ins genuinely can't express: the (dim-sized) reference is
+    broadcast once as a ts-sorted pandas frame, and each Arrow batch runs
+    one vectorized ``pandas.merge_asof`` (binary search per row, zero
+    Python loops). Stateless — no watermark interaction, every input row
+    emits exactly once; per-batch cost is O(batch · log |ref|).
+
+    Same contract as a broadcast dim join: the reference must fit executor
+    memory. For an unbounded reference, range-partition it and route each
+    stream key to its partition's index instead.
+    """
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    ref_pdf = (
+        static_ref.toPandas()
+        .sort_values(right_ts)
+        .reset_index(drop=True)
+    )
+    bc = stream.sparkSession.sparkContext.broadcast(ref_pdf)
+    rpay = [c for c in static_ref.columns if c != on]
+    out_fields = list(stream.schema.fields) + [
+        static_ref.schema[c] for c in rpay
+    ]
+    out_schema = T.StructType(out_fields)
+    stream_cols = stream.columns
+
+    def enrich(batches):
+        ref = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            merged = pd.merge_asof(
+                pdf.sort_values(left_ts),
+                ref,
+                left_on=left_ts,
+                right_on=right_ts,
+                by=on,
+                direction="backward",
+            )
+            yield merged[stream_cols + rpay]
+
+    return stream.mapInPandas(enrich, out_schema)

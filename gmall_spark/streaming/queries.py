@@ -596,3 +596,51 @@ def streaming_value_band(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     return run_to_memory(out, _name("s_band"))
+
+
+@register(
+    "streaming_asof_attrib",
+    """
+    WITH p AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ), v AS (
+      SELECT user_id, ts AS view_ts, CAST(max(event_id) AS BIGINT) AS view_event_id
+      FROM events WHERE event_type = 'view' GROUP BY 1, 2
+    )
+    SELECT p.event_id, p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           v.view_event_id,
+           strftime(v.view_ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+           CAST(date_diff('second', v.view_ts, p.ts) AS BIGINT) AS gap_sec
+    FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.view_ts <= p.ts
+    """,
+)
+def streaming_asof_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time lookup on a live stream — the serving-time as-of a
+    feature store does: each streaming purchase picks the reference (static
+    view index) row as of its event time, via one vectorized
+    pandas.merge_asof per Arrow batch against the broadcast ts-sorted
+    index (streaming/pipelines.py::asof_enrich_stream). Stateless, so
+    every row emits — the oracle is the plain ASOF LEFT JOIN with no
+    watermark-closure filter. The streaming twin of asof_view_attrib."""
+    from gmall_spark.sources import load_table
+    from gmall_spark.streaming.pipelines import asof_enrich_stream
+
+    ev = stream_events(spark, sf_dir)
+    p = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    v = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "view")
+        .groupBy("user_id", F.col("ts").alias("view_ts"))
+        .agg(F.max("event_id").alias("view_event_id"))
+    )
+    j = asof_enrich_stream(p, v, on="user_id", left_ts="ts", right_ts="view_ts")
+    out = j.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", TS_FMT).alias("purchase_ts"),
+        "view_event_id",
+        F.date_format("view_ts", TS_FMT).alias("view_ts"),
+        (F.col("ts").cast("long") - F.col("view_ts").cast("long")).alias("gap_sec"),
+    )
+    return run_to_memory(out, _name("s_asof"))
