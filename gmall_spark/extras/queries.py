@@ -1564,3 +1564,82 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_near_dup_lsh(
         emb, "vec_id", "embedding", "label", threshold=0.4, n_bits=6, n_tables=12
     )
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate removal WITH document reconstruction — the step after
+# dedup_chunks: corpus-frequent chunks are dropped and each document is
+# rebuilt from its surviving chunks in position order (the CCNet/C4-style
+# clean-and-rebuild every training pipeline runs). Shapes: one explode, one
+# corpus-wide chunk-frequency groupBy (uniform key), an anti join against
+# the boilerplate set, and a per-doc ordered re-assembly (array_sort over
+# (pos, chunk) structs — group size bounded by doc length, no unpartitioned
+# window).
+# ---------------------------------------------------------------------------
+_BOILER_ORACLE = """
+WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+chunks AS (
+  SELECT doc_id, c AS pos, array_to_string(t[(c * 8 + 1):(c * 8 + 8)], ' ') AS chunk
+  FROM toks, UNNEST(range(0, CAST(ceil(len(t) / 8.0) AS BIGINT))) AS u(c)
+),
+boiler AS (SELECT chunk FROM chunks GROUP BY 1 HAVING count(*) > 1),
+kept AS (SELECT * FROM chunks WHERE chunk NOT IN (SELECT chunk FROM boiler)),
+reb AS (
+  SELECT doc_id, string_agg(chunk, ' ' ORDER BY pos) AS clean_text,
+         CAST(count(*) AS BIGINT) AS kept_chunks
+  FROM kept GROUP BY 1
+),
+nc AS (
+  SELECT doc_id,
+         CAST(ceil(len(string_split(trim(text), ' ')) / 8.0) AS BIGINT) AS n_chunks
+  FROM documents
+)
+SELECT nc.doc_id,
+       coalesce(reb.clean_text, '') AS clean_text,
+       coalesce(reb.kept_chunks, 0) AS kept_chunks,
+       nc.n_chunks - coalesce(reb.kept_chunks, 0) AS dropped_chunks
+FROM nc LEFT JOIN reb ON nc.doc_id = reb.doc_id
+"""
+
+
+@register("text_boilerplate_rebuild", _BOILER_ORACLE)
+def text_boilerplate_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim("text"), " ")
+    n_chunks = F.ceil(F.size(toks) / F.lit(8.0)).cast("long")
+    chunk_arr = F.transform(
+        F.sequence(F.lit(0), (n_chunks - 1).cast("int")),
+        lambda c: F.concat_ws(" ", F.slice(toks, c * 8 + 1, 8)),
+    )
+    chunks = docs.select(
+        "doc_id", F.posexplode(chunk_arr).alias("pos", "chunk")
+    )
+    boiler = (
+        chunks.groupBy("chunk")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > 1)
+        .select("chunk")
+    )
+    kept = chunks.join(boiler, "chunk", "left_anti")
+    reb = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
+                lambda x: x["chunk"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("kept_chunks"),
+    )
+    return (
+        docs.select("doc_id", n_chunks.alias("n_chunks"))
+        .join(reb, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("kept_chunks", F.lit(0)).alias("kept_chunks"),
+            (F.col("n_chunks") - F.coalesce("kept_chunks", F.lit(0))).alias(
+                "dropped_chunks"
+            ),
+        )
+    )
