@@ -1734,3 +1734,62 @@ def value_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("event_ct"),
         F.sum(money("value")).cast("decimal(18,2)").cast("double").alias("value_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregate maintenance — the materialized-view refresh pattern
+# under every streaming upsert sink: merge a base rollup with a delta
+# batch's rollup instead of recomputing the corpus. Only algebraic
+# aggregates merge (sum/count/min/max — partials re-aggregate); holistic
+# ones (exact distinct, median) don't, which is exactly why the streaming
+# UV path dedups before counting. The oracle PROVES the merge: it
+# recomputes the same rollup over the full table directly, and the hash
+# must match the merged partials.
+# ---------------------------------------------------------------------------
+@register(
+    "incremental_agg_refresh",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS pv_ct,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS value_sum,
+           CAST(min(value) AS DOUBLE) AS value_min,
+           CAST(max(value) AS DOUBLE) AS value_max
+    FROM events GROUP BY 1
+    """,
+)
+def incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Base = events before the cutoff, delta = events after; refresh =
+    re-aggregation of the two partial rollups. Each side aggregates
+    map-side before its shuffle, and the merge groupBy touches only
+    |groups| rows — at 100 TB the delta path does delta-sized work, never
+    corpus-sized."""
+    e = load_table(spark, sf_dir, "events")
+    cutoff = F.lit("1999-01-01").cast("timestamp")
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("pv_ct"),
+            F.sum(money("value")).cast("decimal(18,2)").alias("value_sum"),
+            F.min("value").alias("value_min"),
+            F.max("value").alias("value_max"),
+        )
+
+    base = rollup(e.filter(F.col("ts") < cutoff))
+    delta = rollup(e.filter(F.col("ts") >= cutoff))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("event_type")
+        .agg(
+            F.sum("pv_ct").alias("pv_ct"),
+            F.sum("value_sum").cast("decimal(18,2)").alias("value_sum"),
+            F.min("value_min").alias("value_min"),
+            F.max("value_max").alias("value_max"),
+        )
+    )
+    return merged.select(
+        "event_type",
+        "pv_ct",
+        F.col("value_sum").cast("double").alias("value_sum"),
+        F.col("value_min").cast("double").alias("value_min"),
+        F.col("value_max").cast("double").alias("value_max"),
+    )
