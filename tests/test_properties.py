@@ -193,3 +193,41 @@ def test_asof_join_matches_scan_model(spark, raw_l, raw_r):
         for r in asof_join(left, right, "k", "lt", "rt").collect()
     }
     assert got == expect
+
+
+# --- range join vs direct predicate ------------------------------------------
+
+_BANDS = st.lists(
+    st.tuples(st.integers(0, 40), st.integers(1, 30)), min_size=1, max_size=6
+)
+_VALUES = st.lists(
+    st.floats(min_value=-5, max_value=80, allow_nan=False, allow_infinity=False),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(raw_bands=_BANDS, values=_VALUES)
+def test_range_join_matches_predicate_join(spark, raw_bands, values):
+    """Grid-bucketed range join == the direct lo<=v<hi theta join, for
+    arbitrary (overlapping, adjacent, disjoint) bands and boundary-hugging
+    values — including values outside every band and bands of width 1."""
+    from gmall_spark.operators.joins import range_join
+
+    bands = [(f"b{i}", lo, lo + w) for i, (lo, w) in enumerate(raw_bands)]
+    bdf = spark.createDataFrame(bands, "band string, lo int, hi int")
+    fdf = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(values)], "id int, v double"
+    )
+    got = sorted(
+        (r["id"], r["band"])
+        for r in range_join(fdf, bdf, "v", "lo", "hi", grid=7.0).collect()
+    )
+    want = sorted(
+        (i, b)
+        for i, v in enumerate(values)
+        for b, lo, hi in bands
+        if lo <= v < hi
+    )
+    assert got == want
