@@ -1,3 +1,17 @@
-from gmall_spark.plans.explain import physical_plan, scan_info, assert_broadcast, assert_pushdown
+from gmall_spark.plans.explain import (
+    assert_broadcast,
+    assert_pushdown,
+    assert_scale_clean,
+    audit,
+    physical_plan,
+    scan_info,
+)
 
-__all__ = ["physical_plan", "scan_info", "assert_broadcast", "assert_pushdown"]
+__all__ = [
+    "assert_broadcast",
+    "assert_pushdown",
+    "assert_scale_clean",
+    "audit",
+    "physical_plan",
+    "scan_info",
+]

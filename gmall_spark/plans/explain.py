@@ -50,3 +50,48 @@ def assert_pushdown(df: DataFrame, fragment: str) -> None:
         if fragment in scan["pushed_filters"]:
             return
     raise AssertionError(f"no pushed filter mentioning {fragment!r}:\n{physical_plan(df)}")
+
+
+def audit(df: DataFrame) -> dict:
+    """Scale-lint summary of a plan: the structural counts that predict
+    100 TB behavior. Pure plan inspection — nothing executes."""
+    plan = physical_plan(df)
+    return {
+        "shuffles": plan.count("Exchange hashpartitioning")
+        + plan.count("Exchange rangepartitioning"),
+        "broadcasts": plan.count("BroadcastHashJoin"),
+        "scans": plan.count("Scan parquet"),
+        "cartesian": plan.count("CartesianProduct"),
+        "row_python_udf": plan.count("BatchEvalPython"),
+        "arrow_python": plan.count("ArrowEvalPython")
+        + plan.count("MapInPandas")
+        + plan.count("FlatMapGroupsInPandas"),
+        "nested_loop": plan.count("BroadcastNestedLoopJoin"),
+        "codegen_spans": plan.count("WholeStageCodegen"),
+    }
+
+
+def assert_scale_clean(df: DataFrame, allow_nested_loop: bool = False) -> None:
+    """The two hard scale failures no query may ship with:
+
+    - CartesianProduct: |left|·|right| work AND a single-partition exchange.
+    - BatchEvalPython: row-at-a-time Python — 10-100× slower than the
+      Arrow-batched kernels (ArrowEvalPython/MapInPandas), which stay legal.
+
+    BroadcastNestedLoopJoin is tolerated only when explicitly allowed: the
+    scalar-subquery pattern (cross join against a 1-row aggregate) plans as
+    BNLJ and is O(n); any other BNLJ deserves the explicit opt-in at the
+    call site so review sees it.
+    """
+    a = audit(df)
+    if a["cartesian"]:
+        raise AssertionError(f"CartesianProduct in plan:\n{physical_plan(df)}")
+    if a["row_python_udf"]:
+        raise AssertionError(
+            f"row-at-a-time Python UDF (BatchEvalPython) in plan:\n{physical_plan(df)}"
+        )
+    if a["nested_loop"] and not allow_nested_loop:
+        raise AssertionError(
+            f"BroadcastNestedLoopJoin in plan (pass allow_nested_loop=True "
+            f"if this is a 1-row scalar cross join):\n{physical_plan(df)}"
+        )

@@ -214,3 +214,34 @@ def test_sales_opportunity_anti_join_and_date_pushdown(spark):
     plan = physical_plan(df)
     assert "LeftAnti" in plan, plan
     assert_pushdown(df, "o_orderdate")
+
+
+# --- registry-wide scale lint ----------------------------------------------
+
+# entries whose plan legitimately contains a BroadcastNestedLoopJoin: the
+# scalar-subquery pattern (cross join against a 1-row/1-k-row aggregate or a
+# tiny literal table) — O(n) work, reviewed here by name so any NEW nested
+# loop fails the lint until someone consciously adds it.
+_SCALAR_CROSS_OK = {
+    "important_parts",    # cross join vs the 1-row corpus-total aggregate
+    "sales_opportunity",  # cross join vs the 1-row balance aggregate
+}
+
+
+def test_every_batch_entry_is_scale_clean(spark):
+    """No registry query may plan a CartesianProduct or a row-at-a-time
+    Python UDF; nested loops only via the reviewed allowlist above.
+    Streaming entries are excluded (their registry DataFrame is the
+    materialized memory-sink table, not the streaming plan)."""
+    from gmall_spark.plans import assert_scale_clean
+
+    failures = []
+    for name, fn in QUERIES.items():
+        if name.startswith("streaming_"):
+            continue
+        try:
+            df = fn(spark, SF)
+            assert_scale_clean(df, allow_nested_loop=name in _SCALAR_CROSS_OK)
+        except AssertionError as exc:
+            failures.append((name, str(exc)[:200]))
+    assert not failures, failures
