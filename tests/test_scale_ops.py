@@ -353,3 +353,20 @@ def test_zorder_write_clusters_both_columns(spark, tmp_path):
     assert file_span(path, "b") < 5_000
     # data intact
     assert spark.read.parquet(path).count() == 40_000
+
+
+def test_asof_join_rejects_invalid_contracts(spark):
+    import pytest as _pytest
+
+    from gmall_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame([(1, 10, "a")], "k int, ts int, lv string")
+    right_same_ts = spark.createDataFrame([(1, 5)], "k int, ts int")
+    with _pytest.raises(ValueError, match="named differently"):
+        asof_join(left, right_same_ts, "k", "ts", "ts")
+    right_collide = spark.createDataFrame([(1, 5, "x")], "k int, rt int, lv string")
+    with _pytest.raises(ValueError, match="collide"):
+        asof_join(left, right_collide, "k", "ts", "rt")
+    right_ok = spark.createDataFrame([(1, 5)], "k int, rt int")
+    with _pytest.raises(ValueError, match="backward|forward"):
+        asof_join(left, right_ok, "k", "ts", "rt", direction="nearest")
