@@ -45,3 +45,65 @@ def tumbling_stats(
         stt, edt = window_bounds(F.col("w"))
         out = out.withColumn("stt", stt).withColumn("edt", edt)
     return out.drop("w")
+
+
+def hypertable_rollup(
+    df: DataFrame,
+    ts_col: str,
+    dims: Sequence[str],
+    value_col: str,
+    grains: Sequence[str] = ("10 minutes", "1 hour", "1 day"),
+) -> DataFrame:
+    """Cascading multi-grain time rollup (the hypertable / continuous-
+    aggregate pattern): the finest grain aggregates the raw rows ONCE; every
+    coarser grain re-aggregates the previous level's partials. At 100 TB the
+    1-day rollup touches |hour-buckets| rows instead of the raw table — the
+    cascade is what makes multi-resolution dashboards affordable.
+
+    Only algebraic aggregates cascade (count/sum/min/max — same contract as
+    incremental refresh); ``grains`` must go fine → coarse with each grain a
+    multiple of the previous (bucket boundaries then nest exactly).
+
+    Each level is persisted before the next derives from it — lazily, the
+    union's branches would silently recompute the finest aggregation from
+    raw once per grain (Catalyst plans no cross-branch subplan reuse), which
+    defeats the cascade; the persist is what makes "aggregate raw once"
+    true in the physical plan (asserted in tests/test_plans.py).
+
+    Output: one row per (grain, bucket, dims) with the bucket start
+    timestamp; sums in exact decimal.
+    """
+    from gmall_spark.functions import money
+
+    levels = []
+    cur = (
+        df.groupBy(F.window(ts_col, grains[0]).alias("w"), *dims)
+        .agg(
+            F.count(F.lit(1)).alias("row_ct"),
+            F.sum(money(value_col)).cast("decimal(18,2)").alias("value_sum"),
+            F.min(value_col).alias("value_min"),
+            F.max(value_col).alias("value_max"),
+        )
+        .withColumn("bucket", F.col("w.start"))
+        .drop("w")
+        .persist()
+    )
+    levels.append(cur.withColumn("grain", F.lit(grains[0])))
+    for g in grains[1:]:
+        cur = (
+            cur.groupBy(F.window("bucket", g).alias("w"), *dims)
+            .agg(
+                F.sum("row_ct").alias("row_ct"),
+                F.sum("value_sum").cast("decimal(18,2)").alias("value_sum"),
+                F.min("value_min").alias("value_min"),
+                F.max("value_max").alias("value_max"),
+            )
+            .withColumn("bucket", F.col("w.start"))
+            .drop("w")
+            .persist()
+        )
+        levels.append(cur.withColumn("grain", F.lit(g)))
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out

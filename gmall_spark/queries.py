@@ -1793,3 +1793,53 @@ def incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value_min").cast("double").alias("value_min"),
         F.col("value_max").cast("double").alias("value_max"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hypertable rollup — cascading multi-grain continuous aggregates
+# (operators/windows.py::hypertable_rollup): 10-minute buckets aggregate the
+# raw events once; 1-hour re-aggregates the 10-minute partials; 1-day
+# re-aggregates 1-hour. The oracle computes every grain DIRECTLY from the
+# raw table, so a hash match proves the cascade's merge algebra at all
+# levels.
+# ---------------------------------------------------------------------------
+@register(
+    "hypertable_rollup",
+    """
+    WITH g AS (
+      SELECT '10 minutes' AS grain, time_bucket(INTERVAL '10 minutes', ts) AS bucket,
+             event_type, count(*) AS row_ct,
+             sum(CAST(value AS DECIMAL(18,2))) AS value_sum,
+             min(value) AS value_min, max(value) AS value_max
+      FROM events GROUP BY 2, 3
+      UNION ALL
+      SELECT '1 hour', time_bucket(INTERVAL '1 hour', ts), event_type, count(*),
+             sum(CAST(value AS DECIMAL(18,2))), min(value), max(value)
+      FROM events GROUP BY 2, 3
+      UNION ALL
+      SELECT '1 day', time_bucket(INTERVAL '1 day', ts), event_type, count(*),
+             sum(CAST(value AS DECIMAL(18,2))), min(value), max(value)
+      FROM events GROUP BY 2, 3
+    )
+    SELECT grain, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket_start,
+           event_type, CAST(row_ct AS BIGINT) AS row_ct,
+           CAST(CAST(value_sum AS DECIMAL(18,2)) AS DOUBLE) AS value_sum,
+           CAST(value_min AS DOUBLE) AS value_min,
+           CAST(value_max AS DOUBLE) AS value_max
+    FROM g
+    """,
+)
+def hypertable_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_spark.operators.windows import hypertable_rollup
+
+    e = load_table(spark, sf_dir, "events")
+    out = hypertable_rollup(e, "ts", ["event_type"], "value")
+    return out.select(
+        "grain",
+        F.date_format("bucket", TS_FMT).alias("bucket_start"),
+        "event_type",
+        "row_ct",
+        F.col("value_sum").cast("double").alias("value_sum"),
+        F.col("value_min").cast("double").alias("value_min"),
+        F.col("value_max").cast("double").alias("value_max"),
+    )

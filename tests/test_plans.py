@@ -245,3 +245,15 @@ def test_every_batch_entry_is_scale_clean(spark):
         except AssertionError as exc:
             failures.append((name, str(exc)[:200]))
     assert not failures, failures
+
+
+def test_hypertable_rollup_cascades_from_cache(spark):
+    """Coarser grains must re-aggregate the persisted finer level, not
+    recompute from raw: the plan reads the cache (InMemoryTableScan) and
+    does NOT carry one raw-events scan per grain (the lazy union would)."""
+    df = QUERIES["hypertable_rollup"](spark, SF)
+    plan = physical_plan(df)
+    assert plan.count("InMemoryTableScan") >= 2, plan
+    # one real scan (formatted plans list nodes twice, cached-plan details
+    # may repeat it once more) — three grains recomputing raw would show 6+
+    assert plan.count("Scan parquet") <= 4, plan
