@@ -1643,3 +1643,86 @@ def text_boilerplate_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch — the bounded-memory frequency sketch (heavy hitters at
+# stream scale): depth 4 salted hash rows x width 4096 cells; an item's
+# estimate is the MIN over its 4 cells, always >= the true count. Hashes are
+# the first 3 hex digits of salted md5 (0..4095) so DuckDB reproduces the
+# sketch bit-for-bit — estimation error included. The sketch is built from
+# the per-user rollup (CMS is additive, so summing per-user counts into
+# cells equals per-event increments at |users|x4 rows instead of
+# |events|x4). Output: exact vs estimated counts for the deterministic
+# top-20 (rank by count desc, user_id) — the driver hash checks the whole
+# estimation surface.
+# ---------------------------------------------------------------------------
+def _cms_hash_sql(salt: int) -> str:
+    s = f"md5('cms{salt}:' || CAST(user_id AS VARCHAR))"
+    digit = "(strpos('0123456789abcdef', substr({m}, {p}, 1)) - 1)"
+    return (
+        f"({digit.format(m=s, p=1)} * 256 + {digit.format(m=s, p=2)} * 16 + "
+        f"{digit.format(m=s, p=3)})"
+    )
+
+
+_CMS_ORACLE = f"""
+WITH uc AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS exact_ct FROM events GROUP BY 1
+),
+cells AS (
+  {' UNION ALL '.join(
+      f"SELECT {i} AS d, {_cms_hash_sql(i)} AS h, exact_ct, user_id FROM uc"
+      for i in range(4)
+  )}
+),
+sketch AS (
+  SELECT d, h, CAST(sum(exact_ct) AS BIGINT) AS cell_ct FROM cells GROUP BY 1, 2
+),
+est AS (
+  SELECT c.user_id, min(s.cell_ct) AS cms_est
+  FROM cells c JOIN sketch s ON c.d = s.d AND c.h = s.h
+  GROUP BY 1
+),
+top AS (
+  SELECT user_id, exact_ct,
+         row_number() OVER (ORDER BY exact_ct DESC, user_id) AS rn
+  FROM uc
+)
+SELECT t.user_id, t.exact_ct, CAST(e.cms_est AS BIGINT) AS cms_est
+FROM top t JOIN est e ON t.user_id = e.user_id
+WHERE t.rn <= 20
+"""
+
+
+@register("cms_heavy_hitters", _CMS_ORACLE)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    uc = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_ct"))
+
+    def h(salt: int):
+        m = F.md5(F.concat(F.lit(f"cms{salt}:"), F.col("user_id").cast("string")))
+        return F.conv(F.substring(m, 1, 3), 16, 10).cast("long")
+
+    cells = None
+    for i in range(4):
+        lvl = uc.select(
+            F.lit(i).alias("d"), h(i).alias("h"), "exact_ct", "user_id"
+        )
+        cells = lvl if cells is None else cells.unionByName(lvl)
+    cells = cells.persist()  # sketch build + estimate probe reuse the cells
+    sketch = cells.groupBy("d", "h").agg(F.sum("exact_ct").alias("cell_ct"))
+    est = (
+        cells.join(sketch, ["d", "h"])
+        .groupBy("user_id")
+        .agg(F.min("cell_ct").alias("cms_est"))
+    )
+    top = uc.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.orderBy(F.col("exact_ct").desc(), F.col("user_id"))
+        ),
+    ).filter(F.col("rn") <= 20)
+    return top.join(est, "user_id").select("user_id", "exact_ct", "cms_est")
