@@ -249,11 +249,12 @@ def test_every_batch_entry_is_scale_clean(spark):
 
 def test_hypertable_rollup_cascades_from_cache(spark):
     """Coarser grains must re-aggregate the persisted finer level, not
-    recompute from raw: the plan reads the cache (InMemoryTableScan) and
-    does NOT carry one raw-events scan per grain (the lazy union would)."""
+    recompute from raw: every union branch reads a cache
+    (InMemoryTableScan). Removing any level's persist makes the lazy
+    union recompute the finer aggregation from raw per grain and drops
+    the cache scans — which is the regression this guards. (Raw-scan text
+    counts are NOT asserted: cached-plan rendering inlines origin scans
+    differently depending on session cache state.)"""
     df = QUERIES["hypertable_rollup"](spark, SF)
-    plan = physical_plan(df)
-    assert plan.count("InMemoryTableScan") >= 2, plan
-    # one real scan (formatted plans list nodes twice, cached-plan details
-    # may repeat it once more) — three grains recomputing raw would show 6+
-    assert plan.count("Scan parquet") <= 4, plan
+    tree = df._jdf.queryExecution().executedPlan().toString()
+    assert tree.count("InMemoryTableScan") >= 3, tree
