@@ -426,6 +426,7 @@ def connected_components(
     labels = nodes.select(F.col(node_col).alias("node")).withColumn(
         "label", F.col("node")
     ).persist()
+    prev_sum = None
     for _ in range(max_iter):
         nbr = (
             sym.join(
@@ -442,14 +443,14 @@ def connected_components(
             )
             .persist()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        # fixpoint via the monotone invariant: a label only ever decreases
+        # (least of itself and the neighborhood min), so the label SUM is
+        # strictly decreasing until convergence — one scalar agg per round
+        # instead of a new-vs-old join
+        label_sum = new_labels.agg(F.sum("label")).collect()[0][0] or 0
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if label_sum == prev_sum:
             break
+        prev_sum = label_sum
     return labels.select("node", F.col("label").alias("cluster_id"))
