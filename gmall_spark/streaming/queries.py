@@ -644,3 +644,38 @@ def streaming_asof_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("ts").cast("long") - F.col("view_ts").cast("long")).alias("gap_sec"),
     )
     return run_to_memory(out, _name("s_asof"))
+
+
+@register(
+    "streaming_cms_sketch",
+    f"""
+    WITH cells AS (
+      {' UNION ALL '.join(
+          "SELECT {i} AS d, "
+          "((strpos('0123456789abcdef', substr(md5('cms{i}:' || CAST(user_id AS VARCHAR)), 1, 1)) - 1) * 256 "
+          " + (strpos('0123456789abcdef', substr(md5('cms{i}:' || CAST(user_id AS VARCHAR)), 2, 1)) - 1) * 16 "
+          " + (strpos('0123456789abcdef', substr(md5('cms{i}:' || CAST(user_id AS VARCHAR)), 3, 1)) - 1)) AS h "
+          "FROM events".format(i=i)
+          for i in range(4)
+      )}
+    )
+    SELECT d, h, CAST(count(*) AS BIGINT) AS cell_ct
+    FROM cells GROUP BY 1, 2
+    """,
+)
+def streaming_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch maintained ON the stream: per-event increments into
+    4x4096 cells — the state is the sketch itself, BOUNDED at 16384 rows no
+    matter the stream length (the whole point of sketching at 100 TB: an
+    exact per-key count table grows with |keys|, the sketch doesn't).
+    Complete-mode emission after the availableNow run equals the batch
+    sketch, so the oracle recomputes the cells directly."""
+    ev = stream_events(spark, sf_dir)
+    cells = None
+    for i in range(4):
+        m = F.md5(F.concat(F.lit(f"cms{i}:"), F.col("user_id").cast("string")))
+        h = F.conv(F.substring(m, 1, 3), 16, 10).cast("long")
+        lvl = ev.select(F.lit(i).alias("d"), h.alias("h"))
+        cells = lvl if cells is None else cells.unionByName(lvl)
+    out = cells.groupBy("d", "h").agg(F.count(F.lit(1)).alias("cell_ct"))
+    return run_to_memory(out, _name("s_cms"), output_mode="complete")
