@@ -1843,3 +1843,46 @@ def hypertable_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value_min").cast("double").alias("value_min"),
         F.col("value_max").cast("double").alias("value_max"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hopping (sliding) windows — the one window mode the registry hadn't
+# exercised: 10-minute windows sliding every 5, so each event contributes
+# to exactly size/slide = 2 windows. Spark's window(ts, size, slide)
+# replicates rows window-count times BEFORE the shuffle (cost multiplier =
+# overlap factor — the reason long-overlap hops should become cascades,
+# see hypertable_rollup). The oracle replays the epoch-aligned slide
+# arithmetic with a 2-way UNION ALL.
+# ---------------------------------------------------------------------------
+@register(
+    "sliding_window_stats",
+    """
+    WITH hops AS (
+      SELECT event_type, time_bucket(INTERVAL '5 minutes', ts) AS ws, value FROM events
+      UNION ALL
+      SELECT event_type, time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes', value FROM events
+    )
+    SELECT event_type,
+           strftime(ws, '%Y-%m-%d %H:%M:%S') AS stt,
+           strftime(ws + INTERVAL '10 minutes', '%Y-%m-%d %H:%M:%S') AS edt,
+           CAST(count(*) AS BIGINT) AS pv_ct,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS value_sum
+    FROM hops GROUP BY event_type, ws
+    """,
+)
+def sliding_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("pv_ct"),
+            F.sum(money("value")).cast("decimal(18,2)").cast("double").alias("value_sum"),
+        )
+        .select(
+            "event_type",
+            F.date_format("w.start", TS_FMT).alias("stt"),
+            F.date_format("w.end", TS_FMT).alias("edt"),
+            "pv_ct",
+            "value_sum",
+        )
+    )
