@@ -47,17 +47,25 @@ def main() -> None:
         print(f"bench: {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "registry_queries_total_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "registry_queries_total_wall_sec",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+        }
     )
+    # The driver captures a bounded stdout tail, which truncated the r2
+    # artifact mid-JSON; persist the whole line to a file so the round
+    # artifact is recoverable regardless of capture limits.
+    out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    try:
+        with open(out_path, "w") as fh:
+            fh.write(line + "\n")
+    except OSError as exc:
+        print(f"bench: could not write {out_path}: {exc}", file=sys.stderr)
+    print(line)
 
 
 if __name__ == "__main__":

@@ -54,7 +54,9 @@ def pagerank(edges: DataFrame, src: str, dst: str, rounds: int = 5) -> DataFrame
                 "rank"
             )
         )
-    return ranks
+    from gmall_spark.session import unpersist_with
+
+    return unpersist_with(ranks, ed)
 
 
 # ---------------------------------------------------------------------------

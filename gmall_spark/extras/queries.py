@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from gmall_spark.extras import dedup, similarity, text
 from gmall_spark.queries import register
+from gmall_spark.session import unpersist_with
 from gmall_spark.sources import load_table
 
 
@@ -1193,7 +1194,8 @@ def embed_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persisted: referenced by both the size aggregate and the join side
     cells = similarity.ivf_index(emb, "vec_id", "embedding", n_clusters=16).persist()
     sizes = cells.groupBy("cell").agg(F.count(F.lit(1)).cast("long").alias("cell_size"))
-    return cells.join(F.broadcast(sizes), "cell").select("vec_id", "cell", "cell_size")
+    out = cells.join(F.broadcast(sizes), "cell").select("vec_id", "cell", "cell_size")
+    return unpersist_with(out, cells)
 
 
 # ---------------------------------------------------------------------------
@@ -1725,7 +1727,8 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             Window.orderBy(F.col("exact_ct").desc(), F.col("user_id"))
         ),
     ).filter(F.col("rn") <= 20)
-    return top.join(est, "user_id").select("user_id", "exact_ct", "cms_est")
+    out = top.join(est, "user_id").select("user_id", "exact_ct", "cms_est")
+    return unpersist_with(out, cells)
 
 
 # ---------------------------------------------------------------------------

@@ -233,12 +233,18 @@ def range_join(
 
     Bands may overlap (a fact matches each); hi is exclusive.
     """
+    # The explosion runs one cell PAST ceil(hi/grid)-1: floating division in
+    # the fact-side floor(value/grid) can round UP to hi/grid when value sits
+    # within ~1 ulp below an hi that is an exact multiple of grid, landing the
+    # fact in a cell the tight explosion never covers — a silently dropped
+    # in-range row. The extra cell only duplicates a band row once more; the
+    # residual lo<=v<hi filter removes any false positives it admits.
     cells = bands.withColumn(
         "_cell",
         F.explode(
             F.sequence(
                 F.floor(F.col(lo_col) / grid).cast("long"),
-                (F.ceil(F.col(hi_col) / grid) - 1).cast("long"),
+                F.ceil(F.col(hi_col) / grid).cast("long"),
             )
         ),
     )

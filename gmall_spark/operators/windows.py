@@ -76,6 +76,7 @@ def hypertable_rollup(
     from gmall_spark.functions import money
 
     levels = []
+    cached = []  # the persisted frames themselves (not the derived views)
     cur = (
         df.groupBy(F.window(ts_col, grains[0]).alias("w"), *dims)
         .agg(
@@ -88,6 +89,7 @@ def hypertable_rollup(
         .drop("w")
         .persist()
     )
+    cached.append(cur)
     levels.append(cur.withColumn("grain", F.lit(grains[0])))
     for g in grains[1:]:
         cur = (
@@ -102,8 +104,15 @@ def hypertable_rollup(
             .drop("w")
             .persist()
         )
+        cached.append(cur)
         levels.append(cur.withColumn("grain", F.lit(g)))
     out = levels[0]
     for lv in levels[1:]:
         out = out.unionByName(lv)
-    return out
+    # Every persisted level is read by the returned union, so none can be
+    # unpersisted here — but they must not outlive the result either
+    # (repeated bench/registry invocations would accumulate cached
+    # partitions). Lifetime is tied to the result: GC of `out` unpersists.
+    from gmall_spark.session import unpersist_with
+
+    return unpersist_with(out, *cached)

@@ -70,3 +70,38 @@ def get_spark(app_name: str = "gmall_spark", master: str | None = None) -> Spark
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+# Bounded FIFO of persisted-intermediate groups ("scopes") registered by
+# builders whose lazy results still read the cache — see unpersist_with.
+_CACHE_SCOPES: list[tuple] = []
+_MAX_CACHE_SCOPES = 8
+
+
+def unpersist_with(result, *cached):
+    """Bound the lifetime of persisted intermediates that a lazy ``result``
+    still reads.
+
+    Builders like hypertable_rollup / pagerank / cms_heavy_hitters persist
+    intermediates that the RETURNED DataFrame's plan reads, so they cannot
+    unpersist before returning — but never unpersisting means repeated
+    registry/bench invocations in one session accumulate cached partitions
+    until LRU eviction pressure. (A GC hook on ``result`` doesn't work
+    either: callers routinely derive a new frame — select/cast/orderBy —
+    and drop the original before materializing, which would free the cache
+    mid-plan.)
+
+    Instead each builder registers its cache group here; once more than
+    ``_MAX_CACHE_SCOPES`` groups are live the oldest is unpersisted. Old
+    scopes are by then either materialized or abandoned — at worst an
+    ancient still-lazy result recomputes (correctness unaffected; persist
+    is an optimization). bench.py additionally clearCache()s per query.
+    """
+    _CACHE_SCOPES.append(cached)
+    while len(_CACHE_SCOPES) > _MAX_CACHE_SCOPES:
+        for d in _CACHE_SCOPES.pop(0):
+            try:
+                d.unpersist()
+            except Exception:  # session/JVM may already be gone at shutdown
+                pass
+    return result

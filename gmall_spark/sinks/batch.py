@@ -76,10 +76,33 @@ def compact_parquet(
     repartition (not coalesce): coalesce collapses upstream parallelism
     into the merged tasks; a shuffle-repartition keeps the read parallel
     and balances output file sizes.
+
+    With ``partition_by`` the shuffle is on the partition columns plus a
+    derived file-index column — NOT a random round-robin: a random
+    repartition(n) hands every task rows from many Hive partition values,
+    so each task writes one file per value it holds and the "compacted"
+    sink can end up with MORE small files (up to n × |values|) than it
+    started with. Keying the shuffle by (partition cols, index) pins each
+    output file to exactly one partition directory.
     """
     import math
     import os
     import shutil
+
+    from pyspark.sql import functions as F
+
+    tmp = path.rstrip("/") + "__compacting"
+    old = path.rstrip("/") + "__old"
+    # Re-entrancy: leftovers from a crashed prior run change move semantics
+    # (moving into an existing dir NESTS the source), after which the rmtree
+    # below would delete the only surviving copy. Refuse until a human (or
+    # recovery tooling) has resolved which copy is authoritative.
+    for leftover in (tmp, old):
+        if os.path.exists(leftover):
+            raise RuntimeError(
+                f"compact_parquet: leftover {leftover!r} from a previous "
+                "failed run — resolve it (restore or delete) before re-running"
+            )
 
     total_bytes = sum(
         os.path.getsize(os.path.join(dirpath, f))
@@ -89,14 +112,36 @@ def compact_parquet(
     )
     n_files = max(1, math.ceil(total_bytes / (target_mb * 1024 * 1024)))
     df = spark.read.parquet(path)
-    tmp = path.rstrip("/") + "__compacting"
-    w = df.repartition(n_files).write.mode("overwrite")
     if partition_by:
-        w = w.partitionBy(*partition_by)
+        # Files per partition directory, sized from the global byte total
+        # spread over the leaf directories actually present on disk. Skewed
+        # partition values get files above/below target_mb but the file
+        # COUNT stays bounded at files_per_dir per directory.
+        n_dirs = sum(
+            1
+            for dirpath, _, files in os.walk(path)
+            if any(f.endswith(".parquet") for f in files)
+        )
+        files_per_dir = max(1, math.ceil(n_files / max(1, n_dirs)))
+        hash_cols = [c for c in df.columns if c not in partition_by] or list(df.columns)
+        idx = F.pmod(F.abs(F.hash(*hash_cols)), F.lit(files_per_dir))
+        shuffled = df.repartition(*partition_by, idx.alias("_file_idx"))
+        w = shuffled.write.mode("overwrite").partitionBy(*partition_by)
+    else:
+        w = df.repartition(n_files).write.mode("overwrite")
     w.parquet(tmp)
-    old = path.rstrip("/") + "__old"
-    shutil.move(path, old)
-    shutil.move(tmp, path)
+    # os.rename is atomic on a posix filesystem (shutil.move may degrade to
+    # copy+delete across devices); verify the new tree reads back before
+    # dropping the backup so a failure at any step leaves a recoverable copy.
+    os.rename(path, old)
+    try:
+        os.rename(tmp, path)
+        spark.read.parquet(path).head(1)
+    except BaseException:
+        # put the original back if the swap or verification failed
+        if not os.path.exists(path) and os.path.exists(old):
+            os.rename(old, path)
+        raise
     shutil.rmtree(old)
     return sum(
         1

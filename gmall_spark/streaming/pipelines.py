@@ -412,18 +412,46 @@ def asof_enrich_stream(
     emits exactly once; per-batch cost is O(batch · log |ref|).
 
     Same contract as a broadcast dim join: the reference must fit executor
-    memory. For an unbounded reference, range-partition it and route each
-    stream key to its partition's index instead.
+    memory — enforced below with the same hard guard as the ANN broadcast
+    baseline (similarity.MAX_BROADCAST_INDEX_ROWS), so an unbounded
+    reference fails fast at build time instead of OOMing the driver. For
+    one that genuinely exceeds the bound, range-partition the reference by
+    ``right_ts`` and route each stream key to its partition's index.
     """
     import pandas as pd
 
     from pyspark.sql import types as T
 
+    from gmall_spark.extras.similarity import MAX_BROADCAST_INDEX_ROWS
+
+    # Contract validation mirrors batch asof_join: these would otherwise
+    # surface as a KeyError inside an executor on the first micro-batch
+    # (merge_asof suffixes colliding column names), not at build time.
+    if left_ts == right_ts:
+        raise ValueError(
+            f"asof_enrich_stream: left_ts and right_ts are both {left_ts!r}; "
+            "rename one side — merge_asof needs distinct timestamp columns"
+        )
+    overlap = (set(static_ref.columns) - {on}) & set(stream.columns)
+    if overlap:
+        raise ValueError(
+            "asof_enrich_stream: reference payload columns collide with "
+            f"stream columns: {sorted(overlap)}"
+        )
+
     ref_pdf = (
-        static_ref.toPandas()
+        static_ref.limit(MAX_BROADCAST_INDEX_ROWS + 1)
+        .toPandas()
         .sort_values(right_ts)
         .reset_index(drop=True)
     )
+    if len(ref_pdf) > MAX_BROADCAST_INDEX_ROWS:
+        raise ValueError(
+            f"asof_enrich_stream: static reference exceeds "
+            f"{MAX_BROADCAST_INDEX_ROWS} rows — broadcast enrichment is for "
+            "dim-sized references; range-partition the reference by "
+            f"{right_ts!r} and join each stream key to its partition instead"
+        )
     bc = stream.sparkSession.sparkContext.broadcast(ref_pdf)
     rpay = [c for c in static_ref.columns if c != on]
     out_fields = list(stream.schema.fields) + [

@@ -308,6 +308,75 @@ def test_compact_parquet_shrinks_files_preserves_rows(spark, tmp_path):
     assert out.agg(F.sum("v")).collect()[0][0] == 2 * sum(range(10_000))
 
 
+def test_compact_parquet_partitioned_bounds_files_per_dir(spark, tmp_path):
+    """With partition_by, compaction must NOT round-robin rows across tasks
+    (each task would write one file per Hive value it holds — up to
+    n_files x |values| tiny files); the shuffle keys on the partition
+    columns so each directory ends with ~total/target files."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from gmall_spark.sinks.batch import compact_parquet
+
+    path = str(tmp_path / "part_frag")
+    df = spark.range(8_000).withColumn("g", (F.col("id") % 4).cast("int"))
+    # fragmented partitioned sink: 16 writer tasks x 4 values = 64 files
+    df.repartition(16).write.partitionBy("g").parquet(path)
+    before = sum(1 for _, _, fs in os.walk(path) for f in fs if f.endswith(".parquet"))
+    assert before == 64
+    compact_parquet(spark, path, target_mb=256, partition_by=["g"])
+    per_dir = {
+        d: sum(1 for f in fs if f.endswith(".parquet"))
+        for d, _, fs in os.walk(path)
+        if any(f.endswith(".parquet") for f in fs)
+    }
+    assert len(per_dir) == 4  # hive layout preserved
+    assert all(n == 1 for n in per_dir.values()), per_dir  # 2k rows << 256MB
+    out = spark.read.parquet(path)
+    assert out.count() == 8_000
+    assert out.groupBy("g").count().count() == 4
+
+
+def test_compact_parquet_refuses_leftover_dirs(spark, tmp_path):
+    """Leftovers from a crashed run change shutil/rename semantics (nesting)
+    after which cleanup would delete the only copy — must fail fast."""
+    import os
+
+    import pytest
+
+    from gmall_spark.sinks.batch import compact_parquet
+
+    path = str(tmp_path / "d")
+    spark.range(10).write.parquet(path)
+    os.makedirs(path + "__old")
+    with pytest.raises(RuntimeError, match="leftover"):
+        compact_parquet(spark, path)
+    os.rmdir(path + "__old")
+    os.makedirs(path + "__compacting")
+    with pytest.raises(RuntimeError, match="leftover"):
+        compact_parquet(spark, path)
+
+
+def test_range_join_hi_boundary_ulp(spark):
+    """A fact value within 1 ulp below an hi that is an exact multiple of
+    grid must still match: fp division can put floor(value/grid) in the
+    cell AT hi/grid, which a tight band explosion never covers."""
+    import math
+
+    from gmall_spark.operators.joins import range_join
+
+    grid, hi = 0.7, 3.5  # hi is the exact fp product 0.7 * 5
+    v = math.nextafter(hi, 0.0)  # largest double strictly below hi
+    # the hazard this guards: the fact's cell rounds UP past the band's
+    # tight last cell ceil(hi/grid)-1 == 4
+    assert math.floor(v / grid) == math.ceil(hi / grid) == 5
+    facts = spark.createDataFrame([(1, v)], "id int, v double")
+    bands = spark.createDataFrame([("a", 0.0, hi)], "band string, lo double, hi double")
+    got = range_join(facts, bands, "v", "lo", "hi", grid=grid).collect()
+    assert [(r["id"], r["band"]) for r in got] == [(1, "a")]
+
+
 def test_zorder_write_clusters_both_columns(spark, tmp_path):
     """Z-ordered files must have narrow per-file min/max ranges on BOTH
     z-columns (parquet stats prune either predicate); a plain single-column
@@ -370,3 +439,28 @@ def test_asof_join_rejects_invalid_contracts(spark):
     right_ok = spark.createDataFrame([(1, 5)], "k int, rt int")
     with _pytest.raises(ValueError, match="backward|forward"):
         asof_join(left, right_ok, "k", "ts", "rt", direction="nearest")
+
+
+def test_asof_enrich_stream_rejects_invalid_contracts(spark, monkeypatch):
+    """Build-time validation mirrors batch asof_join — without it these
+    surface as a KeyError inside an executor on the first micro-batch
+    (merge_asof suffixes colliding columns), not at build time."""
+    import pytest as _pytest
+
+    from gmall_spark.extras import similarity
+    from gmall_spark.streaming.pipelines import asof_enrich_stream
+
+    stream = spark.createDataFrame([(1, 10, "a")], "k int, ts int, sv string")
+    ref_same_ts = spark.createDataFrame([(1, 5, "x")], "k int, ts int, rv string")
+    with _pytest.raises(ValueError, match="distinct timestamp"):
+        asof_enrich_stream(stream, ref_same_ts, on="k", left_ts="ts", right_ts="ts")
+    ref_collide = spark.createDataFrame([(1, 5, "x")], "k int, rt int, sv string")
+    with _pytest.raises(ValueError, match="collide"):
+        asof_enrich_stream(stream, ref_collide, on="k", left_ts="ts", right_ts="rt")
+    # dim-size guard: same hard-error contract as the ANN broadcast baseline
+    monkeypatch.setattr(similarity, "MAX_BROADCAST_INDEX_ROWS", 2)
+    ref_big = spark.createDataFrame(
+        [(i, i, float(i)) for i in range(5)], "k int, rt int, rv double"
+    )
+    with _pytest.raises(ValueError, match="range-partition"):
+        asof_enrich_stream(stream, ref_big, on="k", left_ts="ts", right_ts="rt")
