@@ -412,8 +412,8 @@ def connected_components(
     no driver-side graph. Convergence needs O(component diameter) rounds;
     near-dup clusters are shallow (stars/cliques, diameter ≤ ~3), so the
     driver-checked fixpoint exits in a handful of rounds. For adversarial
-    long-chain graphs swap in large-star/small-star (alternating pointer
-    jumping) — same per-round shape, O(log n) rounds.
+    long-chain graphs use ``connected_components_star`` below — same
+    per-round shuffle shape, O(log n) rounds on any topology.
     """
     # persisted: every propagation round re-references the edge list — without
     # this the (possibly expensive) upstream pair-generation DAG re-executes
@@ -454,3 +454,85 @@ def connected_components(
             break
         prev_sum = label_sum
     return labels.select("node", F.col("label").alias("cluster_id"))
+
+
+def connected_components_star(
+    nodes: DataFrame,
+    edges: DataFrame,
+    node_col: str,
+    src: str,
+    dst: str,
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star pointer
+    jumping (Kiveris et al., "Connected Components in MapReduce and
+    Beyond") — the scale path min-label propagation's docstring points at:
+    label propagation needs O(component diameter) rounds, which is fine for
+    shallow near-dup clusters but pathological for long chains
+    (boilerplate-bridge corpora); star contraction halves tree heights every
+    alternation, converging in O(log n) rounds on ANY topology.
+
+    large-star(u): every neighbor v > u re-points to m = min(N(u) ∪ {u}).
+    small-star(u): on min-canonicalized edges, every neighbor (all ≤ u)
+    plus u re-points to m. Both are one groupBy-min + one join — the same
+    per-round shuffle shape as label propagation, just fewer rounds. At the
+    fixpoint the edge set is a star forest: every node points at its
+    component's minimum id.
+
+    Output: (node, cluster_id) — identical contract (and oracle) as
+    ``connected_components``; isolated nodes label themselves.
+    """
+    # localCheckpoint (not persist): each round's plan builds on the last,
+    # so without lineage TRUNCATION the logical plan grows linearly and
+    # Catalyst re-analysis goes quadratic — the classic iterative-algorithm
+    # trap (pagerank's docstring makes the same point). Eager checkpoint
+    # materializes the edge set once per round and cuts the plan at it;
+    # superseded checkpoint RDDs are freed by the ContextCleaner on GC.
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_sig = None
+    for _ in range(max_iter):
+        # ---- large-star: directions both ways, larger neighbors hook to min
+        sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        # ---- small-star: canonical (big, small), everyone hooks to min
+        canon = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).filter(F.col("u") != F.col("v"))
+        smins = canon.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        joined = canon.join(smins, "u")
+        small = (
+            joined.select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(joined.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # Fixpoint: the edge multiset is stable. One scalar row per round —
+        # count + order-insensitive hash-sum — not an edge-set join.
+        sig_row = small.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal(38,0): a bigint sum of 64-bit hashes overflows (ANSI
+            # mode raises); the wide decimal stays exact and order-free
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        sig = (sig_row["n"], sig_row["h"])
+        e = small
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    return (
+        nodes.select(F.col(node_col).alias("node"))
+        .join(e.select(F.col("u").alias("node"), F.col("v").alias("ctr")), "node", "left")
+        .groupBy("node")
+        .agg(F.min(F.coalesce("ctr", F.col("node"))).alias("cluster_id"))
+    )

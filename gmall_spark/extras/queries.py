@@ -1419,6 +1419,37 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("dedup_clusters_star", _CLUSTERS_ORACLE)
+def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clustering contract (and oracle) as dedup_clusters, computed by
+    large-star/small-star pointer jumping instead of min-label propagation
+    — the O(log n)-round variant a 100 TB corpus with boilerplate-bridge
+    chains needs (label propagation is O(component diameter) rounds). The
+    two entries sharing one oracle is the algorithm-equivalence proof."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    fuzzy = dedup.ngram_jaccard(docs, "doc_id", "text", k=3, threshold_pct=50).select(
+        "doc_a", "doc_b"
+    )
+    keep = F.min("doc_id").over(Window.partitionBy(F.md5("text")))
+    exact_edges = (
+        docs.select("doc_id", keep.alias("keep_id"))
+        .filter(F.col("doc_id") != F.col("keep_id"))
+        .select(F.col("keep_id").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    )
+    cc = dedup.connected_components_star(
+        docs, fuzzy.unionByName(exact_edges), "doc_id", "doc_a", "doc_b"
+    )
+    sizes = cc.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return (
+        cc.join(sizes, "cluster_id")
+        .select(F.col("node").alias("doc_id"), "cluster_id", "cluster_size")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Incremental-ingest dedup — the daily-batch shape: dedup a NEW batch
 # against the EXISTING corpus without recomparing the corpus to itself.

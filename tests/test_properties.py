@@ -154,6 +154,44 @@ def test_connected_components_matches_union_find(spark, edges):
     assert got == set(_uf_components(n, edges).items())
 
 
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(edges=_EDGES)
+def test_connected_components_star_matches_union_find(spark, edges):
+    from gmall_spark.extras.dedup import connected_components_star
+
+    n = 10
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    edf = spark.createDataFrame(edges or [(0, 0)], "src long, dst long")
+    if not edges:
+        edf = edf.filter("src <> dst")
+    got = {
+        (r["node"], r["cluster_id"])
+        for r in connected_components_star(nodes, edf, "id", "src", "dst").collect()
+    }
+    assert got == set(_uf_components(n, edges).items())
+
+
+def test_connected_components_star_long_chain(spark):
+    """A path graph of depth 256 — far beyond min-label's default
+    max_iter=20 horizon — must fully converge: star contraction halves
+    tree heights every alternation (O(log n) rounds), which is exactly
+    why it exists next to label propagation."""
+    from gmall_spark.extras.dedup import connected_components_star
+
+    n = 257  # path 0-1-...-256, diameter 256 >> 20
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    got = {
+        (r["node"], r["cluster_id"])
+        for r in connected_components_star(
+            nodes, edges, "id", "src", "dst", max_iter=12
+        ).collect()
+    }
+    assert got == {(i, 0) for i in range(n)}
+
+
 # --- as-of join vs a direct scan model --------------------------------------
 
 _ASOF_LEFT = st.lists(
