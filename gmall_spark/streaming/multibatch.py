@@ -1,0 +1,178 @@
+"""Multi-micro-batch streaming harness — cross-batch state evolution made
+driver-checkable.
+
+The single-batch streaming entries (streaming/queries.py) pin the file source
+to ONE deterministic micro-batch; state correctness ACROSS batches (the thing
+Kafka gives a real deployment for free) was previously only covered by tests
+driving N batches. This module splits the events table into N time-ordered
+chunk files and streams them one-per-trigger, so a registry entry runs a real
+N-batch Structured Streaming query with an advancing watermark — and captures
+WHICH micro-batch every output row emitted in (`emit_batch`), so the oracle
+must replay Spark's emission schedule, not just the final row set:
+
+- watermark after batch b: wm_b = ms_floor(max event time of files 0..b) − delay
+- append-mode window close: first batch whose governing watermark (wm of the
+  PREVIOUS batch) has passed the window end; a final flush batch runs after
+  the last file under the final watermark
+- event-time timers: fire in the first batch whose governing watermark lies
+  strictly beyond the timer
+- NoTimeout keyed state: emits in the arrival batch of the deciding row
+
+Chunking is rank-deterministic (row_number over (ts, event_id), then an exact
+integer split), so DuckDB reproduces the exact batch boundaries. An optional
+`late_every` relocates every k-th chunk-0 row into the LAST chunk: those rows
+arrive with event times far below the watermark — the cross-batch late-data
+drop (ST10) the oracle must model (a late row contributes only if its window
+is still open when it arrives).
+
+This splitter is test scaffolding standing in for a partitioned Kafka topic —
+the ENGINE code under test (watermarks, stateful operators, windowed aggs) is
+identical to production; only the source is simulated. The driver-side
+chunk-file write is bounded by the testdata size, not a scale path.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: same delay every streaming entry uses
+WATERMARK = "2 seconds"
+DELAY_MS = 2000
+
+
+def _chunk_assignments(n_batches: int, late_every: int | None):
+    """Column exprs (chunk, arrival) over a frame with `rn` (1-based global
+    rank) and `n` (total rows) — exact integer arithmetic, oracle-replayable."""
+    chunk = F.expr(f"CAST(((rn - 1) * {n_batches}) DIV n AS INT)")
+    if late_every is None:
+        return chunk, chunk
+    arrival = F.when(
+        (chunk == 0) & (F.col("event_id") % late_every == 0),
+        F.lit(n_batches - 1),
+    ).otherwise(chunk)
+    return chunk, arrival
+
+
+def chunk_events(
+    spark: SparkSession,
+    sf_dir: str,
+    n_batches: int = 3,
+    late_every: int | None = None,
+) -> str:
+    """Write the events table as ``n_batches`` time-ordered parquet files with
+    strictly increasing mtimes (the file source's ordering key) and return
+    the directory. Idempotent per (sf_dir, n_batches, late_every); atomic
+    rename so a crashed writer never leaves a half-directory behind."""
+    from gmall_spark.sources import load_table
+
+    tag = f"b{n_batches}_l{late_every or 0}"
+    d = os.path.join(
+        "/tmp/gmall_stream_mb", sf_dir.strip("/").replace("/", "_"), tag
+    )
+    if os.path.isdir(d) and len(os.listdir(d)) == n_batches:
+        return d
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.orderBy("ts", "event_id")
+    ranked = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.lit(ev.count()))
+    )
+    chunk, arrival = _chunk_assignments(n_batches, late_every)
+    pdf = (
+        ranked.withColumn("arrival", arrival)
+        .drop("rn", "n")
+        .toPandas()
+        .sort_values(["ts", "event_id"])
+    )
+    # µs on disk: the stream schema declares `ts timestamp` (µs); a pandas
+    # default ns write would re-create the ns/µs drift load_table exists to fix
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    tmp = d + "__writing"
+    if os.path.isdir(tmp):
+        import shutil
+
+        shutil.rmtree(tmp)
+    os.makedirs(tmp)
+    base = 1_600_000_000  # fixed epoch; only the ORDER of mtimes matters
+    for b in range(n_batches):
+        path = os.path.join(tmp, f"chunk{b}.parquet")
+        pdf[pdf["arrival"] == b].drop(columns=["arrival"]).to_parquet(
+            path, index=False
+        )
+        os.utime(path, (base + b * 10, base + b * 10))
+    os.makedirs(os.path.dirname(d), exist_ok=True)
+    try:
+        os.rename(tmp, d)
+    except OSError:  # concurrent creator won the rename — use theirs
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+    return d
+
+
+def stream_event_chunks(
+    spark: SparkSession,
+    sf_dir: str,
+    n_batches: int = 3,
+    late_every: int | None = None,
+) -> DataFrame:
+    """File-stream over the chunked events dir, one file per micro-batch —
+    the N-batch analog of stream_events."""
+    d = chunk_events(spark, sf_dir, n_batches, late_every)
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+
+
+def run_collect_batches(
+    df: DataFrame,
+    output_mode: str = "append",
+    shuffle_partitions: int | None = 8,
+) -> DataFrame:
+    """Drive a streaming frame with availableNow through foreachBatch,
+    stamping every output row with the micro-batch id it emitted in. The
+    returned (batch) DataFrame carries `emit_batch` — the emission schedule
+    the oracle replays. Batch ids: 0..N-1 for the N files, N for the final
+    watermark-flush batch."""
+    spark = df.sparkSession
+    fields = list(df.schema.fields) + [T.StructField("emit_batch", T.IntegerType())]
+    out_schema = T.StructType(fields)
+    collected: list[pd.DataFrame] = []
+
+    def sink(bdf: DataFrame, bid: int) -> None:
+        pdf = bdf.toPandas()
+        if len(pdf):
+            pdf["emit_batch"] = int(bid)
+            collected.append(pdf)
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            df.writeStream.foreachBatch(sink)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    if collected:
+        allp = pd.concat(collected, ignore_index=True)
+        return spark.createDataFrame(allp, schema=out_schema)
+    return spark.createDataFrame([], schema=out_schema)

@@ -679,3 +679,220 @@ def streaming_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         cells = lvl if cells is None else cells.unionByName(lvl)
     out = cells.groupBy("d", "h").agg(F.count(F.lit(1)).alias("cell_ct"))
     return run_to_memory(out, _name("s_cms"), output_mode="complete")
+
+
+# ---------------------------------------------------------------------------
+# Multi-micro-batch entries — cross-batch state evolution, driver-checkable.
+#
+# Each streams the events table as THREE time-ordered chunk files (one per
+# micro-batch; see streaming/multibatch.py) and stamps every output row with
+# the micro-batch id it emitted in, so the oracle replays Spark's emission
+# SCHEDULE, not just the final row set: wm_b = ms-floor(max event time of
+# files 0..b) − 2s; a window/timer result emits in the first batch whose
+# GOVERNING watermark (the previous batch's) has passed it; batch 3 is the
+# final availableNow flush under wm2. NoTimeout keyed state emits in the
+# arrival batch of the deciding row. The chunk split is rank-deterministic,
+# so the CTE below reproduces the exact batch boundaries in SQL.
+# ---------------------------------------------------------------------------
+
+
+def _mb_cte(late_every: int | None = None) -> str:
+    """Shared oracle prefix: chunk assignment, late relocation, per-batch
+    watermarks. `is_late` rows are chunk-0 rows ARRIVING in file 2 (their
+    event times stay put) — they are excluded from wm0/wm1 exactly as the
+    file split excludes them."""
+    late = f"(chunk = 0 AND event_id % {late_every} = 0)" if late_every else "FALSE"
+    return f"""
+    ranked AS (
+      SELECT *, row_number() OVER (ORDER BY ts, event_id) AS rn,
+             count(*) OVER () AS n
+      FROM events
+    ),
+    placed AS (
+      SELECT *, {late} AS is_late,
+             CASE WHEN {late} THEN 2 ELSE chunk END AS arrival
+      FROM (SELECT *, CAST(((rn - 1) * 3) // n AS INT) AS chunk FROM ranked)
+    ),
+    wm AS (
+      SELECT max(CASE WHEN arrival <= 0 THEN epoch_us(ts) END) // 1000 - 2000 AS wm0,
+             max(CASE WHEN arrival <= 1 THEN epoch_us(ts) END) // 1000 - 2000 AS wm1,
+             max(epoch_us(ts)) // 1000 - 2000 AS wm2
+      FROM placed
+    )"""
+
+
+@register(
+    "streaming_mb_visitor_stats",
+    f"""
+    WITH {_mb_cte(late_every=23)},
+    agg AS (
+      SELECT event_type, time_bucket(INTERVAL '10 minutes', ts) AS ws,
+             CAST(count(*) AS BIGINT) AS pv_ct,
+             CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS dur_sum
+      FROM placed, wm
+      -- a late row contributes only if its window is still OPEN when it
+      -- arrives (batch 2 is governed by wm1); otherwise it is dropped (ST10)
+      WHERE NOT is_late
+         OR epoch_us(time_bucket(INTERVAL '10 minutes', ts) + INTERVAL '10 minutes') // 1000 > wm.wm1
+      GROUP BY 1, 2
+    )
+    SELECT event_type, pv_ct, dur_sum,
+           strftime(ws, '{_DUCK_FMT}') AS stt,
+           strftime(ws + INTERVAL '10 minutes', '{_DUCK_FMT}') AS edt,
+           CAST(CASE WHEN epoch_us(ws + INTERVAL '10 minutes') // 1000 <= wm.wm0 THEN 1
+                     WHEN epoch_us(ws + INTERVAL '10 minutes') // 1000 <= wm.wm1 THEN 2
+                     ELSE 3 END AS INT) AS emit_batch
+    FROM agg, wm
+    WHERE epoch_us(ws + INTERVAL '10 minutes') // 1000 <= wm.wm2
+    """,
+)
+def streaming_mb_visitor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 across three advancing-watermark micro-batches WITH cross-batch
+    late data: every 23rd chunk-0 event arrives two batches late; windows
+    already closed by then drop it, still-open boundary windows absorb it.
+    The oracle must reproduce both the per-window emission batch and the
+    late-contribution rule."""
+    from gmall_spark.streaming.multibatch import (
+        run_collect_batches,
+        stream_event_chunks,
+    )
+
+    ev = stream_event_chunks(spark, sf_dir, 3, late_every=23)
+    out = windowed_stats_stream(
+        ev,
+        "ts",
+        "10 minutes",
+        ["event_type"],
+        [
+            F.count(F.lit(1)).alias("pv_ct"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias("dur_sum"),
+        ],
+    )
+    return run_collect_batches(out)
+
+
+@register(
+    "streaming_mb_is_new",
+    f"""
+    WITH {_mb_cte()}
+    SELECT event_id, user_id,
+           CAST(CASE WHEN row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) = 1
+                THEN 1 ELSE 0 END AS INT) AS is_new,
+           CAST(chunk AS INT) AS emit_batch
+    FROM placed
+    """,
+)
+def streaming_mb_is_new(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST1 across three micro-batches: the seen-flag must SURVIVE the batch
+    boundary — without persisted state, each key's first event per batch
+    would re-emit is_new=1 and the global-rank oracle would catch it.
+    NoTimeout state emits in-batch, so emit_batch = the row's chunk."""
+    from gmall_spark.streaming.multibatch import (
+        run_collect_batches,
+        stream_event_chunks,
+    )
+
+    return run_collect_batches(fix_is_new_stream(stream_event_chunks(spark, sf_dir, 3)))
+
+
+@register(
+    "streaming_mb_unique_visit",
+    f"""
+    WITH {_mb_cte()}
+    SELECT user_id,
+           strftime(CAST(ts AS DATE), '%Y-%m-%d') AS dt,
+           event_id AS first_event_id,
+           strftime(ts, '{_DUCK_FMT}') AS first_ts,
+           CAST(chunk AS INT) AS emit_batch
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                   ORDER BY ts, event_id) AS rnn
+      FROM placed
+    ) WHERE rnn = 1
+    """,
+)
+def streaming_mb_unique_visit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST2 across three micro-batches: the seen-dates state must carry over
+    — a (user, day) straddling a chunk boundary would re-emit from a
+    stateless run. Each daily first emits in ITS chunk's batch."""
+    from gmall_spark.streaming.multibatch import (
+        run_collect_batches,
+        stream_event_chunks,
+    )
+
+    out = run_collect_batches(dedup_daily_stream(stream_event_chunks(spark, sf_dir, 3)))
+    return out.select(
+        "user_id",
+        "dt",
+        "first_event_id",
+        F.date_format("first_ts", TS_FMT).alias("first_ts"),
+        "emit_batch",
+    )
+
+
+@register(
+    "streaming_mb_bounce",
+    f"""
+    WITH {_mb_cte()},
+    o AS (
+      SELECT event_id, user_id, ts, chunk, event_type,
+             lead(ts) OVER w AS nxt_ts,
+             lead(event_type = 'view') OVER w AS nxt_entry,
+             lead(chunk) OVER w AS nxt_chunk
+      FROM placed
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    -- timer = ms-floor(ts) + 600s; fires in the first batch whose governing
+    -- watermark lies STRICTLY beyond it (batch b is governed by wm_{{b-1}};
+    -- batch 3 is the final flush under wm2)
+    t AS (
+      SELECT o.*,
+             CASE WHEN wm.wm0 > epoch_us(ts) // 1000 + 600000 THEN 1
+                  WHEN wm.wm1 > epoch_us(ts) // 1000 + 600000 THEN 2
+                  WHEN wm.wm2 > epoch_us(ts) // 1000 + 600000 THEN 3 END AS timer_batch
+      FROM o, wm
+    )
+    SELECT event_id, user_id, strftime(ts, '{_DUCK_FMT}') AS ts,
+           CASE WHEN nxt_ts IS NULL
+                     OR epoch_us(nxt_ts) - epoch_us(ts) > 600000000 THEN 'timeout'
+                ELSE 'match' END AS bounce_reason,
+           CAST(CASE
+             -- decided by the next event: emits in the batch processing it;
+             -- a cross-batch timeout may be pre-empted by the timer firing
+             -- in an earlier batch (state removed, same row either way)
+             WHEN nxt_ts IS NOT NULL AND epoch_us(nxt_ts) - epoch_us(ts) > 600000000
+               THEN least(nxt_chunk, coalesce(timer_batch, 99))
+             WHEN nxt_ts IS NOT NULL THEN nxt_chunk
+             -- trailing entry: timer-only path
+             ELSE timer_batch END AS INT) AS emit_batch
+    FROM t
+    WHERE event_type = 'view'
+      AND (   (nxt_ts IS NOT NULL AND epoch_us(nxt_ts) - epoch_us(ts) > 600000000)
+           OR (nxt_ts IS NOT NULL AND epoch_us(nxt_ts) - epoch_us(ts) <= 600000000 AND nxt_entry)
+           OR (nxt_ts IS NULL AND timer_batch IS NOT NULL))
+    """,
+)
+def streaming_mb_bounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST3 across three micro-batches — the full CEP surface in one run:
+    in-batch match/timeout (vectorized lead), the pending entry carried
+    across the batch boundary and resolved by the NEXT batch's first event,
+    and event-time timers firing when a later batch's watermark passes
+    ts+600s (including the pre-emption case: a cross-batch timeout whose
+    timer fires before the next event's batch arrives). The oracle computes
+    each decision's emission batch from the per-file watermark ladder."""
+    from gmall_spark.streaming.multibatch import (
+        run_collect_batches,
+        stream_event_chunks,
+    )
+
+    out = run_collect_batches(detect_bounce_stream(stream_event_chunks(spark, sf_dir, 3)))
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", TS_FMT).alias("ts"),
+        "bounce_reason",
+        "emit_batch",
+    )
