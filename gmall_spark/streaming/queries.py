@@ -896,3 +896,54 @@ def streaming_mb_bounce(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bounce_reason",
         "emit_batch",
     )
+
+
+@register(
+    "streaming_warehouse_e2e",
+    f"""
+    WITH wm AS {_WM_MS},
+    uv AS (
+      SELECT ts FROM (
+        SELECT ts, row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                      ORDER BY ts, event_id) AS rn
+        FROM events
+      ) WHERE rn = 1
+    ),
+    o AS (
+      SELECT user_id, ts, event_type,
+             lead(ts) OVER w AS nxt_ts,
+             lead(event_type = 'view') OVER w AS nxt_entry
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    uj AS (
+      SELECT ts FROM o, wm
+      WHERE event_type = 'view'
+        AND (   (nxt_ts IS NOT NULL AND epoch_us(nxt_ts) - epoch_us(ts) > 600000000)
+             OR (nxt_ts IS NOT NULL AND epoch_us(nxt_ts) - epoch_us(ts) <= 600000000 AND nxt_entry)
+             OR (nxt_ts IS NULL AND epoch_us(ts) // 1000 + 600000 < wm.wm_ms))
+    ),
+    u AS (
+      SELECT 'pv' AS src, ts FROM events
+      UNION ALL SELECT 'uv', ts FROM uv
+      UNION ALL SELECT 'uj', ts FROM uj
+    )
+    SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '{_DUCK_FMT}') AS stt,
+           strftime(time_bucket(INTERVAL '10 minutes', ts) + INTERVAL '10 minutes', '{_DUCK_FMT}') AS edt,
+           CAST(sum(CASE WHEN src = 'pv' THEN 1 ELSE 0 END) AS BIGINT) AS pv_ct,
+           CAST(sum(CASE WHEN src = 'uv' THEN 1 ELSE 0 END) AS BIGINT) AS uv_ct,
+           CAST(sum(CASE WHEN src = 'uj' THEN 1 ELSE 0 END) AS BIGINT) AS uj_ct
+    FROM u GROUP BY 1, 2
+    """,
+)
+def streaming_warehouse_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed live topology (see streaming/topology.py): DWD base_log →
+    DWM unique_visit + user_jump → DWS visitor_stats as FOUR concurrent
+    streaming queries chained by directory handoffs — the reference's
+    Kafka-topic warehouse shape end to end, with one oracle over the final
+    DWS state. uj rows replay the bounce semantics (timers closed at the
+    upstream stream's final watermark); uv rows are the daily firsts; every
+    metric lands in its event-time 10-minute window."""
+    from gmall_spark.streaming.topology import warehouse_e2e
+
+    return warehouse_e2e(spark, sf_dir)

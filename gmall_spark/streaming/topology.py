@@ -1,0 +1,190 @@
+"""Composed live warehouse topology — the reference's defining shape run for
+real: multiple CONCURRENT streaming queries chained through storage handoffs.
+
+The reference decouples its layers with Kafka topics (`BaseLogApp.java:22-24`
+→ `UniqueVisitApp.java:40-42` / `UserJumpDetailApp.java:64-66` →
+`VisitorStatsApp.java:44-46`); here each hop is a parquet directory written
+by one streaming query's file sink and discovered live by the next query's
+file source — the same decoupling contract (durable, replayable, ordered
+discovery) without a broker in the container. Four queries run
+SIMULTANEOUSLY:
+
+    q1  DWD base_log   events (3 chunked files, 1/trigger) → cleaned page log
+    q2a DWM unique_visit   page log → daily firsts   (keyed NoTimeout state)
+    q2b DWM user_jump      page log → bounce records (event-time timers)
+    q3  DWS visitor_stats  page ∪ uv ∪ uj → per-window pv/uv/uj counts
+
+Stage 3 aggregates in COMPLETE mode rather than watermark-append: the uj
+stream's rows lag the raw stream by up to the 600 s bounce timeout in EVENT
+time, so a single union watermark would race the fast pv path and drop early
+uj rows nondeterministically — precisely the cross-topic lateness a real
+deployment handles by reserving extra out-of-orderness. Complete mode makes
+the FINAL state independent of interleaving (every row eventually arrives;
+the run stops at quiescence), which is what an end-to-end oracle can check;
+per-stage watermark-closure semantics are proven by the dedicated streaming
+entries. At production scale the DWS layer would instead widen its watermark
+delay by the DWM timeout budget and run append.
+
+Quiescence: all sources exhausted AND every query idle (no input rows) for
+several consecutive polls — the window in which stage-2 timers flush (the
+engine runs one extra batch after a watermark advance) and their output
+drains through stage 3.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gmall_spark.streaming.multibatch import stream_event_chunks
+from gmall_spark.streaming.stateful import dedup_daily_stream, detect_bounce_stream
+
+
+def _dir(base: str, name: str) -> str:
+    d = os.path.join(base, name)
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def warehouse_e2e(
+    spark: SparkSession,
+    sf_dir: str,
+    trigger_secs: float = 0.5,
+    timeout_secs: float = 180.0,
+) -> DataFrame:
+    """Run the four-query topology to quiescence; returns the DWS result:
+    one row per 10-minute window with pv_ct / uv_ct / uj_ct."""
+    base = tempfile.mkdtemp(prefix="gmall_e2e_")
+    dwd_page = _dir(base, "dwd_page")
+    dwm_uv = _dir(base, "dwm_uv")
+    dwm_uj = _dir(base, "dwm_uj")
+    sink_name = f"e2e_{os.path.basename(base)}"
+    trig = {"processingTime": f"{trigger_secs} seconds"}
+
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    queries = []
+    try:
+        # q1 — DWD: chunked event source (one file per trigger), cleaned
+        # projection (BaseLogApp's parse/clean stage; our events are already
+        # structured, so cleaning = typed projection)
+        ev = stream_event_chunks(spark, sf_dir, 3)
+        q1 = (
+            ev.select("event_id", "ts", "user_id", "event_type", "value")
+            .writeStream.format("parquet")
+            .option("path", dwd_page)
+            .option("checkpointLocation", _dir(base, "ck_q1"))
+            .outputMode("append")
+            .trigger(**trig)
+            .start()
+        )
+        queries.append(q1)
+
+        page_schema = (
+            "event_id long, ts timestamp, user_id long, event_type string, value double"
+        )
+
+        def page_stream() -> DataFrame:
+            return spark.readStream.schema(page_schema).parquet(dwd_page)
+
+        # q2a — DWM unique visit (UniqueVisitApp): daily firsts off the live
+        # page log
+        q2a = (
+            dedup_daily_stream(page_stream())
+            .writeStream.format("parquet")
+            .option("path", dwm_uv)
+            .option("checkpointLocation", _dir(base, "ck_q2a"))
+            .outputMode("append")
+            .trigger(**trig)
+            .start()
+        )
+        queries.append(q2a)
+
+        # q2b — DWM user jump (UserJumpDetailApp): CEP bounce with event-time
+        # timers off the SAME live page log
+        q2b = (
+            detect_bounce_stream(page_stream())
+            .writeStream.format("parquet")
+            .option("path", dwm_uj)
+            .option("checkpointLocation", _dir(base, "ck_q2b"))
+            .outputMode("append")
+            .trigger(**trig)
+            .start()
+        )
+        queries.append(q2b)
+
+        # q3 — DWS visitor stats (VisitorStatsApp): union the three live
+        # layers, count per 10-minute window per metric
+        pv = page_stream().select(F.lit("pv").alias("src"), "ts")
+        uv = (
+            spark.readStream.schema(
+                "user_id long, dt string, first_event_id long, first_ts timestamp"
+            )
+            .parquet(dwm_uv)
+            .select(F.lit("uv").alias("src"), F.col("first_ts").alias("ts"))
+        )
+        uj = (
+            spark.readStream.schema(
+                "event_id long, user_id long, ts timestamp, bounce_reason string"
+            )
+            .parquet(dwm_uj)
+            .select(F.lit("uj").alias("src"), "ts")
+        )
+        stats = (
+            pv.unionByName(uv)
+            .unionByName(uj)
+            .groupBy(F.window("ts", "10 minutes").alias("w"))
+            .agg(
+                F.sum(F.when(F.col("src") == "pv", 1).otherwise(0)).cast("long").alias("pv_ct"),
+                F.sum(F.when(F.col("src") == "uv", 1).otherwise(0)).cast("long").alias("uv_ct"),
+                F.sum(F.when(F.col("src") == "uj", 1).otherwise(0)).cast("long").alias("uj_ct"),
+            )
+        )
+        q3 = (
+            stats.writeStream.format("memory")
+            .queryName(sink_name)
+            .outputMode("complete")
+            .trigger(**trig)
+            .start()
+        )
+        queries.append(q3)
+
+        # drive to quiescence: every query idle for several consecutive polls
+        deadline = time.monotonic() + timeout_secs
+        idle = 0
+        while idle < 6:
+            if time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"warehouse_e2e: topology not quiescent within {timeout_secs}s"
+                )
+            time.sleep(max(trigger_secs, 0.4))
+            progs = [q.lastProgress for q in queries]
+            if all(p is not None and p["numInputRows"] == 0 for p in progs):
+                idle += 1
+            else:
+                idle = 0
+        for q in queries:
+            q.stop()
+        queries = []
+    finally:
+        for q in queries:  # error path — don't leak running queries
+            try:
+                q.stop()
+            except Exception:
+                pass
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+
+    from gmall_spark.functions import window_bounds
+
+    out = spark.table(sink_name)
+    stt, edt = window_bounds(F.col("w"))
+    return (
+        out.withColumn("stt", stt)
+        .withColumn("edt", edt)
+        .drop("w")
+        .select("stt", "edt", "pv_ct", "uv_ct", "uj_ct")
+    )
