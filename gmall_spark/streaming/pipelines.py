@@ -243,12 +243,49 @@ def run_to_memory(
     return spark.table(name)
 
 
+def jdbc_epoch_write(batch: DataFrame, epoch_id: int, url: str, table: str, **jdbc_opts) -> None:
+    """Idempotent per-epoch JDBC write — the exactly-once foreachBatch
+    recipe: DELETE any rows this epoch already wrote (a previous attempt
+    that crashed mid-write), then append the batch tagged with its epoch id.
+
+    Spark's streaming guarantee is at-least-once into the sink: a crash
+    between the JDBC write and the checkpoint commit replays the SAME epoch
+    with the SAME data on restart (the offset log pins the retried batch's
+    file set). Keying the write by epoch therefore converges replays to
+    exactly-once — the Spark idiom replacing the reference's Kafka
+    transactional Semantic.EXACTLY_ONCE (MyKafkaUtil.java:29-33), which a
+    JDBC sink can't use. The DELETE runs on the driver over the same
+    embedded/remote connection the writer uses."""
+    jvm = batch.sparkSession._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        st = conn.createStatement()
+        try:
+            st.executeUpdate(f'DELETE FROM {table} WHERE "_epoch" = {int(epoch_id)}')
+        except Exception:
+            pass  # first-ever write: the table doesn't exist yet — the writer creates it
+        finally:
+            st.close()
+    finally:
+        conn.close()
+    (
+        batch.withColumn("_epoch", F.lit(int(epoch_id)))
+        .write.mode("append")
+        .format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .options(**jdbc_opts)
+        .save()
+    )
+
+
 def foreach_batch_jdbc(
     df: DataFrame,
     url: str,
     table: str,
     checkpoint: str,
     available_now: bool = True,
+    exactly_once: bool = False,
     **jdbc_opts,
 ):
     """K3 — the ClickHouse JDBC sink pattern (ClickhouseUtil.java:16-66):
@@ -256,13 +293,21 @@ def foreach_batch_jdbc(
     reference batches 5 rows at a time through reflection; foreachBatch
     writes the whole micro-batch through the DataFrame JDBC writer.
 
+    exactly_once=True routes through jdbc_epoch_write (epoch-keyed
+    delete-then-append), making a replayed crashed batch idempotent at the
+    cost of an `_epoch` column in the sink table; False is plain
+    at-least-once append.
+
     available_now=True drains what's available then stops (tests/backfills);
     False runs continuously (production)."""
 
     def write(batch: DataFrame, epoch_id: int) -> None:
-        batch.write.mode("append").format("jdbc").option("url", url).option(
-            "dbtable", table
-        ).options(**jdbc_opts).save()
+        if exactly_once:
+            jdbc_epoch_write(batch, epoch_id, url, table, **jdbc_opts)
+        else:
+            batch.write.mode("append").format("jdbc").option("url", url).option(
+                "dbtable", table
+            ).options(**jdbc_opts).save()
 
     writer = df.writeStream.foreachBatch(write).option("checkpointLocation", checkpoint)
     if available_now:

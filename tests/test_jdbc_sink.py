@@ -74,3 +74,74 @@ def test_foreach_batch_jdbc_streaming(spark, derby_url, tmp_path):
     back = read_table(spark, derby_url, "stream_stats")
     n_events = load_table(spark, SF, "events").count()
     assert back.count() == n_events + 1  # all rows + the seed
+
+
+def test_foreach_batch_jdbc_crash_recovery_exactly_once(spark, derby_url, tmp_path):
+    """The exactly-once story, end to end: a sink that dies AFTER writing
+    part of a micro-batch but BEFORE the checkpoint commit must not leave
+    duplicates when the query restarts — the restarted epoch replays the
+    same file set, the epoch-keyed DELETE clears the torn write, and the
+    final table holds every source row exactly once. The plain append sink
+    would double the crashed batch's partial rows here."""
+    from pyspark.sql.streaming import StreamingQueryException
+
+    from gmall_spark.streaming.pipelines import foreach_batch_jdbc, jdbc_epoch_write
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ev = load_table(spark, SF, "events").select("event_id", "event_type")
+    # two files => two epochs; epoch 1 is the one that will crash mid-write
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(str(src / "f0"))
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(str(src / "f1"))
+
+    def stream():
+        return (
+            spark.readStream.schema("event_id long, event_type string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/*")
+        )
+
+    ckpt = str(tmp_path / "ckpt")
+
+    # --- run 1: epoch-idempotent write, but TORN on epoch 1 — half the rows
+    # land in Derby, then the sink dies before the checkpoint commits
+    def torn_write(batch, epoch_id):
+        if epoch_id == 1:
+            half = batch.limit(batch.count() // 2)
+            jdbc_epoch_write(half, epoch_id, derby_url, "eo_stats", driver=DRIVER)
+            raise RuntimeError("simulated sink crash mid-epoch")
+        jdbc_epoch_write(batch, epoch_id, derby_url, "eo_stats", driver=DRIVER)
+
+    q = (
+        stream()
+        .writeStream.foreachBatch(torn_write)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(StreamingQueryException, match="simulated sink crash"):
+        q.awaitTermination()
+
+    torn = read_table(spark, derby_url, "eo_stats")
+    n_total = ev.count()
+    n_epoch0 = ev.filter(F.col("event_id") % 2 == 0).count()
+    assert torn.count() < n_total  # the torn state is real: epoch 1 is partial
+    assert torn.count() > n_epoch0
+
+    # --- run 2: same checkpoint, healthy exactly-once sink — epoch 1 replays,
+    # the DELETE clears the torn rows, and the table converges to exactly-once
+    q2 = foreach_batch_jdbc(
+        stream(),
+        derby_url,
+        "eo_stats",
+        ckpt,
+        exactly_once=True,
+        driver=DRIVER,
+    )
+    q2.awaitTermination()
+    back = read_table(spark, derby_url, "eo_stats")
+    assert back.count() == n_total
+    assert back.select("event_id").distinct().count() == n_total  # no duplicates
+    # every epoch fully present
+    per_epoch = {r["_epoch"]: r["ct"] for r in back.groupBy("_epoch").agg(F.count(F.lit(1)).alias("ct")).collect()}
+    assert per_epoch == {0: n_epoch0, 1: n_total - n_epoch0}
