@@ -54,7 +54,7 @@ def warehouse_e2e(
     spark: SparkSession,
     sf_dir: str,
     trigger_secs: float = 0.5,
-    timeout_secs: float = 180.0,
+    timeout_secs: float = 600.0,
 ) -> DataFrame:
     """Run the four-query topology to quiescence; returns the DWS result:
     one row per 10-minute window with pv_ct / uv_ct / uj_ct."""

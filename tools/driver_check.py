@@ -8,10 +8,17 @@ in round 1).
 
 Usage:
     python tools/driver_check.py [sf_dir] [name ...]
+    python tools/driver_check.py --json OUT.json [sf_dir] [name ...]
+
+--json additionally writes a per-entry artifact (the full-registry analog of
+the driver's sampled CORRECTNESS_r{N}.json): for every entry, rows/schema/
+hash verdicts plus row counts — so every round carries a hard 100%-coverage
+correctness record regardless of which 50 entries the driver samples.
 """
 
 from __future__ import annotations
 
+import json
 import sys
 
 import pandas as pd
@@ -32,8 +39,13 @@ def value_hash(df: pd.DataFrame) -> int:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    json_out = None
+    if args and args[0] == "--json":
+        json_out = args[1]
+        args = args[2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     sys.path.insert(0, ".")
     import __spark_entry__ as e
@@ -44,40 +56,56 @@ def main() -> int:
     con = duck_connection(sf_dir)
     qs, os_ = e.queries(), e.oracle_sql()
     fails = []
+    record: dict[str, dict] = {}
+    checked = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        checked += 1
         try:
             sp = fn(spark, sf_dir).toPandas()
         except Exception as ex:  # noqa: BLE001 — report, keep sweeping
             fails.append(name)
+            record[name] = {"status": "SPARK-ERR", "error": f"{type(ex).__name__}: {ex}"[:300]}
             print(f"{name:28s} SPARK-ERR {type(ex).__name__}: {ex}")
             continue
         if name not in os_:
             try:
                 sp_c = canon(sp)
                 value_hash(sp_c)
+                record[name] = {"status": "NO-ORACLE", "rows": len(sp)}
                 print(f"{name:28s} no-oracle rows={len(sp)} (canon+hash ok)")
             except Exception as ex:  # noqa: BLE001
                 fails.append(name)
+                record[name] = {"status": "CANON-ERR", "error": f"{type(ex).__name__}: {ex}"[:300]}
                 print(f"{name:28s} CANON-ERR {type(ex).__name__}: {ex}")
             continue
         try:
             du = con.execute(os_[name]).df()
         except Exception as ex:  # noqa: BLE001
             fails.append(name)
+            record[name] = {"status": "ORACLE-ERR", "error": f"{type(ex).__name__}: {ex}"[:300]}
             print(f"{name:28s} ORACLE-ERR {type(ex).__name__}: {ex}")
             continue
         try:
             sp_c, du_c = canon(sp), canon(du)
         except Exception as ex:  # noqa: BLE001
             fails.append(name)
+            record[name] = {"status": "CANON-ERR", "error": f"{type(ex).__name__}: {ex}"[:300]}
             print(f"{name:28s} CANON-ERR {type(ex).__name__}: {ex}")
             continue
         rows = len(sp_c) == len(du_c)
         schema = list(sp_c.columns) == list(du_c.columns)
         h = rows and schema and value_hash(sp_c) == value_hash(du_c)
         status = "PASS" if (rows and schema and h) else "FAIL"
+        record[name] = {
+            "status": status,
+            "rows_match": rows,
+            "schema_match": schema,
+            "hash_match": bool(h),
+            "spark_rows": len(sp_c),
+            "oracle_rows": len(du_c),
+        }
         if status == "FAIL":
             fails.append(name)
             detail = f"rows={rows}({len(sp_c)}/{len(du_c)}) schema={schema} hash={h}"
@@ -91,7 +119,23 @@ def main() -> int:
             print(f"{name:28s} FAIL {detail}")
         else:
             print(f"{name:28s} PASS rows={len(sp_c)}")
-    print(f"\n{len(qs) - len(fails)}/{len(qs)} pass; fails: {fails}")
+    print(f"\n{checked - len(fails)}/{checked} pass; fails: {fails}")
+    if json_out:
+        with open(json_out, "w") as fh:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "total": checked,
+                    "pass": checked - len(fails),
+                    "fails": fails,
+                    "entries": record,
+                },
+                fh,
+                indent=1,
+                sort_keys=True,
+            )
+            fh.write("\n")
+        print(f"wrote {json_out}")
     return 1 if fails else 0
 
 

@@ -1,0 +1,125 @@
+#!/usr/bin/env python
+"""Scale-up generator: build sfN testdata by replicating the driver's sf0.1
+tables K times with consistent key offsets — referential integrity preserved
+(lineitem's order/part/supp keys shift together with their parents; events'
+user_id shifts with customer), replica 0 is the untouched original.
+
+Purpose: the per-round bench at sf0.1 is fixed-overhead-dominated (most
+queries 0.2-6 s), so it proves plan SHAPE, not scaling. A 10x corpus makes
+shuffle sizes, AQE decisions (broadcast thresholds, skew splits), and the
+dedup/ANN bucketing actually move. This is bench input only — the DuckDB
+correctness gate stays on the driver's own sf0.01.
+
+Two content rules keep scaled behavior realistic instead of degenerate:
+- documents: every other token of replica i>0 is tagged `~i`, pushing
+  cross-replica Jaccard to ~1/3 (below the 50% near-dup threshold) — near-dup
+  structure grows linearly with scale instead of every doc becoming a
+  100-member cross-replica clique;
+- embeddings: replica i>0 vectors get a small deterministic perturbation on
+  dimension (i mod dim), so no exact-duplicate vectors.
+
+Usage: python tools/gen_sf.py [out_dir] [factor]   (defaults: .localdata/sf1 10)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SRC = "/root/testdata/sf0.1"
+
+# table -> {column: parent} key groups that must shift together; the offset
+# unit for a group is (max key of the parent domain at sf0.1) + 1
+KEYED = {
+    "customer": {"c_custkey": "customer"},
+    "supplier": {"s_suppkey": "supplier"},
+    "part": {"p_partkey": "part"},
+    "orders": {"o_orderkey": "orders", "o_custkey": "customer"},
+    "lineitem": {
+        "l_orderkey": "orders",
+        "l_partkey": "part",
+        "l_suppkey": "supplier",
+    },
+    "events": {"event_id": "events", "user_id": "customer"},
+    "documents": {"doc_id": "documents"},
+    "embeddings": {"vec_id": "embeddings"},
+}
+DOMAIN_KEY = {
+    "customer": "c_custkey",
+    "supplier": "s_suppkey",
+    "part": "p_partkey",
+    "orders": "o_orderkey",
+    "events": "event_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+
+
+def _mutate_texts(texts: list[str | None], i: int) -> list[str | None]:
+    out = []
+    for t in texts:
+        if t is None:
+            out.append(None)
+            continue
+        toks = t.split(" ")
+        out.append(
+            " ".join(
+                f"{tok}~{i}" if (j + i) % 2 == 0 else tok
+                for j, tok in enumerate(toks)
+            )
+        )
+    return out
+
+
+def main() -> None:
+    out_dir = sys.argv[1] if len(sys.argv) > 1 else ".localdata/sf1"
+    factor = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    os.makedirs(out_dir, exist_ok=True)
+
+    offsets = {
+        dom: pq.read_table(
+            os.path.join(SRC, f"{dom}.parquet"), columns=[key]
+        )[key].to_numpy().max() + 1
+        for dom, key in DOMAIN_KEY.items()
+    }
+
+    for name in ("region", "nation"):  # dims don't scale
+        src = os.path.join(SRC, f"{name}.parquet")
+        pq.write_table(pq.read_table(src), os.path.join(out_dir, f"{name}.parquet"))
+        print(f"{name}: copied")
+
+    for name, keys in KEYED.items():
+        src = pq.read_table(os.path.join(SRC, f"{name}.parquet"))
+        dest = os.path.join(out_dir, f"{name}.parquet")
+        writer = pq.ParquetWriter(dest, src.schema)
+        for i in range(factor):
+            cols = {}
+            for col in src.schema.names:
+                arr = src[col]
+                if i and col in keys:
+                    off = int(offsets[keys[col]]) * i
+                    arr = pa.chunked_array(
+                        [pa.compute.add(c, off) for c in arr.chunks]
+                    )
+                elif i and name == "documents" and col == "text":
+                    arr = pa.array(_mutate_texts(arr.to_pylist(), i), type=pa.string())
+                elif i and name == "embeddings" and col == "embedding":
+                    import numpy as np
+
+                    vecs = arr.to_pylist()
+                    for v in vecs:
+                        if v:
+                            v[i % len(v)] = float(np.float32(v[i % len(v)] + 0.003 * i))
+                    arr = pa.array(vecs, type=src.schema.field(col).type)
+                cols[col] = arr
+            writer.write_table(pa.table(cols, schema=src.schema))
+        writer.close()
+        meta = pq.read_metadata(dest)
+        print(f"{name}: {meta.num_rows} rows ({factor}x)")
+
+
+if __name__ == "__main__":
+    main()
