@@ -1679,6 +1679,65 @@ def text_boilerplate_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# HyperLogLog registers — the bounded-memory DISTINCT sketch next to the
+# Count-Min frequency sketch: 256 registers keyed by the first md5 byte,
+# each holding max(rho) where rho = leading-zero count (+1) of the next
+# 32 hash bits. approx_count_distinct would give an opaque engine-specific
+# binary; building the registers from md5 arithmetic makes the whole
+# sketch — including its estimation error — replayable in SQL. Output is
+# integer-only (register, max_rho) per event_type, so no transcendental
+# fp (ln/pow differ between libm and the JVM) touches the driver hash;
+# the estimate is a trivial driver-side fold over the rows. At 100 TB the
+# register table is |groups| x 256 rows — constant per group — versus an
+# exact distinct's |groups| x |users| shuffle; registers merge with max()
+# so partial aggregation applies.
+# floor(log2(v)) is fp-safe cross-engine: the only integer boundaries are
+# exact powers of two (log2 exact in ieee754), and the nearest other
+# values miss the boundary by ~2^-31 >> 1 ulp at magnitude 31.
+# ---------------------------------------------------------------------------
+def _hex_val_sql(expr: str, start: int, n: int) -> str:
+    digit = "(strpos('0123456789abcdef', substr({m}, {p}, 1)) - 1)"
+    return (
+        "("
+        + " + ".join(
+            f"{digit.format(m=expr, p=start + i)} * {16 ** (n - 1 - i)}"
+            for i in range(n)
+        )
+        + ")"
+    )
+
+
+_HLL_ORACLE = f"""
+WITH h AS (
+  SELECT event_type,
+         {_hex_val_sql("md5('hll:' || CAST(user_id AS VARCHAR))", 1, 2)} AS reg,
+         {_hex_val_sql("md5('hll:' || CAST(user_id AS VARCHAR))", 3, 8)} AS v
+  FROM events
+)
+SELECT event_type, CAST(reg AS INT) AS register,
+       CAST(max(CASE WHEN v = 0 THEN 33
+                     ELSE 32 - CAST(floor(log2(v)) AS INT) END) AS INT) AS max_rho
+FROM h GROUP BY 1, 2
+"""
+
+
+@register("hll_registers", _HLL_ORACLE)
+def hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    m = F.md5(F.concat(F.lit("hll:"), F.col("user_id").cast("string")))
+    reg = F.conv(F.substring(m, 1, 2), 16, 10).cast("int")
+    v = F.conv(F.substring(m, 3, 8), 16, 10).cast("long")
+    rho = F.when(v == 0, F.lit(33)).otherwise(
+        F.lit(32) - F.floor(F.log2(v)).cast("int")
+    )
+    return (
+        ev.select("event_type", reg.alias("register"), rho.alias("rho"))
+        .groupBy("event_type", "register")
+        .agg(F.max("rho").cast("int").alias("max_rho"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Count-Min sketch — the bounded-memory frequency sketch (heavy hitters at
 # stream scale): depth 4 salted hash rows x width 4096 cells; an item's
 # estimate is the MIN over its 4 cells, always >= the true count. Hashes are

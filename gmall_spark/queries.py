@@ -1886,3 +1886,96 @@ def sliding_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_sum",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Funnel conversion — the staged view→click→purchase attribution every DWS
+# layer grows next (the reference's product stats stop at per-stream counts).
+# Spark side: ONE shuffle — per-user event arrays folded through a Catalyst
+# higher-order F.aggregate (sorted struct array → (v1, c1, p1) stage
+# timestamps), then a broadcast dim join to segment. The staged-min
+# semantics (first view; first click at/after it; first purchase at/after
+# that) is what the oracle expresses as three chained filtered-min CTEs —
+# three shuffles there, one here: the fold is the scale win, and the whole
+# walk stays inside codegen (no UDF). Event timestamps are µs-unique per
+# user in the driver's data, so fold order == the >= chain.
+# ---------------------------------------------------------------------------
+@register(
+    "funnel_conversion",
+    """
+    WITH v AS (
+      SELECT user_id, min(ts) AS v1 FROM events WHERE event_type = 'view' GROUP BY 1
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS c1
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts >= v.v1 GROUP BY 1
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS p1
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= c.c1 GROUP BY 1
+    )
+    SELECT cu.c_mktsegment AS segment,
+           CAST(count(*) AS BIGINT) AS users,
+           CAST(count(v.v1) AS BIGINT) AS viewed,
+           CAST(count(c.c1) AS BIGINT) AS clicked,
+           CAST(count(p.p1) AS BIGINT) AS purchased
+    FROM (SELECT DISTINCT user_id FROM events) u
+    JOIN customer cu ON u.user_id = cu.c_custkey
+    LEFT JOIN v ON u.user_id = v.user_id
+    LEFT JOIN c ON u.user_id = c.user_id
+    LEFT JOIN p ON u.user_id = p.user_id
+    GROUP BY 1
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    folded = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).alias("evs")
+        )
+        .withColumn(
+            "stages",
+            F.aggregate(
+                "evs",
+                F.expr(
+                    "named_struct('v1', CAST(NULL AS TIMESTAMP), "
+                    "'c1', CAST(NULL AS TIMESTAMP), 'p1', CAST(NULL AS TIMESTAMP))"
+                ),
+                lambda acc, x: F.struct(
+                    F.coalesce(
+                        acc["v1"], F.when(x["event_type"] == "view", x["ts"])
+                    ).alias("v1"),
+                    F.coalesce(
+                        acc["c1"],
+                        F.when(
+                            (x["event_type"] == "click") & acc["v1"].isNotNull(),
+                            x["ts"],
+                        ),
+                    ).alias("c1"),
+                    F.coalesce(
+                        acc["p1"],
+                        F.when(
+                            (x["event_type"] == "purchase") & acc["c1"].isNotNull(),
+                            x["ts"],
+                        ),
+                    ).alias("p1"),
+                ),
+            ),
+        )
+    )
+    return (
+        folded.join(F.broadcast(cust), folded.user_id == cust.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("users"),
+            F.count("stages.v1").alias("viewed"),
+            F.count("stages.c1").alias("clicked"),
+            F.count("stages.p1").alias("purchased"),
+        )
+    )

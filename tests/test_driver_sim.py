@@ -22,6 +22,8 @@ SAMPLE = [
     "pagerank_trade",     # extras/graph.py iterative
     "dedup_minhash",      # extras/dedup.py LSH
     "streaming_unique_visit",  # live Structured Streaming machinery
+    "streaming_mb_bounce",  # multi-batch harness: chunk files, timers, foreachBatch
+    "funnel_conversion",  # higher-order fold + broadcast dim join
 ]
 
 _SCRIPT = f"""
