@@ -1877,3 +1877,93 @@ def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min(codes).alias("q_min"),
         F.array_max(codes).alias("q_max"),
     )
+
+
+# ---------------------------------------------------------------------------
+# RAG-style document chunker — the ingestion op every retrieval corpus runs:
+# fixed-size token windows (50) with stride 40 (10-token overlap), emitted
+# per document. Pure array expressions (split → sequence → slice →
+# concat_ws) inside whole-stage codegen: a projection + explode, NO
+# shuffle — it scales embarrassingly and the chunk count per row is
+# bounded by doc length / stride. Output carries the chunk fingerprint
+# (md5) rather than the text so the driver hash stays compact; both
+# engines clamp the final short window identically.
+# ---------------------------------------------------------------------------
+_CHUNK_W, _CHUNK_S = 50, 40
+
+_CHUNKS_ORACLE = f"""
+SELECT doc_id,
+       CAST(s // {_CHUNK_S} AS INT) AS chunk_idx,
+       md5(array_to_string(t[s + 1 : s + {_CHUNK_W}], ' ')) AS chunk_fp,
+       CAST(least({_CHUNK_W}, len(t) - s) AS BIGINT) AS n_tokens
+FROM (SELECT doc_id, string_split(trim(text), ' ') AS t
+      FROM documents WHERE trim(text) <> ''),
+     UNNEST(range(0, len(t), {_CHUNK_S})) AS u(s)
+"""
+
+
+@register("doc_chunks", _CHUNKS_ORACLE)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    t = F.split(F.trim(F.col("text")), " ")
+    exploded = (
+        docs.select("doc_id", t.alias("t"))
+        .withColumn("n", F.size("t"))
+        .select(
+            "doc_id",
+            "t",
+            "n",
+            F.explode(
+                F.sequence(F.lit(0), F.col("n") - 1, F.lit(_CHUNK_S))
+            ).alias("s"),
+        )
+    )
+    return exploded.select(
+        "doc_id",
+        F.expr(f"CAST(s DIV {_CHUNK_S} AS INT)").alias("chunk_idx"),
+        F.md5(F.concat_ws(" ", F.slice("t", F.col("s") + 1, _CHUNK_W))).alias("chunk_fp"),
+        F.least(F.lit(_CHUNK_W), F.col("n") - F.col("s")).cast("long").alias("n_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-gram collision decontamination — the GPT-3/Pile-style variant of the
+# hash decontaminate entry: a corpus document is contaminated if it shares
+# ANY 13-token shingle with the benchmark set (doc_id % 7 == 0 stands in
+# for the eval suite — wide enough that real collisions exist in the
+# synthetic corpus, so the oracle checks actual hits, not an empty set). One shuffle keyed on the shingle (semi-join against
+# the benchmark's distinct shingles — the inverted-index shape again, so
+# hot-shingle df-capping applies unchanged at 100 TB). Output: the
+# contaminated doc ids with their distinct colliding-shingle counts — the
+# audit trail a removal pass logs.
+# ---------------------------------------------------------------------------
+_DECON_NG_ORACLE = """
+WITH sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id, array_to_string(t[i:i+12], ' ') AS shingle
+    FROM (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+         UNNEST(range(1, greatest(len(t) - 12, 1) + 1)) AS u(i)
+  )
+)
+SELECT s.doc_id, CAST(count(*) AS BIGINT) AS hit_ct
+FROM sh s
+JOIN (SELECT DISTINCT shingle FROM sh WHERE doc_id % 7 = 0) b
+  ON s.shingle = b.shingle
+WHERE s.doc_id % 7 <> 0
+GROUP BY 1
+"""
+
+
+@register("decontaminate_ngrams", _DECON_NG_ORACLE)
+def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.shingle_set(docs, "doc_id", "text", k=13)
+    bench = (
+        sh.filter(F.col("doc_id") % 7 == 0).select("shingle").distinct()
+    )
+    return (
+        sh.filter(F.col("doc_id") % 7 != 0)
+        .join(bench, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("hit_ct"))
+    )

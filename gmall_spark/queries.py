@@ -1979,3 +1979,42 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("stages.p1").alias("purchased"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD type-2 dimension build — the versioned-dimension table the reference's
+# dim layer implies but never materializes (its Phoenix upserts overwrite in
+# place, losing history; SURVEY §3.3). Each change event becomes a version
+# row with [valid_from, valid_to) bounds and a current flag — one window
+# function over the change stream, no self-join. At scale this is a single
+# shuffle on the business key; the open-ended current rows use a sentinel
+# high date so range probes stay sargable.
+# ---------------------------------------------------------------------------
+@register(
+    "scd2_dim",
+    f"""
+    SELECT o_custkey AS custkey, o_orderstatus AS status,
+           strftime(o_orderdate, '{_DUCK_FMT}') AS valid_from,
+           coalesce(strftime(nxt, '{_DUCK_FMT}'), '9999-12-31 00:00:00') AS valid_to,
+           CAST(CASE WHEN nxt IS NULL THEN 1 ELSE 0 END AS INT) AS is_current
+    FROM (
+      SELECT *, lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate, o_orderkey) AS nxt
+      FROM orders
+    )
+    """,
+)
+def scd2_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.withColumn("nxt", F.lead("o_orderdate").over(w)).select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderstatus").alias("status"),
+        F.date_format("o_orderdate", TS_FMT).alias("valid_from"),
+        F.coalesce(
+            F.date_format("nxt", TS_FMT), F.lit("9999-12-31 00:00:00")
+        ).alias("valid_to"),
+        F.when(F.col("nxt").isNull(), 1).otherwise(0).cast("int").alias("is_current"),
+    )
