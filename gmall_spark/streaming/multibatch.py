@@ -35,8 +35,6 @@ from __future__ import annotations
 
 import os
 
-import pandas as pd
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -147,17 +145,26 @@ def run_collect_batches(
     stamping every output row with the micro-batch id it emitted in. The
     returned (batch) DataFrame carries `emit_batch` — the emission schedule
     the oracle replays. Batch ids: 0..N-1 for the N files, N for the final
-    watermark-flush batch."""
+    watermark-flush batch.
+
+    Each batch lands in a per-run parquet spool EXECUTOR-side (append +
+    emit_batch column) and the result is read back lazily — no driver-side
+    row materialization, so the capture scales with the cluster exactly
+    like any other sink (an earlier pandas-collect version hauled the full
+    output through the driver twice)."""
+    import tempfile
+
     spark = df.sparkSession
     fields = list(df.schema.fields) + [T.StructField("emit_batch", T.IntegerType())]
     out_schema = T.StructType(fields)
-    collected: list[pd.DataFrame] = []
+    spool = tempfile.mkdtemp(prefix="gmall_mb_spool_")
 
     def sink(bdf: DataFrame, bid: int) -> None:
-        pdf = bdf.toPandas()
-        if len(pdf):
-            pdf["emit_batch"] = int(bid)
-            collected.append(pdf)
+        (
+            bdf.withColumn("emit_batch", F.lit(int(bid)))
+            .write.mode("append")
+            .parquet(spool)
+        )
 
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     if shuffle_partitions:
@@ -172,7 +179,9 @@ def run_collect_batches(
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    if collected:
-        allp = pd.concat(collected, ignore_index=True)
-        return spark.createDataFrame(allp, schema=out_schema)
-    return spark.createDataFrame([], schema=out_schema)
+    try:
+        # explicit schema: an all-empty spool (or a batch with only nulls)
+        # must not change inferred types between runs
+        return spark.read.schema(out_schema).parquet(spool)
+    except Exception:
+        return spark.createDataFrame([], schema=out_schema)
