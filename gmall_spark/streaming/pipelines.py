@@ -212,18 +212,20 @@ def run_to_memory(
     df: DataFrame,
     name: str,
     output_mode: str = "append",
-    shuffle_partitions: int | None = 8,
+    shuffle_partitions: int | None = 32,
 ) -> DataFrame:
     """Drive a streaming DataFrame to completion with an availableNow trigger
     into a memory sink; returns the result table. The test-time analog of
     'submit and let it run' — processes everything currently available, then
     stops (ST9: checkpointing elided for in-memory runs).
 
-    shuffle_partitions sizes the STATE STORE width for this query (stateful
-    streaming cost scales with partitions × micro-batches — each partition
-    pays a state-store open/commit per batch, so width should match key
-    cardinality/throughput, not the batch-engine default). Pinned at query
-    start; the session conf is restored afterwards.
+    shuffle_partitions sizes the STATE STORE width for this query: stateful
+    cost is (per-partition store open/commit per batch) vs (parallelism of
+    the keyed pandas work), so width should track cores and key cardinality,
+    not the batch-engine default of 200. Measured on this 32-core box at
+    sf0.1: width 32 beats 8 on every stateful entry (daily-UV dedup 6.1s →
+    2.0s) — the store overhead is far smaller than the core starvation.
+    Pinned at query start; the session conf is restored afterwards.
     """
     spark = df.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -66,7 +66,7 @@ def warehouse_e2e(
     trig = {"processingTime": f"{trigger_secs} seconds"}
 
     prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
     queries = []
     try:
         # q1 — DWD: chunked event source (one file per trigger), cleaned
