@@ -899,6 +899,59 @@ def streaming_mb_bounce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_outer_interval_join",
+    f"""
+    -- BOTH sides carry a watermark; the query's global watermark is the MIN
+    -- of the two (views and purchases have different max event times), which
+    -- is what gates the null-side emission — calibrated empirically: the
+    -- all-events max over-evicts by exactly the views-vs-purchases gap
+    WITH wm AS (
+      SELECT least((SELECT epoch_us(max(ts)) FROM events WHERE event_type = 'view'),
+                   (SELECT epoch_us(max(ts)) FROM events WHERE event_type = 'purchase'))
+             // 1000 - 2000 AS wm_ms
+    ),
+    v AS (SELECT * FROM events WHERE event_type = 'view'),
+    p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+    matched AS (
+      SELECT v.event_id AS view_id, p.event_id AS purchase_id, v.user_id,
+             strftime(v.ts, '{_DUCK_FMT}') AS view_ts
+      FROM v JOIN p ON v.user_id = p.user_id
+       AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL '15 minutes'
+    ),
+    unmatched AS (
+      SELECT v.event_id AS view_id, CAST(NULL AS BIGINT) AS purchase_id, v.user_id,
+             strftime(v.ts, '{_DUCK_FMT}') AS view_ts
+      FROM v, wm
+      WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.user_id = v.user_id
+                        AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL '15 minutes')
+        AND wm.wm_ms > epoch_us(v.ts + INTERVAL '15 minutes') // 1000
+    )
+    SELECT * FROM matched UNION ALL SELECT * FROM unmatched
+    """,
+)
+def streaming_outer_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5's outer semantics on a LIVE stream-stream interval join
+    (TestFlinkSQLJoin.java:34-43's state-TTL-driven outer emission):
+    matches emit as found; an unmatched view emits with nulls only once
+    the watermark PROVES no purchase can still arrive (wm past
+    view_ts + upper bound). The oracle replays both paths, including the
+    min-of-both-sides watermark that governs the eviction."""
+    ev = stream_events(spark, sf_dir)
+    views = ev.filter(F.col("event_type") == "view")
+    buys = ev.filter(F.col("event_type") == "purchase")
+    j = interval_join_stream(
+        views, buys, "user_id", "ts", "ts", "0 minutes", "15 minutes",
+        how="left_outer",
+    ).select(
+        F.col("l.event_id").alias("view_id"),
+        F.col("r.event_id").alias("purchase_id"),
+        F.col("l.user_id").alias("user_id"),
+        F.date_format(F.col("l.ts"), TS_FMT).alias("view_ts"),
+    )
+    return run_to_memory(j, _name("s_louter"))
+
+
+@register(
     "streaming_warehouse_e2e",
     f"""
     WITH wm AS {_WM_MS},
