@@ -1967,3 +1967,28 @@ def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("hit_ct"))
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training + application (extras/bpe.py — design + the
+# cross-engine merge-semantics proof live there). Training cost is
+# vocab-sized, not corpus-sized: pair stats over distinct words weighted by
+# frequency, one 1-row argmax collect per merge (loop control). The corpus
+# is touched once to count words and once to encode — the standard
+# Sennrich-style scalable shape.
+# ---------------------------------------------------------------------------
+from gmall_spark.extras import bpe as _bpe
+
+_BPE_MERGES = 8
+
+
+@register("bpe_train", _bpe.train_oracle(_BPE_MERGES))
+def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return _bpe.train_table(spark, docs, "text", _BPE_MERGES)
+
+
+@register("bpe_encode", _bpe.encode_oracle(_BPE_MERGES))
+def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return _bpe.encode_counts(docs, "doc_id", "text", _BPE_MERGES)
