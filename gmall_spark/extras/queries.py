@@ -1992,3 +1992,48 @@ def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return _bpe.encode_counts(docs, "doc_id", "text", _BPE_MERGES)
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM quality filtering (CCNet-style perplexity-filter shape) — the
+# one float-ratio extras entry; safe because every step is IEEE-exact or
+# order-pinned (see extras/text.py:bigram_lm_scores for the full argument:
+# probabilities are single divisions of exact integers, the per-doc sum
+# folds left-to-right in position order in BOTH engines).
+# ---------------------------------------------------------------------------
+_LM_SCORE_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(trim(text), ' '), x -> x <> '') AS t
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, i AS pos, t[i-1] AS prev, t[i] AS cur
+  FROM toks, UNNEST(range(2, len(t) + 1)) AS u(i)
+),
+bct AS (SELECT prev, cur, count(*) AS bct FROM pos GROUP BY 1, 2),
+uct AS (SELECT prev, count(*) AS uct FROM pos GROUP BY 1),
+v AS (SELECT count(DISTINCT w) AS vocab FROM (SELECT unnest(t) AS w FROM toks)),
+p AS (
+  SELECT pos.doc_id, pos.pos,
+         (b.bct + 1) / CAST(u.uct + v.vocab AS DOUBLE) AS p
+  FROM pos JOIN bct b ON pos.prev = b.prev AND pos.cur = b.cur
+  JOIN uct u ON pos.prev = u.prev
+  CROSS JOIN v
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_bigrams,
+         list_reduce(list_prepend(0.0, list(p ORDER BY pos)), (acc, x) -> acc + x) AS s
+  FROM p GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       coalesce(a.s / a.n_bigrams, 0.0) AS lm_score,
+       coalesce(a.s / a.n_bigrams, 0.0) >= 0.034 AS keep
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+"""
+
+
+@register("lm_score", _LM_SCORE_ORACLE)
+def lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.bigram_lm_scores(docs, "doc_id", "text", keep_threshold=0.034)

@@ -184,3 +184,86 @@ def tokenize_udf(text_col: str, dictionary: frozenset | None = None):
 
     fn = F.pandas_udf(_cut, T.ArrayType(T.StringType()))
     return fn(text_col)
+
+
+def bigram_lm_scores(
+    df: DataFrame, id_col: str, text_col: str, keep_threshold: float
+) -> DataFrame:
+    """CCNet-style LM quality filtering: score each document by the mean
+    Laplace-smoothed bigram probability of its own corpus's bigram model
+    (low score = text unlike the corpus — the perplexity-filter shape).
+
+    Float parity, deliberately: this is the one extras op that outputs a
+    float ratio, and it is safe because every arithmetic step is IEEE-exact
+    or order-pinned. Probabilities are single divisions of exact integers
+    (< 2^53); the per-doc sum folds LEFT-TO-RIGHT IN POSITION ORDER via
+    ``F.aggregate`` over a position-sorted array (DuckDB replays with
+    ``list_reduce(list(p ORDER BY pos))``), so the non-associativity of
+    double addition never sees two different orders. A production variant
+    would sum log-probs — same shape, but ``ln`` is not bit-portable across
+    engines, and at this corpus scale the mean probability ranks documents
+    identically for filtering purposes (documented deviation).
+
+    Scale: two shuffles to build the model (bigram + unigram counts over the
+    corpus, both partial-agg), one broadcastable vocab scalar, one join of
+    corpus positions against the model keyed on the bigram, one groupBy on
+    the doc id. The model tables are vocab²-bounded, not corpus-sized.
+    """
+    pos = (
+        df.select(
+            id_col,
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, greatest(size(filter(split(trim({text_col}), ' '), "
+                    f"x -> x <> '')) - 1, 0)), "
+                    f"i -> struct(i AS pos, "
+                    f"filter(split(trim({text_col}), ' '), x -> x <> '')[i-1] AS prev, "
+                    f"filter(split(trim({text_col}), ' '), x -> x <> '')[i] AS cur))"
+                )
+            ).alias("b"),
+        )
+        .select(id_col, "b.pos", "b.prev", "b.cur")
+    )
+    bct = pos.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("bct"))
+    uct = pos.groupBy("prev").agg(F.count(F.lit(1)).alias("uct"))
+    vocab = (
+        df.select(F.explode(F.filter(_tokens(text_col), lambda x: x != "")).alias("w"))
+        .agg(F.countDistinct("w").alias("vocab"))
+    )
+    p = (
+        pos.join(bct, ["prev", "cur"])
+        .join(uct, ["prev"])
+        .crossJoin(F.broadcast(vocab))  # 1-row scalar — the allowlisted pattern
+        .select(
+            id_col,
+            "pos",
+            (
+                (F.col("bct") + F.lit(1)).cast("double")
+                / (F.col("uct") + F.col("vocab")).cast("double")
+            ).alias("p"),
+        )
+    )
+    agg = (
+        p.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.aggregate(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "p"))), lambda x: x["p"]
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("s"),
+        )
+    )
+    score = F.coalesce(F.col("s") / F.col("n_bigrams"), F.lit(0.0))
+    return (
+        df.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            score.alias("lm_score"),
+            (score >= F.lit(keep_threshold)).alias("keep"),
+        )
+    )
