@@ -2159,3 +2159,60 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bloom_hit_ct").cast("long"),
         F.coalesce("exact_hit_ct", F.lit(0)).cast("long").alias("exact_hit_ct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mixture sampling — the data-mixing step that reweights provenance before
+# training: per-source sampling rates (temperature-style downsampling,
+# rates 100/50/25% by source index mod 3 here), targets computed with
+# integer arithmetic (floor(n_i * rate / 100)), membership decided by
+# md5-rank within the source so the draw is uniform, reproducible, and
+# engine-replayable. One window shuffle partitioned by source. Scale note:
+# at 100 TB exact per-source counts need this rank; if ±0.1% wobble is
+# acceptable, the shuffle-free variant thresholds the hash value itself
+# (keep iff md5 < rate × 2^128 — a Bernoulli draw, pure filter), the same
+# trade split_by_hash already demonstrates.
+# ---------------------------------------------------------------------------
+_SAMPLE_MIXTURE_ORACLE = """
+WITH r AS (
+  SELECT doc_id, source,
+         CASE CAST(substr(source, 4) AS INT) % 3
+           WHEN 0 THEN 100 WHEN 1 THEN 50 ELSE 25 END AS rate_pct,
+         count(*) OVER (PARTITION BY source) AS n_src,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rnk
+  FROM documents
+)
+SELECT doc_id, source, CAST(rnk AS BIGINT) AS rnk,
+       CAST(n_src * rate_pct // 100 AS BIGINT) AS target_ct
+FROM r
+WHERE rnk <= n_src * rate_pct // 100
+"""
+
+
+@register("sample_mixture", _SAMPLE_MIXTURE_ORACLE)
+def sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    rate = (
+        F.when(F.substring("source", 4, 10).cast("int") % 3 == 0, 100)
+        .when(F.substring("source", 4, 10).cast("int") % 3 == 1, 50)
+        .otherwise(25)
+    )
+    w = Window.partitionBy("source")
+    wr = w.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    r = docs.select(
+        "doc_id",
+        "source",
+        rate.alias("rate_pct"),
+        F.count(F.lit(1)).over(w).alias("n_src"),
+        F.row_number().over(wr).alias("rnk"),
+    )
+    target = F.floor(F.col("n_src") * F.col("rate_pct") / 100).cast("long")
+    return (
+        r.filter(F.col("rnk") <= target)
+        .select("doc_id", "source", F.col("rnk").cast("long"), target.alias("target_ct"))
+    )
