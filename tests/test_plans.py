@@ -225,6 +225,8 @@ def test_sales_opportunity_anti_join_and_date_pushdown(spark):
 _SCALAR_CROSS_OK = {
     "important_parts",    # cross join vs the 1-row corpus-total aggregate
     "sales_opportunity",  # cross join vs the 1-row balance aggregate
+    "lm_score",           # cross join vs the 1-row vocab-size aggregate
+    "decontaminate_bloom",  # cross join vs the 1-row broadcast bloom mask
 }
 
 
