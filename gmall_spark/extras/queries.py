@@ -2216,3 +2216,166 @@ def sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         r.filter(F.col("rnk") <= target)
         .select("doc_id", "source", F.col("rnk").cast("long"), target.alias("target_ct"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable histogram quantiles — the sketch path for percentiles at scale.
+# percentile_stats computes exact interpolated percentiles (a full sort per
+# group); this entry builds a fixed-64-bin histogram instead: bin counts
+# are plain integer partial aggregates (map-side combinable, one shuffle,
+# mergeable across any partitioning — the property exact percentiles lack),
+# and the quantile estimate interpolates within the covering bin. Bounds
+# come from a first min/max pass (1-row broadcast scalar). All arithmetic
+# is IEEE-exact (+,-,*,/ only), so the oracle hash-matches the estimates.
+# Output keeps the exact percentile beside the estimate: the error the
+# sketch trades for mergeability is auditable per group.
+# ---------------------------------------------------------------------------
+_HIST_QUANTILE_ORACLE = """
+WITH b AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
+binned AS (
+  SELECT e.event_type,
+         CAST(least(floor((e.value - b.lo) / (b.hi - b.lo) * 64), 63) AS INT) AS bin
+  FROM events e CROSS JOIN b
+),
+hist AS (SELECT event_type, bin, count(*) AS ct FROM binned GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, bin, ct,
+         sum(ct) OVER (PARTITION BY event_type ORDER BY bin) AS cum_ct,
+         sum(ct) OVER (PARTITION BY event_type) AS n
+  FROM hist
+),
+est AS (
+  SELECT event_type, n,
+         min(CASE WHEN cum_ct * 2 >= n THEN bin END) AS bin50,
+         min(CASE WHEN cum_ct * 20 >= n * 19 THEN bin END) AS bin95
+  FROM cum GROUP BY 1, 2
+)
+SELECT e.event_type, CAST(e.n AS BIGINT) AS n,
+       b.lo + (e.bin50 + 0.5) * (b.hi - b.lo) / 64 AS est_p50,
+       b.lo + (e.bin95 + 0.5) * (b.hi - b.lo) / 64 AS est_p95,
+       q.exact_p50, q.exact_p95
+FROM est e CROSS JOIN b
+JOIN (
+  SELECT event_type, quantile_cont(value, 0.5) AS exact_p50,
+         quantile_cont(value, 0.95) AS exact_p95
+  FROM events GROUP BY 1
+) q ON e.event_type = q.event_type
+"""
+
+
+@register("histogram_quantiles", _HIST_QUANTILE_ORACLE)
+def histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    binned = ev.crossJoin(F.broadcast(b)).select(
+        "event_type",
+        "lo",
+        "hi",
+        F.least(
+            F.floor((F.col("value") - F.col("lo")) / (F.col("hi") - F.col("lo")) * 64),
+            F.lit(63),
+        )
+        .cast("int")
+        .alias("bin"),
+    )
+    hist = binned.groupBy("event_type", "bin").agg(F.count(F.lit(1)).alias("ct"))
+    from pyspark.sql import Window
+
+    wcum = Window.partitionBy("event_type").orderBy("bin")
+    wall = Window.partitionBy("event_type")
+    cum = hist.select(
+        "event_type",
+        "bin",
+        F.sum("ct").over(wcum).alias("cum_ct"),
+        F.sum("ct").over(wall).alias("n"),
+    )
+    est = cum.groupBy("event_type", "n").agg(
+        F.min(F.when(F.col("cum_ct") * 2 >= F.col("n"), F.col("bin"))).alias("bin50"),
+        F.min(F.when(F.col("cum_ct") * 20 >= F.col("n") * 19, F.col("bin"))).alias(
+            "bin95"
+        ),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("exact_p50"),
+        F.expr("percentile(value, 0.95)").alias("exact_p95"),
+    )
+    return (
+        est.crossJoin(F.broadcast(b))
+        .join(exact, "event_type")
+        .select(
+            "event_type",
+            F.col("n").cast("long"),
+            (F.col("lo") + (F.col("bin50") + 0.5) * (F.col("hi") - F.col("lo")) / 64).alias("est_p50"),
+            (F.col("lo") + (F.col("bin95") + 0.5) * (F.col("hi") - F.col("lo")) / 64).alias("est_p95"),
+            "exact_p50",
+            "exact_p95",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding pooling — chunk/token embeddings → one pooled vector per label
+# (the doc-level-embedding step between chunk encoding and ANN indexing).
+# Float parity by order-pinning: vectors fold left-to-right in vec_id order
+# (F.aggregate + zip_with here, list_reduce over list(... ORDER BY vec_id)
+# in the oracle), then per-dim means and the L1 report fold in dimension
+# order — double addition never sees two different orders. The pinned fold
+# forfeits map-side combining (same documented trade as lm_score); the
+# tolerance-checked production variant would tree-aggregate. Output is the
+# hashable summary (driver canonicalizer rejects array cells): n, first/
+# last dim means, L1 mass of the pooled vector.
+# ---------------------------------------------------------------------------
+_EMBED_POOL_ORACLE = """
+WITH v AS (
+  SELECT label, vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+pooled AS (
+  SELECT label, count(*) AS n_vecs,
+         list_reduce(
+           list_prepend(list_transform(range(0, 64), x -> CAST(0.0 AS DOUBLE)),
+                        list(e ORDER BY vec_id)),
+           (acc, x) -> list_transform(range(1, 65), i -> acc[i] + x[i])
+         ) AS s
+  FROM v GROUP BY 1
+)
+SELECT CAST(label AS INT) AS label, CAST(n_vecs AS BIGINT) AS n_vecs,
+       s[1] / n_vecs AS mean_d0,
+       s[64] / n_vecs AS mean_d63,
+       list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(s, x -> x / n_vecs)),
+                   (acc, x) -> acc + CASE WHEN x < 0 THEN -x ELSE x END) AS l1_mass
+FROM pooled
+"""
+
+
+@register("embed_pool", _EMBED_POOL_ORACLE)
+def embed_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "label",
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    zero = F.expr("transform(sequence(0, 63), x -> double(0.0))")
+    pooled = v.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.aggregate(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("vec_id", "e"))), lambda x: x["e"]
+            ),
+            zero,
+            lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+        ).alias("s"),
+    )
+    mean = F.transform("s", lambda x: x / F.col("n_vecs"))
+    return pooled.select(
+        F.col("label").cast("int"),
+        F.col("n_vecs").cast("long"),
+        (F.element_at("s", 1) / F.col("n_vecs")).alias("mean_d0"),
+        (F.element_at("s", 64) / F.col("n_vecs")).alias("mean_d63"),
+        F.aggregate(
+            mean,
+            F.lit(0.0),
+            lambda acc, x: acc + F.when(x < 0, -x).otherwise(x),
+        ).alias("l1_mass"),
+    )

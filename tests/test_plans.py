@@ -227,6 +227,7 @@ _SCALAR_CROSS_OK = {
     "sales_opportunity",  # cross join vs the 1-row balance aggregate
     "lm_score",           # cross join vs the 1-row vocab-size aggregate
     "decontaminate_bloom",  # cross join vs the 1-row broadcast bloom mask
+    "histogram_quantiles",  # cross join vs the 1-row global min/max bounds
 }
 
 
