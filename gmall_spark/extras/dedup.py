@@ -42,10 +42,26 @@ def _shingles(toks, k: int):
     )
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Rebalance the input across the session's parallelism when the scan
+    produced fewer splits than cores. The explode below amplifies each doc
+    ~token-count×, and that work inherits the SCAN's partitioning — a
+    single-row-group file (or any under-split source) would run the whole
+    amplification on one task. The shuffle moves only the raw input bytes
+    (pre-amplification), which the downstream distinct re-shuffles anyway;
+    when the scan is already as wide as the session (the 100 TB case —
+    thousands of splits), this is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def shingle_set(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
     """(id, shingle) distinct — the inverted-index input."""
     return (
-        df.select(F.col(id_col), F.explode(_shingles(_tokens(text_col), k)).alias("shingle"))
+        _spread(df)
+        .select(F.col(id_col), F.explode(_shingles(_tokens(text_col), k)).alias("shingle"))
         .distinct()
     )
 
@@ -361,6 +377,21 @@ def ngram_jaccard_prefix(
     EXACT — provably no false negatives at the threshold; equivalence with
     ngram_jaccard is asserted in tests. Output: doc_a, doc_b, inter_ct,
     union_ct (same contract).
+
+    Candidate pruning beyond the prefix filter (both provably lossless):
+
+    - length filter: Jaccard >= t forces min(na,nb)*100 >= max(na,nb)*pct.
+    - positional filter (PPJoin proper): prefix positions are ranked under
+      ONE global (df, shingle) order, so the common subsequence appears in
+      the same relative order in both docs. Hence every common shingle NOT
+      matched inside both prefixes must sit strictly after the LAST prefix
+      match in BOTH docs (were it earlier in the global order than that
+      match, it would be inside both prefixes and matched itself), giving
+      overlap <= mc + min(na - max(pos_a), nb - max(pos_b)). Candidates
+      whose bound can't reach alpha = ceil(pct*(na+nb)/(100+pct)) — the
+      overlap a Jaccard-t pair needs — are dropped before the verify join.
+      At uniform document lengths this is the filter that bites: a random
+      1-shared-shingle collision needs mc + tail >= alpha and fails it.
     """
     from pyspark.sql import Window
 
@@ -378,18 +409,40 @@ def ngram_jaccard_prefix(
         .join(card, id_col)
         # prefix length for Jaccard t: n - ceil(t*n) + 1
         .filter(F.col("pos") <= F.col("n") - F.ceil(F.col("n") * threshold_pct / 100) + 1)
-        .select(id_col, "shingle")
+        .select(id_col, "shingle", "pos", "n")
     )
     a = ranked.alias("a")
     b = ranked.alias("b")
+    na, nb = F.first(F.col(f"a.n")).alias("na"), F.first(F.col(f"b.n")).alias("nb")
     cand = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            # length filter, applied inside the join to shrink the shuffle
+            & (F.least(F.col("a.n"), F.col("b.n")) * 100
+               >= F.greatest(F.col("a.n"), F.col("b.n")) * threshold_pct),
         )
-        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
-        .distinct()
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("mc"),
+            F.max("a.pos").alias("pa"),
+            F.max("b.pos").alias("pb"),
+            na,
+            nb,
+        )
+        # positional filter: overlap upper bound vs required overlap alpha,
+        # integer-exact ceil (double division could over-ceil and lose a pair)
+        .filter(
+            F.expr(
+                f"mc + least(na - pa, nb - pb) >= "
+                f"((na + nb) * {threshold_pct} + {100 + threshold_pct - 1}) "
+                f"div {100 + threshold_pct}"
+            )
+        )
+        .select("doc_a", "doc_b")
     )
     return _verify_pairs(cand, sh, id_col, threshold_pct)
 
