@@ -43,18 +43,11 @@ def _shingles(toks, k: int):
 
 
 def _spread(df: DataFrame) -> DataFrame:
-    """Rebalance the input across the session's parallelism when the scan
-    produced fewer splits than cores. The explode below amplifies each doc
-    ~token-count×, and that work inherits the SCAN's partitioning — a
-    single-row-group file (or any under-split source) would run the whole
-    amplification on one task. The shuffle moves only the raw input bytes
-    (pre-amplification), which the downstream distinct re-shuffles anyway;
-    when the scan is already as wide as the session (the 100 TB case —
-    thousands of splits), this is a no-op."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    """See session.spread_to_parallelism — the explode below amplifies each
+    doc ~token-count×, so it must not inherit an under-split scan."""
+    from gmall_spark.session import spread_to_parallelism
+
+    return spread_to_parallelism(df)
 
 
 def shingle_set(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:

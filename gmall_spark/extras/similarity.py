@@ -58,9 +58,14 @@ def brute_force_knn(df: DataFrame, id_col: str, vec_col: str, k: int = 5) -> Dat
     import numpy as np
     import pandas as pd
 
+    from gmall_spark.session import spread_to_parallelism
+
     # evaluated twice (index collect + distributed query pass) — persist so an
-    # expensive upstream (e.g. an embedder chain) runs once
-    df = df.select(id_col, vec_col).persist()
+    # expensive upstream (e.g. an embedder chain) runs once. The query pass is
+    # an Arrow matmul kernel: rebalance it to session width so it never
+    # inherits an under-split scan (a single-row-group file would run the
+    # whole O(|Q|·|I|) kernel on one task).
+    df = spread_to_parallelism(df.select(id_col, vec_col)).persist()
     index = _guarded_index(df, [id_col, vec_col], "brute_force_knn", "lsh_ann/ivf_ann")
     if not len(index):
         return _empty(df, "vec_id long, neighbor_id long, rnk long")

@@ -105,3 +105,17 @@ def unpersist_with(result, *cached):
             except Exception:  # session/JVM may already be gone at shutdown
                 pass
     return result
+
+
+def spread_to_parallelism(df):
+    """Rebalance a frame to the session's parallelism when its current
+    partitioning is narrower — the guard for compute-amplifying stages
+    (explodes, Arrow kernels) that would otherwise inherit an under-split
+    scan (e.g. a single-row-group parquet file ⇒ 1 task for the whole
+    kernel). Moves only the pre-amplification bytes; a no-op whenever the
+    source is already as wide as the session, which is the normal state on
+    a real cluster reading many splits."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
