@@ -115,7 +115,13 @@ def main() -> None:
                             v[i % len(v)] = float(np.float32(v[i % len(v)] + 0.003 * i))
                     arr = pa.array(vecs, type=src.schema.field(col).type)
                 cols[col] = arr
-            writer.write_table(pa.table(cols, schema=src.schema))
+            # several row groups per replica: row groups are Spark's split
+            # unit, and a 10-replica file with one group each caps the scan
+            # at 10 tasks — real large tables have thousands of splits
+            writer.write_table(
+                pa.table(cols, schema=src.schema),
+                row_group_size=max(1024, len(src) // 8),
+            )
         writer.close()
         meta = pq.read_metadata(dest)
         print(f"{name}: {meta.num_rows} rows ({factor}x)")
