@@ -87,7 +87,12 @@ def learn(docs: DataFrame, text_col: str, n_merges: int) -> tuple[list[tuple], D
     literal rewrite of the vocab. At 10M-word scale each round is a shuffle of
     ~10M narrow rows; lineage stays shallow because the rewrite is a single
     projected column per round."""
-    rep = char_rep(word_freqs(docs, text_col))
+    # the ONLY corpus-sized pass — persist it: every merge round re-derives
+    # its pair counts from this frame, and without the persist round k would
+    # replay the corpus word-count shuffle k times (at 100 TB, fatal; the
+    # replace chain itself is narrow vocab-sized recomputation, fine)
+    base = char_rep(word_freqs(docs, text_col)).persist()
+    rep = base
     merges: list[tuple] = []
     for rank in range(1, n_merges + 1):
         top = (
@@ -104,7 +109,9 @@ def learn(docs: DataFrame, text_col: str, n_merges: int) -> tuple[list[tuple], D
         # two-pass leftmost-restart rewrite — see module docstring for the
         # cross-engine parity argument
         rep = rep.withColumn("rep", F.replace(F.replace("rep", pat, sub), pat, sub))
-    return merges, rep
+    from gmall_spark.session import unpersist_with
+
+    return merges, unpersist_with(rep, base)
 
 
 def train_table(spark: SparkSession, docs: DataFrame, text_col: str, n_merges: int) -> DataFrame:

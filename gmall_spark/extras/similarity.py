@@ -71,11 +71,13 @@ def brute_force_knn(df: DataFrame, id_col: str, vec_col: str, k: int = 5) -> Dat
         return _empty(df, "vec_id long, neighbor_id long, rnk long")
     ids = index[id_col].to_numpy()
     M = np.stack(index[vec_col].to_numpy()).astype("float64")
-    nrm = np.sqrt((M * M).sum(axis=1))
-    bc = df.sparkSession.sparkContext.broadcast((ids, M, nrm))
+    # pre-normalize the index once: cosine becomes a bare matmul, saving a
+    # full |block|×|index| elementwise divide (and its temporary) per block
+    M /= np.sqrt((M * M).sum(axis=1))[:, None]
+    bc = df.sparkSession.sparkContext.broadcast((ids, M))
 
     def op(batches):
-        ids_b, M_b, nrm_b = bc.value
+        ids_b, M_b = bc.value
         n_index = len(ids_b)
         # top-m by sim via O(n) argpartition, then exact (sim desc, id asc)
         # ordering within the candidate slab. m > k absorbs the self-match
@@ -87,27 +89,28 @@ def brute_force_knn(df: DataFrame, id_col: str, vec_col: str, k: int = 5) -> Dat
             if not len(pdf):
                 continue
             Qa = np.stack(pdf[vec_col].to_numpy()).astype("float64")
-            qna = np.sqrt((Qa * Qa).sum(axis=1))
+            Qa /= np.sqrt((Qa * Qa).sum(axis=1))[:, None]  # index side pre-normalized
             qidsa = pdf[id_col].to_numpy()
             out_q, out_n, out_r = [], [], []
             # block the query side so the sims slab stays cache/alloc-friendly
             # (a full |batch|×|index| float64 matrix is hundreds of MB of
             # temporaries; 512×|index| is a few MB reused per block)
             for s in range(0, len(Qa), 512):
-                Q, qn, qids = Qa[s : s + 512], qna[s : s + 512], qidsa[s : s + 512]
-                S = (Q @ M_b.T) / (qn[:, None] * nrm_b[None, :])
+                Q, qids = Qa[s : s + 512], qidsa[s : s + 512]
+                S = Q @ M_b.T
                 if m < n_index:
-                    slab = np.argpartition(-S, m - 1, axis=1)[:, :m]
+                    # top-m from the right end of the partition — no -S copy
+                    slab = np.argpartition(S, n_index - m, axis=1)[:, n_index - m :]
+                    # exactness check, vectorized per block (a per-row scan
+                    # here was the kernel's hot spot): every index whose sim
+                    # ties the slab's worst kept sim must be inside the slab
+                    worst = np.take_along_axis(S, slab, axis=1).min(axis=1)
+                    tie_spill = (S >= worst[:, None]).sum(axis=1) > m
                 else:
                     slab = np.broadcast_to(np.arange(n_index), (len(S), n_index))
+                    tie_spill = np.zeros(len(S), dtype=bool)
                 for r in range(S.shape[0]):
-                    cols = slab[r]
-                    if m < n_index:
-                        # exactness check: every index whose sim ties the
-                        # slab's worst kept sim must be inside the slab
-                        worst = S[r, cols].min()
-                        if (S[r] >= worst).sum() > m:
-                            cols = np.arange(n_index)
+                    cols = np.arange(n_index) if tie_spill[r] else slab[r]
                     sims = S[r, cols]
                     cids = ids_b[cols]
                     order = np.lexsort((cids, -sims))
@@ -117,7 +120,12 @@ def brute_force_knn(df: DataFrame, id_col: str, vec_col: str, k: int = 5) -> Dat
                     out_r.extend(range(1, len(keep) + 1))
             yield pd.DataFrame({"vec_id": out_q, "neighbor_id": out_n, "rnk": out_r})
 
-    return df.select(id_col, vec_col).mapInPandas(op, "vec_id long, neighbor_id long, rnk long")
+    from gmall_spark.session import unpersist_with
+
+    return unpersist_with(
+        df.select(id_col, vec_col).mapInPandas(op, "vec_id long, neighbor_id long, rnk long"),
+        df,
+    )
 
 
 def cosine_near_dup(
@@ -134,6 +142,9 @@ def cosine_near_dup(
     import numpy as np
     import pandas as pd
 
+    from gmall_spark.session import spread_to_parallelism
+
+    df = spread_to_parallelism(df.select(id_col, vec_col, label_col)).persist()
     index = _guarded_index(
         df, [id_col, vec_col, label_col], "cosine_near_dup", "lsh_ann buckets + per-bucket verify"
     )
@@ -150,22 +161,42 @@ def cosine_near_dup(
         for pdf in batches:
             if not len(pdf):
                 continue
-            Q = np.stack(pdf[vec_col].to_numpy()).astype("float64")
-            qn = np.sqrt((Q * Q).sum(axis=1))
-            S = (Q @ M_b.T) / (qn[:, None] * nrm_b[None, :])
-            qids = pdf[id_col].to_numpy()
-            qlabels = pdf[label_col].to_numpy()
-            rows_a, rows_b, rows_s = [], [], []
-            for r in range(S.shape[0]):
-                mask = (S[r] > threshold) & (ids_b > qids[r])  # a < b, no self
-                for j in np.nonzero(mask)[0]:
-                    rows_a.append(qids[r])
-                    rows_b.append(ids_b[j])
-                    rows_s.append(int(qlabels[r] == labels_b[j]))
-            yield pd.DataFrame({"vec_a": rows_a, "vec_b": rows_b, "same_label": rows_s})
+            Qa = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            qna = np.sqrt((Qa * Qa).sum(axis=1))
+            qidsa = pdf[id_col].to_numpy()
+            qlabelsa = pdf[label_col].to_numpy()
+            frames = []
+            # block the query side (a full |batch|×|index| float64 slab is
+            # GBs of temporaries); pair extraction is one 2-D nonzero per
+            # block — no per-row Python loop
+            for s in range(0, len(Qa), 512):
+                Q, qn = Qa[s : s + 512], qna[s : s + 512]
+                qids, qlabels = qidsa[s : s + 512], qlabelsa[s : s + 512]
+                S = (Q @ M_b.T) / (qn[:, None] * nrm_b[None, :])
+                ra, rb = np.nonzero(
+                    (S > threshold) & (ids_b[None, :] > qids[:, None])  # a < b, no self
+                )
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "vec_a": qids[ra],
+                            "vec_b": ids_b[rb],
+                            "same_label": (qlabels[ra] == labels_b[rb]).astype("int64"),
+                        }
+                    )
+                )
+            yield pd.concat(frames) if frames else pd.DataFrame(
+                {
+                    "vec_a": np.array([], dtype="int64"),
+                    "vec_b": np.array([], dtype="int64"),
+                    "same_label": np.array([], dtype="int64"),
+                }
+            )
 
-    return df.select(id_col, vec_col, label_col).mapInPandas(
-        op, "vec_a long, vec_b long, same_label long"
+    from gmall_spark.session import unpersist_with
+
+    return unpersist_with(
+        df.mapInPandas(op, "vec_a long, vec_b long, same_label long"), df
     )
 
 
@@ -238,7 +269,10 @@ def signatures(
     schema = f"{id_col} long, table int, sig long"
     if with_vec:
         schema += ", _v array<double>"
-    return df.select(id_col, vec_col).mapInPandas(op, schema)
+    from gmall_spark.session import spread_to_parallelism
+
+    # the matmul kernel must not inherit an under-split scan (see session.py)
+    return spread_to_parallelism(df.select(id_col, vec_col)).mapInPandas(op, schema)
 
 
 def _bucket_topk_kernel(id_col: str, k: int, pair_space: bool):

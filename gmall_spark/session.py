@@ -43,6 +43,13 @@ SCALE_CONFS = {
     # Broadcast threshold: dims (nation/region/part/supplier/config tables)
     # must go broadcast; 64 MiB covers every reference dim comfortably.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # One BLAS thread per Python worker: every core already runs a task, so
+    # an unpinned OpenBLAS/MKL would spawn n_cores threads PER worker and
+    # thrash (measured 3-4x on the Arrow matmul kernels). The right setting
+    # on any multi-task-per-host deployment, not a local quirk.
+    "spark.executorEnv.OMP_NUM_THREADS": "1",
+    "spark.executorEnv.OPENBLAS_NUM_THREADS": "1",
+    "spark.executorEnv.MKL_NUM_THREADS": "1",
 }
 
 
