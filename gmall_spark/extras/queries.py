@@ -2379,3 +2379,46 @@ def embed_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + F.when(x < 0, -x).otherwise(x),
         ).alias("l1_mass"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN recall audit — the retrieval-quality scorecard as a first-class
+# entry: join the LSH path's top-5 against exact kNN's top-5 per query and
+# output the recall histogram (hit count -> how many queries). The audit
+# the tests run (test_ann_quality) made queryable, and fully oracle-
+# replayable because BOTH pipelines already replay in SQL — their oracle
+# texts compose as CTEs. At 100 TB you audit a SAMPLE of queries this way;
+# the join is per-query-keyed and tiny either way.
+# ---------------------------------------------------------------------------
+_ANN_RECALL_ORACLE = f"""
+WITH ann AS ({_LSH_ORACLE}),
+ex AS ({_KNN_ORACLE}),
+hits AS (
+  SELECT e.vec_id, count(a.neighbor_id) AS hit_ct
+  FROM ex e LEFT JOIN ann a
+    ON e.vec_id = a.vec_id AND e.neighbor_id = a.neighbor_id
+  GROUP BY 1
+)
+SELECT CAST(hit_ct AS BIGINT) AS recall_at_5, CAST(count(*) AS BIGINT) AS n_queries
+FROM hits GROUP BY 1
+"""
+
+
+@register("ann_recall_audit", _ANN_RECALL_ORACLE)
+def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ex = embed_knn(spark, sf_dir).select("vec_id", "neighbor_id")
+    ann = embed_ann_lsh(spark, sf_dir).select(
+        "vec_id", F.col("neighbor_id").alias("ann_neighbor")
+    )
+    hits = (
+        ex.join(
+            ann,
+            (ex.vec_id == ann.vec_id) & (ex.neighbor_id == ann.ann_neighbor),
+            "left",
+        )
+        .groupBy(ex.vec_id)
+        .agg(F.count("ann_neighbor").alias("hit_ct"))
+    )
+    return hits.groupBy(F.col("hit_ct").cast("long").alias("recall_at_5")).agg(
+        F.count(F.lit(1)).alias("n_queries")
+    )
