@@ -44,9 +44,10 @@ SCALE_CONFS = {
     # must go broadcast; 64 MiB covers every reference dim comfortably.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     # One BLAS thread per Python worker: every core already runs a task, so
-    # an unpinned OpenBLAS/MKL would spawn n_cores threads PER worker and
-    # thrash (measured 3-4x on the Arrow matmul kernels). The right setting
-    # on any multi-task-per-host deployment, not a local quirk.
+    # an unpinned OpenBLAS/MKL may spawn n_cores threads PER worker and
+    # oversubscribe the host. The right setting on any multi-task-per-host
+    # deployment; get_spark also exports these in-process for local mode,
+    # where executorEnv never reaches the workers.
     "spark.executorEnv.OMP_NUM_THREADS": "1",
     "spark.executorEnv.OPENBLAS_NUM_THREADS": "1",
     "spark.executorEnv.MKL_NUM_THREADS": "1",
@@ -62,6 +63,11 @@ def get_spark(app_name: str = "gmall_spark", master: str | None = None) -> Spark
     """
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", str(cpus))
+    # executorEnv only reaches executors on a real cluster; in local mode the
+    # Python workers inherit THIS process's env, so export the BLAS pinning
+    # here too (before any worker spawns) — one thread per worker either way.
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{cpus}]")
