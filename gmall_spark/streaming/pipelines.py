@@ -67,6 +67,9 @@ def _table_dir(sf_dir: str, name: str) -> str:
     import os
     import tempfile
 
+    # abspath first: a relative sf_dir would otherwise produce a symlink
+    # whose RELATIVE target resolves against /tmp — a silently-empty source
+    sf_dir = os.path.abspath(sf_dir)
     d = os.path.join(tempfile.gettempdir(), "gmall_stream", sf_dir.strip("/").replace("/", "_"), name)
     os.makedirs(d, exist_ok=True)
     link = os.path.join(d, f"{name}.parquet")
@@ -242,7 +245,21 @@ def run_to_memory(
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.table(name)
+    # Spool the sink to parquet and DROP the memory table: a memory sink
+    # pins its full result in the JVM for the session's lifetime, and a
+    # bench/driver run executes dozens of streaming entries back-to-back —
+    # the accumulated row buffers were measurably degrading every
+    # subsequent query (GC pressure). The returned frame reads the spool
+    # with the sink's exact schema (explicit, so an empty result survives
+    # the round-trip).
+    import tempfile
+
+    tbl = spark.table(name)
+    schema = tbl.schema
+    spool = tempfile.mkdtemp(prefix=f"gmall_memsink_{name}_")
+    tbl.write.mode("overwrite").parquet(spool)
+    spark.catalog.dropTempView(name)
+    return spark.read.schema(schema).parquet(spool)
 
 
 def jdbc_epoch_write(batch: DataFrame, epoch_id: int, url: str, table: str, **jdbc_opts) -> None:

@@ -180,7 +180,14 @@ def warehouse_e2e(
 
     from gmall_spark.functions import window_bounds
 
-    out = spark.table(sink_name)
+    # spool + drop the memory sink (same reasoning as run_to_memory: don't
+    # pin the result in the JVM for the rest of the session)
+    tbl = spark.table(sink_name)
+    schema = tbl.schema
+    spool = os.path.join(base, "dws_out")
+    tbl.write.mode("overwrite").parquet(spool)
+    spark.catalog.dropTempView(sink_name)
+    out = spark.read.schema(schema).parquet(spool)
     stt, edt = window_bounds(F.col("w"))
     return (
         out.withColumn("stt", stt)
