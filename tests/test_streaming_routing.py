@@ -196,3 +196,24 @@ def test_kafka_wrappers_fail_only_at_classpath_boundary(spark, tmp_path):
     )
     with pytest.raises(AnalysisException, match="kafka"):
         kafka_dynamic_topic_sink(routed, "broker:9092", str(tmp_path / "ckpt"))
+
+
+def test_table_dir_resolves_relative_sf_dir(tmp_path):
+    """A relative sf_dir must not produce a symlink whose relative target
+    resolves against /tmp (a silently-empty stream source — the failure was
+    0 rows with no error)."""
+    import os
+
+    from gmall_spark.streaming.pipelines import _table_dir
+
+    os.makedirs(tmp_path / "sfx", exist_ok=True)
+    (tmp_path / "sfx" / "events.parquet").write_bytes(b"")
+    cwd = os.getcwd()
+    try:
+        os.chdir(tmp_path)
+        d = _table_dir("sfx", "events")
+        link = os.path.join(d, "events.parquet")
+        assert os.path.isabs(os.readlink(link))
+        assert os.path.exists(link)  # target resolves
+    finally:
+        os.chdir(cwd)
