@@ -15,6 +15,13 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+# Wire up the image's vendored protobuf (transformWithState wire protocol)
+# at import time: the driver imports this module BEFORE building its own
+# SparkSession, and the Python-worker env is captured when that JVM starts.
+from gmall_spark.compat import ensure_protobuf as _ensure_protobuf
+
+_ensure_protobuf()
+
 
 def _registry():
     from gmall_spark import queries as core

@@ -68,6 +68,11 @@ def get_spark(app_name: str = "gmall_spark", master: str | None = None) -> Spark
     # here too (before any worker spawns) — one thread per worker either way.
     for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
         os.environ.setdefault(var, "1")
+    # protobuf shim (transformWithState wire protocol): must precede the JVM
+    # launch — workers inherit the env captured when the JVM starts
+    from gmall_spark.compat import ensure_protobuf
+
+    ensure_protobuf()
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{cpus}]")

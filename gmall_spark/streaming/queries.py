@@ -1000,3 +1000,32 @@ def streaming_warehouse_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gmall_spark.streaming.topology import warehouse_e2e
 
     return warehouse_e2e(spark, sf_dir)
+
+
+@register(
+    "streaming_tws_is_new",
+    """
+    SELECT event_id, user_id,
+           CAST(CASE WHEN row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) = 1
+                THEN 1 ELSE 0 END AS INT) AS is_new
+    FROM events
+    """,
+)
+def streaming_tws_is_new(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST1 on the Spark 4 transformWithStateInPandas API (typed ValueState in
+    a StatefulProcessor over the RocksDB store) — same first-touch semantics
+    and oracle as streaming_is_new_repair, different state machinery. The
+    RocksDB provider conf is scoped to this run: TWS requires it, but later
+    entries should keep the session default."""
+    from gmall_spark.streaming.stateful import fix_is_new_tws
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    try:
+        return run_to_memory(
+            fix_is_new_tws(stream_events(spark, sf_dir)), _name("s_tws_isnew")
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)

@@ -209,9 +209,11 @@ def fix_is_new_tws(events: DataFrame, key: str = "user_id") -> DataFrame:
     new stateful operators (multiple typed state variables, timers, TTL are
     first-class on this API).
 
-    Requires `protobuf` (the TWS state-server protocol) — absent in this
-    container, so the applyInPandasWithState twins remain the default; the
-    equivalence test auto-skips when protobuf is missing."""
+    Requires `protobuf` (the TWS state-server protocol) — wired up from the
+    image's gcloud-vendored runtime by compat.ensure_protobuf (see its
+    docstring); the applyInPandasWithState twins remain the default
+    production path, and the equivalence test + the streaming_tws_is_new
+    registry entry exercise this one."""
     try:
         import google.protobuf  # noqa: F401
     except ImportError as exc:  # pragma: no cover - env-dependent
