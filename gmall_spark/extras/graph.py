@@ -112,3 +112,118 @@ def pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst"))
     )
     return pagerank(edges, "src", "dst", rounds=_PR_ROUNDS)
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting — the other canonical distributed graph kernel (community
+# density / clustering-coefficient numerator). Graph: suppliers co-occurring
+# in the same order (distinct (l_suppkey_a < l_suppkey_b) pairs per
+# o_orderkey — replaces the reference's HBase-side relationship scans with a
+# pure relational edge build, cf. reference OrderWideApp's dim joins).
+#
+# Scale shape: the classic degree-ordered wedge enumeration. Every undirected
+# edge is oriented from its lower-(degree, id) endpoint to the higher one, so
+# a hub of degree d generates wedges only from its LOW-degree neighbors —
+# wedge count is bounded by sum(min-degree per edge), the arboricity bound
+# that keeps skewed graphs (every real co-occurrence graph) from exploding
+# O(d²) at the hubs. Wedge close is one equi-join against the oriented edge
+# list on the (lower, higher) endpoint pair. Two shuffles total beyond the
+# edge build; no driver-side adjacency.
+# ---------------------------------------------------------------------------
+_TRI_ORACLE = """
+WITH pairs AS (
+  SELECT DISTINCT a.l_orderkey, a.l_suppkey AS sa, b.l_suppkey AS sb
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+),
+edges AS (SELECT DISTINCT sa AS a, sb AS b FROM pairs),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT a AS node FROM edges UNION ALL SELECT b AS node FROM edges
+  ) GROUP BY 1
+),
+oriented AS (
+  SELECT CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.a ELSE e.b END AS src,
+         CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.b ELSE e.a END AS dst
+  FROM edges e JOIN deg da ON e.a = da.node JOIN deg db ON e.b = db.node
+),
+o AS (
+  SELECT o1.src, o1.dst, dg.d AS dst_deg
+  FROM oriented o1 JOIN deg dg ON o1.dst = dg.node
+),
+wedges AS (
+  SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+  FROM o e1 JOIN o e2
+    ON e1.src = e2.src
+   AND (e1.dst_deg, e1.dst) < (e2.dst_deg, e2.dst)
+),
+tris AS (
+  SELECT w.x, w.y, w.z
+  FROM wedges w JOIN o c ON w.y = c.src AND w.z = c.dst
+)
+SELECT node, CAST(count(*) AS BIGINT) AS tri_ct FROM (
+  SELECT x AS node FROM tris
+  UNION ALL SELECT y AS node FROM tris
+  UNION ALL SELECT z AS node FROM tris
+) GROUP BY 1
+"""
+
+
+@register("triangle_count", _TRI_ORACLE)
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(supplier node, triangle count) over the co-supplier-per-order graph.
+
+    Degree-ordered wedge enumeration: orient each edge low→high by
+    (degree, id); wedges pair a node's out-neighbors ordered the same way;
+    one equi-join against oriented edges closes them. Each triangle is found
+    exactly once (at its lowest-ordered vertex), then credited to all three
+    corners via an explode + sum — a partial-aggregable shuffle."""
+    l = load_table(spark, sf_dir, "lineitem")
+    a, b = l.alias("a"), l.alias("b")
+    edges = (
+        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+               & (F.col("a.l_suppkey") < F.col("b.l_suppkey")))
+        .select(F.col("a.l_suppkey").alias("a"), F.col("b.l_suppkey").alias("b"))
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("a").alias("node"))
+        .unionByName(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da, db = deg.alias("da"), deg.alias("db")
+    ann = (
+        edges.join(da, F.col("a") == F.col("da.node"))
+        .join(db, F.col("b") == F.col("db.node"))
+        .select("a", "b", F.col("da.d").alias("d_a"), F.col("db.d").alias("d_b"))
+    )
+    a_first = (F.col("d_a") < F.col("d_b")) | (
+        (F.col("d_a") == F.col("d_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ann.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(a_first, F.col("d_b")).otherwise(F.col("d_a")).alias("dst_deg"),
+    )
+    # persisted: referenced as both wedge legs and the closing-edge probe
+    o = oriented.persist()
+    e1, e2 = o.alias("e1"), o.alias("e2")
+    lt = (F.col("e1.dst_deg") < F.col("e2.dst_deg")) | (
+        (F.col("e1.dst_deg") == F.col("e2.dst_deg")) & (F.col("e1.dst") < F.col("e2.dst"))
+    )
+    wedges = e1.join(e2, (F.col("e1.src") == F.col("e2.src")) & lt).select(
+        F.col("e1.src").alias("x"), F.col("e1.dst").alias("y"), F.col("e2.dst").alias("z")
+    )
+    closer = o.select(F.col("src").alias("y"), F.col("dst").alias("z"))
+    tris = wedges.join(closer, ["y", "z"])
+    from gmall_spark.session import unpersist_with
+
+    corners = (
+        tris.select(F.col("x").alias("node"))
+        .unionByName(tris.select(F.col("y").alias("node")))
+        .unionByName(tris.select(F.col("z").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("tri_ct"))
+    )
+    return unpersist_with(corners, o)

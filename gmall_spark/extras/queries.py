@@ -2422,3 +2422,217 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.groupBy(F.col("hit_ct").cast("long").alias("recall_at_5")).agg(
         F.count(F.lit(1)).alias("n_queries")
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 top-k retrieval — the IR scoring every retrieval-augmented pipeline
+# runs over its corpus. Query terms are data-derived (top-8 df tokens outside
+# the stopword list), so the entry is self-contained and deterministic.
+#
+# Engine parity without float folds: within a single query term, BM25
+# ordering is monotone in tf/(tf + k1·(1 − b + b·dl/avgdl)) (the idf factor is
+# constant per term), and with k1=1.2, b=0.75, avgdl=L/N that ratio ordered
+# as num/den with num = 10·tf·L and den = 10·tf·L + 3·L + 9·dl·N — all exact
+# int64 (≈5e15 at 100 TB corpus sizes, within range). One IEEE double
+# division of identical integers is correctly rounded in both engines, so
+# the rank key is bit-identical; output carries ids/integers only.
+#
+# Scale: tf/dl/df are partial-agg shuffles on token/doc; the 8-term query
+# table and the 1-row corpus scalars broadcast; ranking windows over
+# per-term posting slices (|docs containing term|, not the corpus).
+# ---------------------------------------------------------------------------
+_BM25_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, token
+  FROM (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token FROM documents)
+  WHERE token <> ''
+),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+scal AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_len FROM dl),
+dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+terms AS (
+  SELECT token, df FROM dfreq
+  WHERE token NOT IN ({_SW_LIST})
+  ORDER BY df DESC, token LIMIT 8
+),
+scored AS (
+  SELECT t.token AS term, f.doc_id, f.tf, t.df,
+         CAST(10 * f.tf * s.total_len AS DOUBLE)
+           / (10 * f.tf * s.total_len + 3 * s.total_len + 9 * d.dl * s.n_docs) AS key
+  FROM terms t
+  JOIN tf f ON f.token = t.token
+  JOIN dl d ON f.doc_id = d.doc_id, scal s
+)
+SELECT term, doc_id, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY term ORDER BY key DESC, doc_id) AS rnk
+  FROM scored
+) WHERE rnk <= 10
+"""
+
+
+@register("bm25_topk", _BM25_ORACLE)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 documents per query term under BM25 (k1=1.2, b=0.75)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select("doc_id", F.explode(F.split(F.trim("text"), " ")).alias("token"))
+        .filter(F.col("token") != "")
+        # tf, dl and df all re-read the exploded tokens — one materialization
+        .persist()
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    scal = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_len"),
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    terms = (
+        dfreq.filter(~F.col("token").isin(*_STOPWORDS))
+        .orderBy(F.col("df").desc(), F.col("token"))
+        .limit(8)
+    )
+    num = 10 * F.col("tf") * F.col("total_len")
+    den = num + 3 * F.col("total_len") + 9 * F.col("dl") * F.col("n_docs")
+    scored = (
+        tf.join(F.broadcast(terms), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(scal))
+        .select(
+            F.col("token").alias("term"),
+            "doc_id",
+            "tf",
+            "df",
+            (num.cast("double") / den).alias("key"),
+        )
+    )
+    w = Window.partitionBy("term").orderBy(F.col("key").desc(), F.col("doc_id"))
+    out = (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 10)
+        .select("term", "doc_id", F.col("tf").cast("long"), F.col("df").cast("long"), "rnk")
+    )
+    return unpersist_with(out, toks)
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance near-dup — the entity-resolution / fuzzy-dedup shape for
+# short text (titles, product names; reference dim tables dedup on exact
+# keys, this is the fuzzy generalization). Levenshtein is O(|a|·|b|) per
+# pair, so the scale story is entirely in candidate pruning: pairs are
+# blocked on the first token (equi-join — at corpus scale a vocabulary-sized
+# key space with bounded blocks) plus a ±16-char length residual, and the
+# verify uses Spark's threshold-bounded levenshtein (banded DP, early exit)
+# rather than the full matrix. Never an n² pair space; the blocking key
+# generalizes to (sorted-token prefix, length bucket) when first tokens are
+# skewed. Output is integer distances — exact in both engines.
+# ---------------------------------------------------------------------------
+_LEV_ORACLE = """
+WITH d AS (
+  SELECT doc_id, text, n_chars, string_split(trim(text), ' ')[1] AS blk
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+WHERE abs(a.n_chars - b.n_chars) <= 16
+  AND levenshtein(a.text, b.text) <= 24
+"""
+
+
+@register("dedup_levenshtein", _LEV_ORACLE)
+def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs (doc_a < doc_b, edit distance ≤ 24), candidates
+    blocked on first token + length proximity."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", "text", "n_chars", F.split(F.trim("text"), " ")[0].alias("blk")
+    )
+    a, b = d.alias("a"), d.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & (F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 16),
+    )
+    # threshold form = banded DP with early exit; -1 marks "beyond threshold"
+    dist = F.levenshtein(F.col("a.text"), F.col("b.text"), 24)
+    return (
+        pairs.select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            dist.cast("long").alias("dist"),
+        )
+        .filter(F.col("dist") >= 0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (the SemDeDup shape, Abbas et al. 2023): k-means-partition
+# the embedding space, then prune within cells only — a point is a duplicate
+# iff some lower-id point in ITS OWN cell has cosine > τ. This is the
+# practical 100 TB semantic-dedup recipe: the quantizer bounds the pair
+# space to Σ|cell|² (cells are capacity-bounded in practice), all-pairs
+# cosine never materializes globally, and each cell verifies with one BLAS
+# matmul inside an Arrow kernel. Same deterministic quantizer as the IVF
+# index (seed = lowest ids, 2 fsum-merged Lloyd rounds) so the oracle
+# replays the full pipeline; threshold membership is fp-robust (sims of
+# distinct random embeddings sit far from τ relative to summation noise).
+# ---------------------------------------------------------------------------
+_SEMANTIC_ORACLE = f"""
+WITH norm AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+),
+seed AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, v AS c
+  FROM (SELECT vec_id, v FROM norm ORDER BY vec_id LIMIT 16)
+),
+{_ivf_assign("seed", "assign1")},
+{_ivf_means("assign1", "seed", "cent1")},
+{_ivf_assign("cent1", "assign2")},
+{_ivf_means("assign2", "cent1", "cent2")},
+{_ivf_assign("cent2", "assign3")},
+wn AS (
+  SELECT a.vec_id, a.cell, a.v, n.nrm
+  FROM assign3 a JOIN norm n ON a.vec_id = n.vec_id
+)
+SELECT a.vec_id, CAST(a.cell AS INT) AS cell,
+       CAST(max(CASE WHEN b.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS is_dup
+FROM wn a LEFT JOIN wn b
+  ON b.cell = a.cell AND b.vec_id < a.vec_id
+ AND list_dot_product(a.v, b.v) / (a.nrm * b.nrm) > 0.4
+GROUP BY 1, 2
+"""
+
+
+@register("semantic_dedup", _SEMANTIC_ORACLE)
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cell, is_dup): within-k-means-cell cosine pruning at τ=0.4,
+    keeping the lowest-id representative of every semantic neighborhood."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cells = similarity.ivf_index(emb, "vec_id", "embedding", n_clusters=16)
+    # one shuffle co-locates each cell; the kernel is a |cell|² BLAS matmul —
+    # bounded by the quantizer's cell granularity, never corpus²
+    joined = emb.select("vec_id", "embedding").join(cells, "vec_id")
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        X = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+        ids = pdf["vec_id"].to_numpy()
+        nrm = np.sqrt((X * X).sum(axis=1))
+        S = (X @ X.T) / (nrm[:, None] * nrm[None, :])
+        dup = ((S > 0.4) & (ids[None, :] < ids[:, None])).any(axis=1)
+        return pd.DataFrame(
+            {"vec_id": ids, "cell": pdf["cell"].to_numpy(), "is_dup": dup.astype("int64")}
+        )
+
+    return joined.groupBy("cell").applyInPandas(kernel, "vec_id long, cell int, is_dup long")

@@ -2018,3 +2018,48 @@ def scd2_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("valid_to"),
         F.when(F.col("nxt").isNull(), 1).otherwise(0).cast("int").alias("is_current"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rate-anomaly detection — the ops-monitoring shape over event streams
+# (reference VisitorStatsApp's per-window counts, taken one step further to
+# "which windows are abnormal"). Integer-exact by construction: a bucket is
+# anomalous iff cnt · n_buckets > 2 · type_total — the cross-multiplied form
+# of cnt > 2·mean, so no float mean/stddev whose summation order could
+# diverge between engines. Shape: one partial-agg shuffle to (type, hour)
+# buckets, then per-type totals via a window over the (tiny) bucket table —
+# the window input is |types|·|hours| rows, not raw events, so the skew/
+# funnel concern of windowing raw data does not apply.
+# ---------------------------------------------------------------------------
+@register(
+    "rate_anomaly",
+    """
+    WITH b AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket_ts, count(*) AS cnt
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           strftime(bucket_ts, '%Y-%m-%d %H:%M:%S') AS bucket,
+           CAST(cnt AS BIGINT) AS cnt,
+           CAST(CASE WHEN cnt * count(*) OVER w > 2 * sum(cnt) OVER w
+                     THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+    FROM b
+    WINDOW w AS (PARTITION BY event_type)
+    """,
+)
+def rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    b = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket_ts")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("event_type")
+    return b.select(
+        "event_type",
+        F.date_format("bucket_ts", TS_FMT).alias("bucket"),
+        F.col("cnt").cast("long").alias("cnt"),
+        (F.col("cnt") * F.count(F.lit(1)).over(w) > 2 * F.sum("cnt").over(w))
+        .cast("long")
+        .alias("is_anomaly"),
+    )

@@ -228,6 +228,7 @@ _SCALAR_CROSS_OK = {
     "lm_score",           # cross join vs the 1-row vocab-size aggregate
     "decontaminate_bloom",  # cross join vs the 1-row broadcast bloom mask
     "histogram_quantiles",  # cross join vs the 1-row global min/max bounds
+    "bm25_topk",          # cross join vs the 1-row corpus-scalar aggregate
 }
 
 
