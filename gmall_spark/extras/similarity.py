@@ -94,24 +94,32 @@ def brute_force_knn(df: DataFrame, id_col: str, vec_col: str, k: int = 5) -> Dat
             out_q, out_n, out_r = [], [], []
             # block the query side so the sims slab stays cache/alloc-friendly
             # (a full |batch|×|index| float64 matrix is hundreds of MB of
-            # temporaries; 512×|index| is a few MB reused per block)
+            # temporaries); ONE slab reused across blocks — a fresh
+            # 512×|index| allocation per block is a large mmap the kernel
+            # must page-zero, measurable system-time under concurrent tasks
+            Sbuf = np.empty((min(512, len(Qa)), n_index))
+            full = np.arange(n_index)
             for s in range(0, len(Qa), 512):
                 Q, qids = Qa[s : s + 512], qidsa[s : s + 512]
-                S = Q @ M_b.T
-                if m < n_index:
-                    # top-m from the right end of the partition — no -S copy
-                    slab = np.argpartition(S, n_index - m, axis=1)[:, n_index - m :]
-                    # exactness check, vectorized per block (a per-row scan
-                    # here was the kernel's hot spot): every index whose sim
-                    # ties the slab's worst kept sim must be inside the slab
-                    worst = np.take_along_axis(S, slab, axis=1).min(axis=1)
-                    tie_spill = (S >= worst[:, None]).sum(axis=1) > m
-                else:
-                    slab = np.broadcast_to(np.arange(n_index), (len(S), n_index))
-                    tie_spill = np.zeros(len(S), dtype=bool)
+                S = Sbuf[: len(Q)]
+                np.matmul(Q, M_b.T, out=S)
                 for r in range(S.shape[0]):
-                    cols = np.arange(n_index) if tie_spill[r] else slab[r]
-                    sims = S[r, cols]
+                    row = S[r]
+                    if m < n_index:
+                        # per-row 1-D argpartition: ~10× faster than the
+                        # axis=1 form (NumPy's row-batched introselect over
+                        # an index array has a large constant; the 1-D call
+                        # on the contiguous row does not). Top-m from the
+                        # right end — no -row copy.
+                        cols = np.argpartition(row, n_index - m)[n_index - m :]
+                        # exactness check: every index whose sim ties the
+                        # slab's worst kept sim must be inside the slab
+                        worst = row[cols].min()
+                        if int((row >= worst).sum()) > m:
+                            cols = full
+                    else:
+                        cols = full
+                    sims = row[cols]
                     cids = ids_b[cols]
                     order = np.lexsort((cids, -sims))
                     keep = cids[order][cids[order] != qids[r]][:k]
