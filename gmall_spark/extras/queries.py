@@ -2636,3 +2636,83 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return joined.groupBy("cell").applyInPandas(kernel, "vec_id long, cell int, is_dup long")
+
+
+# ---------------------------------------------------------------------------
+# Cluster-quality scorecard — per-cell label composition of the k-means
+# partition (the "is my clustering meaningful / is my corpus mix balanced"
+# audit next to ann_recall_audit's recall scorecard). Pure integer outputs:
+# cell size, majority-label count, distinct labels. Two tiny shuffles beyond
+# the assignment pass — (cell,label) partial counts, then a k-row rollup.
+# ---------------------------------------------------------------------------
+_PURITY_ORACLE = f"""
+WITH norm AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+),
+seed AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, v AS c
+  FROM (SELECT vec_id, v FROM norm ORDER BY vec_id LIMIT 16)
+),
+{_ivf_assign("seed", "assign1")},
+{_ivf_means("assign1", "seed", "cent1")},
+{_ivf_assign("cent1", "assign2")},
+{_ivf_means("assign2", "cent1", "cent2")},
+{_ivf_assign("cent2", "assign3")},
+cl AS (
+  SELECT a.cell, e.label, count(*) AS ct
+  FROM assign3 a JOIN embeddings e ON a.vec_id = e.vec_id
+  GROUP BY 1, 2
+)
+SELECT CAST(cell AS INT) AS cell,
+       CAST(sum(ct) AS BIGINT) AS cell_size,
+       CAST(max(ct) AS BIGINT) AS majority_ct,
+       CAST(count(*) AS BIGINT) AS n_labels
+FROM cl GROUP BY 1
+"""
+
+
+@register("cluster_purity", _PURITY_ORACLE)
+def cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cells = similarity.ivf_index(emb, "vec_id", "embedding", n_clusters=16)
+    cl = (
+        cells.join(emb.select("vec_id", "label"), "vec_id")
+        .groupBy("cell", "label")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    return cl.groupBy("cell").agg(
+        F.sum("ct").cast("long").alias("cell_size"),
+        F.max("ct").cast("long").alias("majority_ct"),
+        F.count(F.lit(1)).cast("long").alias("n_labels"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining — the contrastive-training data op: each anchor's
+# top-3 highest-cosine OTHER-label vectors. Same guarded broadcast+BLAS
+# kernel family as embed_knn, label exclusion as a per-row -inf mask (the
+# pair space still never materializes). The n² oracle is the spec; the
+# kernel is the scale shape.
+# ---------------------------------------------------------------------------
+_HARDNEG_ORACLE = """
+WITH n AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+)
+SELECT vec_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk FROM (
+  SELECT a.vec_id, b.vec_id AS neighbor_id,
+         row_number() OVER (PARTITION BY a.vec_id
+                            ORDER BY list_dot_product(a.v, b.v) / (a.nrm * b.nrm) DESC,
+                                     b.vec_id) AS rnk
+  FROM n a JOIN n b ON a.label <> b.label
+) WHERE rnk <= 3
+"""
+
+
+@register("hard_negatives", _HARDNEG_ORACLE)
+def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.hard_negative_knn(emb, "vec_id", "embedding", "label", k=3)

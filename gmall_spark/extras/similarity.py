@@ -176,14 +176,28 @@ def cosine_near_dup(
             frames = []
             # block the query side (a full |batch|×|index| float64 slab is
             # GBs of temporaries); pair extraction is one 2-D nonzero per
-            # block — no per-row Python loop
+            # block — no per-row Python loop. Slabs (sims, denominator,
+            # masks) are preallocated once and reused in place: fresh
+            # hundreds-of-MB allocations per block cost kernel page-zeroing
+            # under concurrent tasks. The divide stays elementwise-by-
+            # product (a/(b·c)) — same rounding as the oracle.
+            rows = min(512, len(Qa))
+            Sbuf = np.empty((rows, len(ids_b)))
+            Dbuf = np.empty_like(Sbuf)
+            m1 = np.empty(Sbuf.shape, dtype=bool)
+            m2 = np.empty(Sbuf.shape, dtype=bool)
             for s in range(0, len(Qa), 512):
                 Q, qn = Qa[s : s + 512], qna[s : s + 512]
                 qids, qlabels = qidsa[s : s + 512], qlabelsa[s : s + 512]
-                S = (Q @ M_b.T) / (qn[:, None] * nrm_b[None, :])
-                ra, rb = np.nonzero(
-                    (S > threshold) & (ids_b[None, :] > qids[:, None])  # a < b, no self
-                )
+                n_q = len(Q)
+                S = Sbuf[:n_q]
+                np.matmul(Q, M_b.T, out=S)
+                np.multiply(qn[:, None], nrm_b[None, :], out=Dbuf[:n_q])
+                S /= Dbuf[:n_q]
+                np.greater(S, threshold, out=m1[:n_q])
+                np.greater(ids_b[None, :], qids[:, None], out=m2[:n_q])  # a < b, no self
+                m1[:n_q] &= m2[:n_q]
+                ra, rb = np.nonzero(m1[:n_q])
                 frames.append(
                     pd.DataFrame(
                         {
@@ -589,4 +603,84 @@ def cosine_near_dup_lsh(
             "vec_b",
             (F.col("_la") == F.col("_lb")).cast("long").alias("same_label"),
         )
+    )
+
+
+def hard_negative_knn(
+    df: DataFrame, id_col: str, vec_col: str, label_col: str, k: int = 3
+) -> DataFrame:
+    """Hard-negative mining: for every vector, the top-k nearest neighbors
+    whose label DIFFERS — the contrastive-training data op (each anchor's
+    hardest negatives are the highest-cosine other-class points). Output:
+    (vec_id, neighbor_id, rnk), ids+ranks only.
+
+    Same broadcast+BLAS shape as brute_force_knn (and the same guarded-index
+    contract — shard the index or move candidates to LSH buckets beyond it);
+    the label constraint is a per-row mask to -inf before selection, so the
+    kernel still never materializes the pair space."""
+    import numpy as np
+    import pandas as pd
+
+    from gmall_spark.session import spread_to_parallelism, unpersist_with
+
+    df = spread_to_parallelism(df.select(id_col, vec_col, label_col)).persist()
+    index = _guarded_index(
+        df, [id_col, vec_col, label_col], "hard_negative_knn", "lsh_ann buckets"
+    )
+    if not len(index):
+        return _empty(df, "vec_id long, neighbor_id long, rnk long")
+    ids = index[id_col].to_numpy()
+    labels = index[label_col].to_numpy()
+    M = np.stack(index[vec_col].to_numpy()).astype("float64")
+    M /= np.sqrt((M * M).sum(axis=1))[:, None]
+    bc = df.sparkSession.sparkContext.broadcast((ids, labels, M))
+
+    def op(batches):
+        ids_b, labels_b, M_b = bc.value
+        n_index = len(ids_b)
+        m = min(n_index, k + 8)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Qa = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            Qa /= np.sqrt((Qa * Qa).sum(axis=1))[:, None]
+            qidsa = pdf[id_col].to_numpy()
+            qlabelsa = pdf[label_col].to_numpy()
+            out_q, out_n, out_r = [], [], []
+            Sbuf = np.empty((min(512, len(Qa)), n_index))
+            full = np.arange(n_index)
+            for s in range(0, len(Qa), 512):
+                Q = Qa[s : s + 512]
+                qids, qlabels = qidsa[s : s + 512], qlabelsa[s : s + 512]
+                S = Sbuf[: len(Q)]
+                np.matmul(Q, M_b.T, out=S)
+                for r in range(S.shape[0]):
+                    row = S[r]
+                    # same-label columns (incl. self) leave the race here;
+                    # the slab is overwritten by the next block's matmul
+                    row[labels_b == qlabels[r]] = -np.inf
+                    if m < n_index:
+                        cols = np.argpartition(row, n_index - m)[n_index - m :]
+                        worst = row[cols].min()
+                        # tie spill can only matter among real sims; a -inf
+                        # worst means every valid candidate is already in
+                        if worst > -np.inf and int((row >= worst).sum()) > m:
+                            cols = full
+                    else:
+                        cols = full
+                    sims = row[cols]
+                    valid = sims > -np.inf
+                    sims, cids = sims[valid], ids_b[cols][valid]
+                    order = np.lexsort((cids, -sims))
+                    keep = cids[order][:k]
+                    out_q.extend([qids[r]] * len(keep))
+                    out_n.extend(keep.tolist())
+                    out_r.extend(range(1, len(keep) + 1))
+            yield pd.DataFrame({"vec_id": out_q, "neighbor_id": out_n, "rnk": out_r})
+
+    return unpersist_with(
+        df.select(id_col, vec_col, label_col).mapInPandas(
+            op, "vec_id long, neighbor_id long, rnk long"
+        ),
+        df,
     )
