@@ -169,23 +169,16 @@ SELECT node, CAST(count(*) AS BIGINT) AS tri_ct FROM (
 """
 
 
-@register("triangle_count", _TRI_ORACLE)
-def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(supplier node, triangle count) over the co-supplier-per-order graph.
+def triangle_counts(edges: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Per-node triangle counts of an undirected simple graph given as
+    (a < b) edge pairs; returns (node, tri_ct), nodes in ≥1 triangle only.
 
     Degree-ordered wedge enumeration: orient each edge low→high by
     (degree, id); wedges pair a node's out-neighbors ordered the same way;
     one equi-join against oriented edges closes them. Each triangle is found
     exactly once (at its lowest-ordered vertex), then credited to all three
     corners via an explode + sum — a partial-aggregable shuffle."""
-    l = load_table(spark, sf_dir, "lineitem")
-    a, b = l.alias("a"), l.alias("b")
-    edges = (
-        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-               & (F.col("a.l_suppkey") < F.col("b.l_suppkey")))
-        .select(F.col("a.l_suppkey").alias("a"), F.col("b.l_suppkey").alias("b"))
-        .distinct()
-    )
+    edges = edges.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
     deg = (
         edges.select(F.col("a").alias("node"))
         .unionByName(edges.select(F.col("b").alias("node")))
@@ -227,3 +220,19 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("tri_ct"))
     )
     return unpersist_with(corners, o)
+
+
+@register("triangle_count", _TRI_ORACLE)
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier triangle counts over the co-supplier-per-order graph
+    (suppliers co-occurring in an order; see triangle_counts for the
+    degree-ordered kernel)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    a, b = l.alias("a"), l.alias("b")
+    edges = (
+        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+               & (F.col("a.l_suppkey") < F.col("b.l_suppkey")))
+        .select(F.col("a.l_suppkey").alias("a"), F.col("b.l_suppkey").alias("b"))
+        .distinct()
+    )
+    return triangle_counts(edges, "a", "b")

@@ -269,3 +269,33 @@ def test_range_join_matches_predicate_join(spark, raw_bands, values):
         if lo <= v < hi
     )
     assert got == want
+
+
+_TRI_EDGES = st.lists(
+    st.tuples(st.integers(0, 9), st.integers(0, 9)).filter(lambda e: e[0] != e[1]),
+    max_size=25,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(edges=_TRI_EDGES)
+def test_triangle_counts_matches_naive_enumeration(spark, edges):
+    """Degree-ordered wedge enumeration vs brute-force triple check — the
+    orientation trick must count every triangle exactly once regardless of
+    degree ties, hubs, or duplicate input edges."""
+    from itertools import combinations
+
+    from gmall_spark.extras.graph import triangle_counts
+
+    es = {(min(a, b), max(a, b)) for a, b in edges}
+    nodes = sorted({n for e in es for n in e})
+    expect: dict[int, int] = {}
+    for x, y, z in combinations(nodes, 3):
+        if {(x, y), (x, z), (y, z)} <= es:
+            for n in (x, y, z):
+                expect[n] = expect.get(n, 0) + 1
+    edf = spark.createDataFrame(sorted(es) or [(0, 0)], "a long, b long")
+    if not es:
+        edf = edf.filter("a <> b")  # typed-empty edge list
+    got = {(r["node"], r["tri_ct"]) for r in triangle_counts(edf, "a", "b").collect()}
+    assert got == set(expect.items())
