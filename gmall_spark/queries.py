@@ -2063,3 +2063,110 @@ def rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("is_anomaly"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention — the activation/retention matrix every product warehouse
+# derives from its event stream: users bucketed by first-seen day, activity
+# counted per (cohort, day-offset). Integer day arithmetic end to end. Two
+# shuffles: per-user min (partial-agg) and the (cohort, offset) rollup; the
+# firsts table joins back on user_id (AQE broadcasts it while it is small —
+# at 100 TB it is a plain co-partitioned equi-join, never a window over raw
+# events).
+# ---------------------------------------------------------------------------
+@register(
+    "cohort_retention",
+    """
+    WITH firsts AS (
+      SELECT user_id, min(date_trunc('day', ts)) AS cohort_day
+      FROM events GROUP BY 1
+    ),
+    act AS (
+      SELECT DISTINCT e.user_id, f.cohort_day,
+             date_diff('day', f.cohort_day, date_trunc('day', e.ts)) AS day_offset
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort,
+           CAST(day_offset AS BIGINT) AS day_offset,
+           CAST(count(*) AS BIGINT) AS active_users
+    FROM act GROUP BY 1, 2
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(F.min(F.date_trunc("day", "ts")).alias("cohort_day"))
+    act = (
+        e.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.date_trunc("day", "ts"), "cohort_day").alias("day_offset"),
+        )
+        .distinct()
+    )
+    return act.groupBy(
+        F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort"),
+        F.col("day_offset").cast("long").alias("day_offset"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("active_users"))
+
+
+# ---------------------------------------------------------------------------
+# Co-purchase recommendations — market-basket lift, the classic item-item
+# recommender built purely relationally: parts co-occurring in an order,
+# ranked per anchor part by lift. Within an anchor, lift ordering reduces to
+# co_ct/ct(rec) (the anchor's own count and the order total are constant),
+# so the rank key is ONE IEEE division of exact integers — bit-identical
+# across engines; no float folds. Pair space is bounded by per-order basket
+# width (Σ C(w,2)), not catalog² — the same arboricity-style bound as the
+# triangle kernel's wedges.
+# ---------------------------------------------------------------------------
+@register(
+    "copurchase_lift",
+    """
+    WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS co_ct
+      FROM pp a JOIN pp b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ),
+    sym AS (
+      SELECT pa AS anchor, pb AS rec, co_ct FROM pairs
+      UNION ALL
+      SELECT pb AS anchor, pa AS rec, co_ct FROM pairs
+    ),
+    ct AS (SELECT l_partkey, count(*) AS ct FROM pp GROUP BY 1)
+    SELECT anchor, rec, CAST(co_ct AS BIGINT) AS co_ct, CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT s.anchor, s.rec, s.co_ct,
+             row_number() OVER (PARTITION BY s.anchor
+                                ORDER BY CAST(s.co_ct AS DOUBLE) / c.ct DESC, s.rec) AS rnk
+      FROM sym s JOIN ct c ON s.rec = c.l_partkey
+    ) WHERE rnk <= 5
+    """,
+)
+def copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    l = load_table(spark, sf_dir, "lineitem")
+    pp = l.select("l_orderkey", "l_partkey").distinct()
+    a, b = pp.alias("a"), pp.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+               & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+        .groupBy(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("co_ct"))
+    )
+    sym = pairs.select(F.col("pa").alias("anchor"), F.col("pb").alias("rec"), "co_ct").unionByName(
+        pairs.select(F.col("pb").alias("anchor"), F.col("pa").alias("rec"), "co_ct")
+    )
+    ct = pp.groupBy(F.col("l_partkey").alias("rec")).agg(F.count(F.lit(1)).alias("ct"))
+    w = Window.partitionBy("anchor").orderBy(
+        (F.col("co_ct").cast("double") / F.col("ct")).desc(), F.col("rec")
+    )
+    return (
+        sym.join(ct, "rec")
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 5)
+        .select("anchor", "rec", F.col("co_ct").cast("long"), "rnk")
+    )
