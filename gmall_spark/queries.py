@@ -2170,3 +2170,70 @@ def copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 5)
         .select("anchor", "rec", F.col("co_ct").cast("long"), "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality audit — the expectations pass (Deequ/Great-Expectations shape)
+# every production ingestion runs before publishing a table: each rule emits
+# its violation count. Null checks and range checks fold into ONE scan per
+# table (conditional-sum partial aggregation); the orphan check is a
+# broadcast-able anti-join on the dim key; the duplicate-PK check is one
+# count-per-key shuffle. All-integer outputs.
+# ---------------------------------------------------------------------------
+@register(
+    "dq_audit",
+    """
+    SELECT 'events_null_user' AS rule, CAST(count(*) - count(user_id) AS BIGINT) AS violations
+    FROM events
+    UNION ALL
+    SELECT 'events_value_range',
+           CAST(sum(CASE WHEN value < 0 OR value >= 500 THEN 1 ELSE 0 END) AS BIGINT)
+    FROM events
+    UNION ALL
+    SELECT 'orders_orphan_custkey', CAST(count(*) AS BIGINT)
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_custkey IS NULL
+    UNION ALL
+    SELECT 'orders_dup_pk', CAST(count(*) AS BIGINT)
+    FROM (SELECT o_orderkey FROM orders GROUP BY 1 HAVING count(*) > 1)
+    UNION ALL
+    SELECT 'lineitem_nonpositive_qty',
+           CAST(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem
+    """,
+)
+def dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    l = load_table(spark, sf_dir, "lineitem")
+    n = F.count(F.lit(1))
+    ev_rules = ev.agg(
+        (n - F.count("user_id")).alias("events_null_user"),
+        F.sum(((F.col("value") < 0) | (F.col("value") >= 500)).cast("long")).alias(
+            "events_value_range"
+        ),
+    )
+    orphans = (
+        o.join(c, o.o_custkey == c.c_custkey, "left_anti")
+        .agg(n.alias("orders_orphan_custkey"))
+    )
+    dups = (
+        o.groupBy("o_orderkey")
+        .agg(n.alias("ct"))
+        .filter(F.col("ct") > 1)
+        .agg(n.alias("orders_dup_pk"))
+    )
+    li = l.agg(F.sum((F.col("l_quantity") <= 0).cast("long")).alias("lineitem_nonpositive_qty"))
+
+    def melt(df: DataFrame) -> DataFrame:
+        cols = df.columns
+        pairs = [x for cn in cols for x in (F.lit(cn), F.col(cn).cast("long"))]
+        return df.select(
+            F.explode(F.create_map(*pairs)).alias("rule", "violations")
+        )
+
+    out = melt(ev_rules)
+    for part in (orphans, dups, li):
+        out = out.unionByName(melt(part))
+    return out
