@@ -299,3 +299,42 @@ def test_triangle_counts_matches_naive_enumeration(spark, edges):
         edf = edf.filter("a <> b")  # typed-empty edge list
     got = {(r["node"], r["tri_ct"]) for r in triangle_counts(edf, "a", "b").collect()}
     assert got == set(expect.items())
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vecs=st.lists(
+        st.tuples(
+            st.integers(0, 1),  # label
+            st.lists(st.integers(-3, 3), min_size=4, max_size=4),
+        ),
+        min_size=2,
+        max_size=12,
+    ).filter(lambda vs: all(any(x != 0 for x in v) for _, v in vs))
+)
+def test_hard_negative_knn_matches_pairwise_model(spark, vecs):
+    """Kernel (label mask to -inf, slab select) vs a direct pairwise cosine
+    model — including anchors with no other-label candidates (emit nothing)
+    and fewer negatives than k (emit what exists)."""
+    import math
+
+    from gmall_spark.extras.similarity import hard_negative_knn
+
+    rows = [(i, lbl, [float(x) for x in v]) for i, (lbl, v) in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
+    got = {
+        (r["vec_id"], r["neighbor_id"], r["rnk"])
+        for r in hard_negative_knn(df, "vec_id", "embedding", "label", k=2).collect()
+    }
+    expect = set()
+    for i, la, va in rows:
+        cands = []
+        for j, lb, vb in rows:
+            if lb == la:
+                continue
+            dot = sum(x * y for x, y in zip(va, vb))
+            sim = dot / (math.sqrt(sum(x * x for x in va)) * math.sqrt(sum(y * y for y in vb)))
+            cands.append((-sim, j))
+        for rnk, (_, j) in enumerate(sorted(cands)[:2], start=1):
+            expect.add((i, j, rnk))
+    assert got == expect
