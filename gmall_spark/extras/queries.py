@@ -2549,11 +2549,16 @@ WHERE abs(a.n_chars - b.n_chars) <= 16
 def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs (doc_a < doc_b, edit distance ≤ 24), candidates
     blocked on first token + length proximity."""
+    from gmall_spark.session import spread_to_parallelism
+
     docs = load_table(spark, sf_dir, "documents")
     d = docs.select(
         "doc_id", "text", "n_chars", F.split(F.trim("text"), " ")[0].alias("blk")
     )
-    a, b = d.alias("a"), d.alias("b")
+    # the per-pair DP is the expensive part and runs at the JOIN's
+    # parallelism — rebalance the probe side so a 2-row-group scan doesn't
+    # funnel every levenshtein through two tasks
+    a, b = spread_to_parallelism(d).alias("a"), d.alias("b")
     pairs = a.join(
         b,
         (F.col("a.blk") == F.col("b.blk"))
