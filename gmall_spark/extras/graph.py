@@ -259,3 +259,76 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return triangle_counts(edges, "a", "b")
+
+
+# ---------------------------------------------------------------------------
+# Link-prediction tie strength — common-neighbor counts per existing edge
+# (the Jaccard/Adamic-Adar numerator; in the reference's domain: how many
+# third suppliers co-operate with BOTH endpoints of a partnership). Reuses
+# the quarterly edge slice and the same arboricity-bounded wedge space as
+# triangle_count: a wedge (x; y,z) is exactly one common neighbor x of the
+# pair (y,z), so counting wedges grouped by the closing pair — WITHOUT
+# requiring the closing edge to exist — scores every candidate pair, and an
+# inner join back to the edge list keeps the realized partnerships.
+# ---------------------------------------------------------------------------
+_CN_ORACLE = """
+WITH q AS (
+  SELECT o_orderkey FROM orders
+  WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1995-04-01'
+),
+pairs AS (
+  SELECT DISTINCT a.l_orderkey, a.l_suppkey AS sa, b.l_suppkey AS sb
+  FROM lineitem a
+  JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+  JOIN q ON a.l_orderkey = q.o_orderkey
+),
+edges AS (SELECT DISTINCT sa AS a, sb AS b FROM pairs),
+adj AS (
+  SELECT a AS x, b AS n FROM edges UNION ALL SELECT b AS x, a AS n FROM edges
+),
+cn AS (
+  SELECT least(p.n, q2.n) AS a, greatest(p.n, q2.n) AS b, count(*) AS common_ct
+  FROM adj p JOIN adj q2 ON p.x = q2.x AND p.n < q2.n
+  GROUP BY 1, 2
+)
+SELECT e.a, e.b, CAST(cn.common_ct AS BIGINT) AS common_ct
+FROM edges e JOIN cn ON e.a = cn.a AND e.b = cn.b
+"""
+
+
+@register("edge_common_neighbors", _CN_ORACLE)
+def edge_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(a, b, common_ct) for every Q1-1995 partnership edge with ≥1 common
+    neighbor. Wedge generation off the symmetric adjacency (each hub x
+    contributes C(deg x, 2) candidate pairs — bounded by the quarter slice,
+    same reasoning as triangle_count), one count shuffle on the pair, one
+    equi-join against the edge list."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1995-04-01")
+    ).select("o_orderkey")
+    lq = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+    )
+    a, b = lq.alias("a"), lq.alias("b")
+    edges = (
+        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+               & (F.col("a.l_suppkey") < F.col("b.l_suppkey")))
+        .select(F.col("a.l_suppkey").alias("a"), F.col("b.l_suppkey").alias("b"))
+        .distinct()
+        .persist()
+    )
+    adj = edges.select(F.col("a").alias("x"), F.col("b").alias("n")).unionByName(
+        edges.select(F.col("b").alias("x"), F.col("a").alias("n"))
+    )
+    p, q2 = adj.alias("p"), adj.alias("q2")
+    cn = (
+        p.join(q2, (F.col("p.x") == F.col("q2.x")) & (F.col("p.n") < F.col("q2.n")))
+        .groupBy(F.col("p.n").alias("a"), F.col("q2.n").alias("b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("common_ct"))
+    )
+    from gmall_spark.session import unpersist_with
+
+    return unpersist_with(edges.join(cn, ["a", "b"]).select("a", "b", "common_ct"), edges)

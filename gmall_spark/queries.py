@@ -2237,3 +2237,97 @@ def dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for part in (orphans, dups, li):
         out = out.unionByName(melt(part))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff — the table-compare every warehouse migration/backfill runs:
+# full outer join of two snapshots on the primary key, rows classified by
+# md5 over the non-key payload. Snapshot B is derived deterministically here
+# (every 101st order dropped, every 97th repriced) so the entry is
+# self-contained; in production both sides are real table versions. One
+# co-partitioned join on the key — at 100 TB this is the bucketed-join
+# poster child (both snapshots bucketed by pk ⇒ zero shuffle).
+# ---------------------------------------------------------------------------
+@register(
+    "snapshot_diff",
+    """
+    WITH a AS (
+      SELECT o_orderkey AS pk,
+             md5(o_orderstatus || '|' || CAST(o_totalprice AS VARCHAR)) AS h
+      FROM orders
+    ),
+    b AS (
+      SELECT o_orderkey AS pk,
+             md5(o_orderstatus || '|' ||
+                 CAST(CASE WHEN o_orderkey % 97 = 0
+                           THEN CAST(o_totalprice + 1 AS DECIMAL(18,2))
+                           ELSE o_totalprice END AS VARCHAR)) AS h
+      FROM orders WHERE o_orderkey % 101 <> 0
+    )
+    SELECT status, CAST(count(*) AS BIGINT) AS row_ct FROM (
+      SELECT CASE WHEN b.pk IS NULL THEN 'removed'
+                  WHEN a.h <> b.h THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM a LEFT JOIN b ON a.pk = b.pk
+    ) GROUP BY 1
+    """,
+)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    a = o.select(
+        F.col("o_orderkey").alias("pk"),
+        F.md5(F.concat_ws("|", "o_orderstatus", F.col("o_totalprice").cast("string"))).alias("h"),
+    )
+    b = o.filter(F.col("o_orderkey") % 101 != 0).select(
+        F.col("o_orderkey").alias("pk"),
+        F.md5(
+            F.concat_ws(
+                "|",
+                "o_orderstatus",
+                F.when(F.col("o_orderkey") % 97 == 0,
+                       (F.col("o_totalprice") + 1).cast("decimal(18,2)"))
+                .otherwise(F.col("o_totalprice"))
+                .cast("string"),
+            )
+        ).alias("h"),
+    )
+    ab = a.alias("a").join(b.alias("b"), F.col("a.pk") == F.col("b.pk"), "left")
+    status = (
+        F.when(F.col("b.pk").isNull(), "removed")
+        .when(F.col("a.h") != F.col("b.h"), "changed")
+        .otherwise("unchanged")
+    )
+    return ab.select(status.alias("status")).groupBy("status").agg(
+        F.count(F.lit(1)).cast("long").alias("row_ct")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit — the statistical-forensics check run over money
+# columns (fabricated totals skew the leading-digit distribution). The digit
+# is extracted via exact integer truncation + string head, NOT log10 (libm
+# rounding at decade boundaries differs across engines). One conditional-agg
+# scan; digit counts are compared offline against log10(1+1/d).
+# ---------------------------------------------------------------------------
+@register(
+    "benford_audit",
+    """
+    SELECT substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS lead_digit,
+           CAST(count(*) AS BIGINT) AS order_ct
+    FROM orders WHERE o_totalprice >= 1
+    GROUP BY 1
+    """,
+)
+def benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_totalprice") >= 1)
+        .groupBy(
+            # explicit floor: DuckDB's decimal→BIGINT cast rounds while
+            # Spark's truncates — floor-then-cast agrees in both engines
+            F.substring(F.floor("o_totalprice").cast("long").cast("string"), 1, 1).alias(
+                "lead_digit"
+            )
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("order_ct"))
+    )
