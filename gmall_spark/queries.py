@@ -2331,3 +2331,84 @@ def benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("long").alias("order_ct"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Clickstream transition matrix — per-user adjacent event-type pairs within
+# a 10-minute continuation bound (the Markov-chain input for journey/funnel
+# modeling; generalizes the reference UserJumpDetailApp's single view→view
+# pattern to ALL transitions). One window sort per user partition (users are
+# high-cardinality, so the window input is well-spread), one pair rollup.
+# Integer epoch arithmetic for the continuation bound.
+# ---------------------------------------------------------------------------
+@register(
+    "event_transitions",
+    """
+    WITH s AS (
+      SELECT event_type,
+             lead(event_type) OVER w AS nxt,
+             epoch_us(lead(ts) OVER w) - epoch_us(ts) AS gap_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_type AS src, nxt AS dst, CAST(count(*) AS BIGINT) AS transition_ct
+    FROM s WHERE nxt IS NOT NULL AND gap_us <= 600000000
+    GROUP BY 1, 2
+    """,
+)
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select(
+        "event_type",
+        F.lead("event_type").over(w).alias("nxt"),
+        # microsecond integers: DuckDB's epoch() carries fractional seconds
+        # while a seconds cast truncates — µs difference is exact in both
+        (F.lead(F.unix_micros("ts")).over(w) - F.unix_micros("ts")).alias("gap_us"),
+    )
+    return (
+        s.filter(F.col("nxt").isNotNull() & (F.col("gap_us") <= 600000000))
+        .groupBy(F.col("event_type").alias("src"), F.col("nxt").alias("dst"))
+        .agg(F.count(F.lit(1)).cast("long").alias("transition_ct"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join-key skew report — the diagnostic run before sizing any large join:
+# top-10 heaviest keys with parts-per-million share. Integer share via
+# cross-multiplied division (ct·1e6 div total); the key histogram is a
+# partial-agg shuffle and the 1-row total broadcasts. Pairs with the salting
+# operator (skew_salted_join) as the detect→mitigate loop.
+# ---------------------------------------------------------------------------
+@register(
+    "skew_report",
+    """
+    WITH k AS (SELECT l_suppkey AS key, count(*) AS ct FROM lineitem GROUP BY 1),
+    t AS (SELECT sum(ct) AS total FROM k)
+    SELECT key, CAST(ct AS BIGINT) AS ct,
+           CAST(ct * 1000000 // t.total AS BIGINT) AS ppm,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT key, ct, row_number() OVER (ORDER BY ct DESC, key) AS rnk FROM k) k, t
+    WHERE rnk <= 10
+    """,
+)
+def skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    l = load_table(spark, sf_dir, "lineitem")
+    k = l.groupBy(F.col("l_suppkey").alias("key")).agg(F.count(F.lit(1)).alias("ct"))
+    t = k.agg(F.sum("ct").alias("total"))
+    w = Window.orderBy(F.col("ct").desc(), F.col("key"))
+    return (
+        k.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 10)
+        .crossJoin(F.broadcast(t))
+        .select(
+            "key",
+            F.col("ct").cast("long").alias("ct"),
+            F.expr("CAST(ct * 1000000 div total AS BIGINT)").alias("ppm"),
+            "rnk",
+        )
+    )

@@ -229,6 +229,7 @@ _SCALAR_CROSS_OK = {
     "decontaminate_bloom",  # cross join vs the 1-row broadcast bloom mask
     "histogram_quantiles",  # cross join vs the 1-row global min/max bounds
     "bm25_topk",          # cross join vs the 1-row corpus-scalar aggregate
+    "skew_report",        # cross join vs the 1-row key-total aggregate
 }
 
 
