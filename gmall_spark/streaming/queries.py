@@ -1029,3 +1029,46 @@ def streaming_tws_is_new(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+@register(
+    "streaming_dq_audit",
+    f"""
+    WITH wm AS {_WM_MS},
+    agg AS (
+      SELECT time_bucket(INTERVAL '10 minutes', ts) AS ws,
+             CAST(count(*) - count(user_id) AS BIGINT) AS null_user_ct,
+             CAST(sum(CASE WHEN value < 0 OR value >= 500 THEN 1 ELSE 0 END) AS BIGINT)
+               AS range_viol_ct,
+             CAST(count(*) AS BIGINT) AS row_ct
+      FROM events GROUP BY 1
+    )
+    SELECT null_user_ct, range_viol_ct, row_ct,
+           strftime(ws, '{_DUCK_FMT}') AS stt,
+           strftime(ws + INTERVAL '10 minutes', '{_DUCK_FMT}') AS edt
+    FROM agg, wm
+    WHERE epoch_us(ws + INTERVAL '10 minutes') // 1000 <= wm.wm_ms
+    """,
+)
+def streaming_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live data-quality monitoring — the dq_audit expectation rules folded
+    into a watermarked tumbling window over the event stream: per-window
+    null-key and range-violation counts emit on window closure. Stateless
+    per-window conditional sums (partial-agg friendly); the batch dq_audit
+    stays the full-corpus gate, this is the per-window pulse an ingestion
+    dashboard alerts on."""
+    ev = stream_events(spark, sf_dir)
+    out = windowed_stats_stream(
+        ev,
+        "ts",
+        "10 minutes",
+        [],
+        [
+            (F.count(F.lit(1)) - F.count("user_id")).cast("long").alias("null_user_ct"),
+            F.sum(((F.col("value") < 0) | (F.col("value") >= 500)).cast("long"))
+            .cast("long")
+            .alias("range_viol_ct"),
+            F.count(F.lit(1)).cast("long").alias("row_ct"),
+        ],
+    )
+    return run_to_memory(out, _name("s_dq"))
