@@ -2721,3 +2721,56 @@ SELECT vec_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk FROM (
 def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.hard_negative_knn(emb, "vec_id", "embedding", "label", k=3)
+
+
+# ---------------------------------------------------------------------------
+# Per-source characteristic terms — domain-signature analysis of the corpus
+# mix: for each provenance source, the top-5 tokens most overrepresented vs
+# the whole corpus by lift = (tf_src / src_total) / (tf_all / corpus_total).
+# Within a source the ordering reduces to tf_src/tf_all (the totals are
+# per-source/global constants), so the rank key is one IEEE division of
+# exact integers — engine-identical, same trick as bm25_topk/copurchase.
+# Token floor (tf_all ≥ 10) keeps one-off typos from topping every list.
+# ---------------------------------------------------------------------------
+_SOURCE_LIFT_ORACLE = """
+WITH toks AS (
+  SELECT source, token
+  FROM (SELECT source, unnest(string_split(trim(text), ' ')) AS token FROM documents)
+  WHERE token <> ''
+),
+tf_src AS (SELECT source, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+tf_all AS (SELECT token, count(*) AS tf_all FROM toks GROUP BY 1)
+SELECT source, token, CAST(tf AS BIGINT) AS tf, CAST(tf_all AS BIGINT) AS tf_all,
+       CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT s.source, s.token, s.tf, a.tf_all,
+         row_number() OVER (PARTITION BY s.source
+                            ORDER BY CAST(s.tf AS DOUBLE) / a.tf_all DESC, s.token) AS rnk
+  FROM tf_src s JOIN tf_all a ON s.token = a.token
+  WHERE a.tf_all >= 10
+) WHERE rnk <= 5
+"""
+
+
+@register("source_term_lift", _SOURCE_LIFT_ORACLE)
+def source_term_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select("source", F.explode(F.split(F.trim("text"), " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .persist()
+    )
+    tf_src = toks.groupBy("source", "token").agg(F.count(F.lit(1)).alias("tf"))
+    tf_all = toks.groupBy("token").agg(F.count(F.lit(1)).alias("tf_all"))
+    w = Window.partitionBy("source").orderBy(
+        (F.col("tf").cast("double") / F.col("tf_all")).desc(), F.col("token")
+    )
+    out = (
+        tf_src.join(tf_all.filter(F.col("tf_all") >= 10), "token")
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 5)
+        .select("source", "token", F.col("tf").cast("long"), F.col("tf_all").cast("long"), "rnk")
+    )
+    return unpersist_with(out, toks)

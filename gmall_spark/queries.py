@@ -2412,3 +2412,55 @@ def skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rnk",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence mining lite — top-20 event-type trigrams spanning at most one
+# day (the "common journeys" report; extends the transition matrix to
+# length-3 paths — events here are sparse per user, so the day bound is the
+# session analog). Two leads in one window pass, integer µs gap
+# arithmetic, then a count rollup on the trigram — no self-joins, no
+# row explosion beyond one row per event.
+# ---------------------------------------------------------------------------
+@register(
+    "event_trigrams",
+    """
+    WITH s AS (
+      SELECT event_type AS e1,
+             lead(event_type, 1) OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3,
+             epoch_us(lead(ts, 2) OVER w) - epoch_us(ts) AS span_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT e1, e2, e3, CAST(path_ct AS BIGINT) AS path_ct, CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT e1, e2, e3, count(*) AS path_ct,
+             row_number() OVER (ORDER BY count(*) DESC, e1, e2, e3) AS rnk
+      FROM s WHERE e3 IS NOT NULL AND span_us <= 86400000000
+      GROUP BY 1, 2, 3
+    ) WHERE rnk <= 20
+    """,
+)
+def event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+        (F.lead(F.unix_micros("ts"), 2).over(w) - F.unix_micros("ts")).alias("span_us"),
+    )
+    grp = (
+        s.filter(F.col("e3").isNotNull() & (F.col("span_us") <= 86400000000))
+        .groupBy("e1", "e2", "e3")
+        .agg(F.count(F.lit(1)).alias("path_ct"))
+    )
+    w2 = Window.orderBy(F.col("path_ct").desc(), "e1", "e2", "e3")
+    return (
+        grp.withColumn("rnk", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rnk") <= 20)
+        .select("e1", "e2", "e3", F.col("path_ct").cast("long"), "rnk")
+    )
