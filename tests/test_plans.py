@@ -263,3 +263,20 @@ def test_hypertable_rollup_cascades_from_cache(spark):
     df = QUERIES["hypertable_rollup"](spark, SF)
     tree = df._jdf.queryExecution().executedPlan().toString()
     assert tree.count("InMemoryTableScan") >= 3, tree
+
+
+def test_scalar_cross_allowlist_is_not_stale(spark):
+    """Every _SCALAR_CROSS_OK entry must actually plan the nested loop it is
+    excused for — otherwise the allowlist rots and silently excuses future
+    regressions in entries that no longer need it."""
+    from gmall_spark.plans import assert_scale_clean
+
+    stale = []
+    for name in sorted(_SCALAR_CROSS_OK):
+        df = QUERIES[name](spark, SF)
+        try:
+            assert_scale_clean(df, allow_nested_loop=False)
+            stale.append(name)  # passed WITHOUT the excuse -> excuse unused
+        except AssertionError:
+            pass
+    assert not stale, f"allowlisted entries no longer plan a nested loop: {stale}"
