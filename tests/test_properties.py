@@ -313,10 +313,18 @@ def test_triangle_counts_matches_naive_enumeration(spark, edges):
     ).filter(lambda vs: all(any(x != 0 for x in v) for _, v in vs))
 )
 def test_hard_negative_knn_matches_pairwise_model(spark, vecs):
-    """Kernel (label mask to -inf, slab select) vs a direct pairwise cosine
-    model — including anchors with no other-label candidates (emit nothing)
-    and fewer negatives than k (emit what exists)."""
-    import math
+    """Kernel (label mask to -inf, slab select) vs an independent pairwise
+    selection model — including anchors with no other-label candidates (emit
+    nothing) and fewer negatives than k (emit what exists).
+
+    The model reuses the kernel's numeric pipeline (float64 normalize, then
+    matmul) because mathematically-equal cosines of DIFFERENT vectors land
+    an ulp apart under any fixed fp evaluation order — adversarial integer
+    examples hit such ties, and what this test owns is the masking/slab/
+    rank logic, not fp tie philosophy (registry outputs avoid it by
+    construction: real embeddings tie only on identical vectors, where
+    normalized rows are bitwise equal)."""
+    import numpy as np
 
     from gmall_spark.extras.similarity import hard_negative_knn
 
@@ -326,15 +334,12 @@ def test_hard_negative_knn_matches_pairwise_model(spark, vecs):
         (r["vec_id"], r["neighbor_id"], r["rnk"])
         for r in hard_negative_knn(df, "vec_id", "embedding", "label", k=2).collect()
     }
+    M = np.array([v for _, _, v in rows], dtype="float64")
+    M /= np.sqrt((M * M).sum(axis=1))[:, None]
+    S = M @ M.T  # same normalize-then-matmul pipeline as the kernel
     expect = set()
-    for i, la, va in rows:
-        cands = []
-        for j, lb, vb in rows:
-            if lb == la:
-                continue
-            dot = sum(x * y for x, y in zip(va, vb))
-            sim = dot / (math.sqrt(sum(x * x for x in va)) * math.sqrt(sum(y * y for y in vb)))
-            cands.append((-sim, j))
+    for i, la, _ in rows:
+        cands = [(-S[i, j], j) for j, lb, _ in rows if lb != la]
         for rnk, (_, j) in enumerate(sorted(cands)[:2], start=1):
             expect.add((i, j, rnk))
     assert got == expect
