@@ -2464,3 +2464,63 @@ def event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 20)
         .select("e1", "e2", "e3", F.col("path_ct").cast("long"), "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Fulfilment-latency distribution — operational SLA analysis: days between
+# an order and its LAST shipped line, rolled into a latency histogram.
+# Two partial-agg shuffles (per-order max over lineitem — co-partitioned
+# with the orders join key — then the day-count rollup); exact integer date
+# arithmetic throughout.
+# ---------------------------------------------------------------------------
+@register(
+    "fulfilment_latency",
+    """
+    WITH last_ship AS (
+      SELECT l_orderkey, max(l_shipdate) AS last_ship
+      FROM lineitem GROUP BY 1
+    )
+    SELECT CAST(date_diff('day', CAST(o.o_orderdate AS DATE), CAST(s.last_ship AS DATE))
+                AS BIGINT) AS latency_days,
+           CAST(count(*) AS BIGINT) AS order_ct
+    FROM orders o JOIN last_ship s ON o.o_orderkey = s.l_orderkey
+    GROUP BY 1
+    """,
+)
+def fulfilment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    last_ship = l.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("last_ship"))
+    return (
+        o.join(last_ship, o.o_orderkey == last_ship.l_orderkey)
+        .select(
+            F.datediff(F.col("last_ship").cast("date"), F.col("o_orderdate").cast("date"))
+            .cast("long")
+            .alias("latency_days")
+        )
+        .groupBy("latency_days")
+        .agg(F.count(F.lit(1)).cast("long").alias("order_ct"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Basket-size distribution — the "how many items per order" histogram every
+# marketplace tracks (and the input to the co-purchase pair-space bound:
+# Σ C(w,2) over this distribution). Group-size rollup then a count-of-counts
+# — both partial-agg shuffles, the second over at most |distinct sizes| keys.
+# ---------------------------------------------------------------------------
+@register(
+    "basket_size_distribution",
+    """
+    SELECT CAST(n_items AS BIGINT) AS n_items,
+           CAST(count(*) AS BIGINT) AS order_ct
+    FROM (SELECT l_orderkey, count(*) AS n_items FROM lineitem GROUP BY 1)
+    GROUP BY 1
+    """,
+)
+def basket_size_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    sizes = l.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_items"))
+    return sizes.groupBy(F.col("n_items").cast("long").alias("n_items")).agg(
+        F.count(F.lit(1)).cast("long").alias("order_ct")
+    )
