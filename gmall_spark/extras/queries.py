@@ -2774,3 +2774,253 @@ def source_term_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "token", F.col("tf").cast("long"), F.col("tf_all").cast("long"), "rnk")
     )
     return unpersist_with(out, toks)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic global training shuffle + sharding — the "shuffle the corpus
+# once before tokenizing" step every pre-training pipeline runs. Shard
+# assignment is pure hash (embarrassingly parallel, no global sort); the
+# within-shard order is a rank over the hash key, one window task per shard.
+# Scale: shard count IS the output-file count, so sizing shards to ~file
+# size (thousands of shards at 100 TB) keeps each rank window executor-sized;
+# a row's (shard, position) never depends on partitioning or RNG state, so
+# the layout is reproducible and resumable.
+# ---------------------------------------------------------------------------
+_SHUF_SEED = "shuf42:"
+_SHUF_SHARDS = 8
+
+_TRAIN_SHUFFLE_ORACLE = f"""
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id) AS BIGINT)
+         AS pos_in_shard
+FROM (
+  SELECT doc_id, md5(concat('{_SHUF_SEED}', CAST(doc_id AS VARCHAR))) AS k,
+         CAST((strpos('0123456789abcdef', substr(md5(concat('{_SHUF_SEED}', CAST(doc_id AS VARCHAR))), 1, 1)) - 1)
+              % {_SHUF_SHARDS} AS BIGINT) AS shard
+  FROM documents
+)
+"""
+
+
+@register("training_shuffle", _TRAIN_SHUFFLE_ORACLE)
+def training_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    k = F.md5(F.concat(F.lit(_SHUF_SEED), F.col("doc_id").cast("string")))
+    shard = (F.conv(F.substring(k, 1, 1), 16, 10).cast("long") % _SHUF_SHARDS).alias(
+        "shard"
+    )
+    w = Window.partitionBy("shard").orderBy("k", "doc_id")
+    return (
+        docs.select("doc_id", k.alias("k"), shard)
+        .withColumn("pos_in_shard", F.row_number().over(w).cast("long"))
+        .select("doc_id", "shard", "pos_in_shard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII risk audit — per-source counts of documents and matches for the three
+# canonical detector regexes (email, IPv4-shaped, phone-shaped). Pure column
+# expressions (regexp_count) — no UDF, no shuffle beyond the final
+# per-source rollup; the patterns avoid every construct RE2 and java.util
+# .regex disagree on (no backrefs, no lookaround), so the oracle is exact.
+# At 100 TB this is a single scan + partial agg; the same projection feeds
+# the scrubber (text_scrub) when redaction rather than measurement is wanted.
+# ---------------------------------------------------------------------------
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_IPV4 = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+_PII_PHONE = "\\+?[0-9][0-9 -]{7,}[0-9]"
+
+_PII_ORACLE = f"""
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN e > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_email,
+       CAST(sum(e) AS BIGINT) AS email_hits,
+       CAST(sum(CASE WHEN i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_ip,
+       CAST(sum(i) AS BIGINT) AS ip_hits,
+       CAST(sum(CASE WHEN p > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_phone,
+       CAST(sum(p) AS BIGINT) AS phone_hits
+FROM (
+  SELECT source,
+         len(regexp_extract_all(text, '{_PII_EMAIL}')) AS e,
+         len(regexp_extract_all(text, '{_PII_IPV4}')) AS i,
+         len(regexp_extract_all(text, '{_PII_PHONE}')) AS p
+  FROM documents
+)
+GROUP BY 1
+"""
+
+
+@register("pii_audit", _PII_ORACLE)
+def pii_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    e = F.regexp_count("text", F.lit(_PII_EMAIL))
+    i = F.regexp_count("text", F.lit(_PII_IPV4))
+    p = F.regexp_count("text", F.lit(_PII_PHONE))
+    hits = docs.select("source", e.alias("e"), i.alias("i"), p.alias("p"))
+    return hits.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum((F.col("e") > 0).cast("int")).cast("long").alias("docs_with_email"),
+        F.sum("e").cast("long").alias("email_hits"),
+        F.sum((F.col("i") > 0).cast("int")).cast("long").alias("docs_with_ip"),
+        F.sum("i").cast("long").alias("ip_hits"),
+        F.sum((F.col("p") > 0).cast("int")).cast("long").alias("docs_with_phone"),
+        F.sum("p").cast("long").alias("phone_hits"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inter-document duplicate-n-gram fraction — the RefinedWeb/Gopher-style
+# corpus health metric: what share of each document's distinct 13-grams
+# also appears in at least one OTHER document, rolled up per source as an
+# integer rational (sum_dup, sum_total). Same inverted-index shape as the
+# n-gram decontaminator: one shuffle on the shingle, document frequencies
+# joined back, per-doc then per-source partial aggs. Hot boilerplate
+# shingles are bounded by the same df-cap argument as dedup_ngram_jaccard.
+# ---------------------------------------------------------------------------
+_DUP_NGRAM_ORACLE = """
+WITH sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id, array_to_string(t[i:i+12], ' ') AS shingle
+    FROM (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+         UNNEST(range(1, greatest(len(t) - 12, 1) + 1)) AS u(i)
+  )
+),
+df AS (SELECT shingle, count(*) AS doc_ct FROM sh GROUP BY 1),
+per_doc AS (
+  SELECT s.doc_id,
+         count(*) AS total_ngrams,
+         sum(CASE WHEN df.doc_ct > 1 THEN 1 ELSE 0 END) AS dup_ngrams
+  FROM sh s JOIN df ON s.shingle = df.shingle
+  GROUP BY 1
+)
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(p.dup_ngrams) AS BIGINT) AS dup_ngrams,
+       CAST(sum(p.total_ngrams) AS BIGINT) AS total_ngrams
+FROM per_doc p JOIN documents d ON p.doc_id = d.doc_id
+GROUP BY 1
+"""
+
+
+@register("dup_ngram_fraction", _DUP_NGRAM_ORACLE)
+def dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.shingle_set(docs, "doc_id", "text", k=13)
+    df_ct = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("doc_ct"))
+    per_doc = (
+        sh.join(df_ct, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("total_ngrams"),
+            F.sum((F.col("doc_ct") > 1).cast("int")).alias("dup_ngrams"),
+        )
+    )
+    return (
+        per_doc.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("dup_ngrams").cast("long").alias("dup_ngrams"),
+            F.sum("total_ngrams").cast("long").alias("total_ngrams"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer-vocab coverage / OOV rate — after building a top-N vocabulary,
+# what fraction of each source's token stream falls outside it. The vocab
+# is count-desc/token-asc top-500 (deterministic at the boundary) and is
+# BROADCAST into the coverage join — at 100 TB the token stream never
+# shuffles for the lookup; only the two count rollups shuffle.
+# ---------------------------------------------------------------------------
+_VOCAB_COVERAGE_ORACLE = """
+WITH toks AS (
+  SELECT source, unnest(list_filter(string_split(trim(text), ' '), x -> x <> ''))
+           AS token
+  FROM documents
+),
+vocab AS (
+  SELECT token FROM (
+    SELECT token, row_number() OVER (ORDER BY count(*) DESC, token) AS rnk
+    FROM toks GROUP BY token
+  ) WHERE rnk <= 500
+)
+SELECT t.source,
+       CAST(count(*) AS BIGINT) AS total_tokens,
+       CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS oov_tokens
+FROM toks t LEFT JOIN vocab v ON t.token = v.token
+GROUP BY 1
+"""
+
+
+@register("vocab_coverage", _VOCAB_COVERAGE_ORACLE)
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select("source", F.explode(F.split(F.trim("text"), " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .persist()
+    )
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .orderBy(F.col("tf").desc(), "token")
+        .limit(500)
+        .select("token", F.lit(True).alias("in_vocab"))
+    )
+    out = (
+        toks.join(F.broadcast(vocab), "token", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("total_tokens"),
+            F.sum(F.col("in_vocab").isNull().cast("int")).cast("long").alias("oov_tokens"),
+        )
+    )
+    return unpersist_with(out, toks)
+
+
+# ---------------------------------------------------------------------------
+# Embedding norm audit — the sanity gate before any ANN/clustering run:
+# per label, how many vectors, the min/max squared L2 norm, and how many
+# fall below unit norm. The squared norm is an order-pinned left fold over
+# the vector (Spark F.aggregate == DuckDB list_reduce, identical fp ops →
+# bit-identical doubles); min/max across rows are selections, never sums,
+# so no cross-row float accumulation leaks into the output. One narrow
+# projection + one partial-agg shuffle on label.
+# ---------------------------------------------------------------------------
+_NORM_AUDIT_ORACLE = """
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       min(n2) AS min_norm2,
+       max(n2) AS max_norm2,
+       CAST(sum(CASE WHEN n2 < 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_below_unit
+FROM (
+  SELECT label,
+         list_reduce(list_prepend(0.0, list_transform(embedding, x -> CAST(x AS DOUBLE))),
+                     (acc, x) -> acc + x * x) AS n2
+  FROM embeddings
+)
+GROUP BY 1
+"""
+
+
+@register("embed_norm_audit", _NORM_AUDIT_ORACLE)
+def embed_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    n2 = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x * x,
+    )
+    return (
+        emb.select("label", n2.alias("n2"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.min("n2").alias("min_norm2"),
+            F.max("n2").alias("max_norm2"),
+            F.sum((F.col("n2") < 1.0).cast("int")).cast("long").alias("n_below_unit"),
+        )
+    )

@@ -2524,3 +2524,108 @@ def basket_size_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sizes.groupBy(F.col("n_items").cast("long").alias("n_items")).agg(
         F.count(F.lit(1)).cast("long").alias("order_ct")
     )
+
+# ---------------------------------------------------------------------------
+# Hypertable gap-fill + LOCF — the time_bucket_gapfill/locf pair every
+# monitoring/hypertable engine ships: densify the (event_type, hour) grid
+# over the table's full span, fill missing buckets with the last observed
+# count. Scale shape: the grid is |keys| x |hours| rows built DISTRIBUTED
+# (sequence+explode per key, never a driver loop); the fill is a per-key
+# ordered window whose width is the series length, so at 100 TB you
+# range-partition by key and the window never crosses keys. The span scalar
+# is a 1-row broadcast (allowlisted cross-join shape).
+# ---------------------------------------------------------------------------
+@register(
+    "gapfill_locf",
+    f"""
+    WITH span AS (
+      SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+      FROM events
+    ),
+    grid AS (
+      SELECT et.event_type, u.bh
+      FROM (SELECT DISTINCT event_type FROM events) et
+      CROSS JOIN span
+      CROSS JOIN UNNEST(generate_series(span.lo, span.hi, INTERVAL 1 HOUR)) AS u(bh)
+    ),
+    agg AS (
+      SELECT event_type, date_trunc('hour', ts) AS bh, count(*) AS ev_ct
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           strftime(bh, '{_DUCK_FMT}') AS bucket_hour,
+           CAST(coalesce(
+             last_value(ev_ct IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY bh
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS BIGINT) AS filled_ct,
+           ev_ct IS NULL AS is_gap
+    FROM grid LEFT JOIN agg USING (event_type, bh)
+    """,
+)
+def gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bh")
+    ).agg(F.count(F.lit(1)).alias("ev_ct"))
+    span = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .join(F.broadcast(span))
+        .select(
+            "event_type",
+            F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("bh"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("bh").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    filled = grid.join(agg, ["event_type", "bh"], "left")
+    return filled.select(
+        "event_type",
+        F.date_format("bh", TS_FMT).alias("bucket_hour"),
+        F.coalesce(F.last("ev_ct", ignorenulls=True).over(w), F.lit(0))
+        .cast("long")
+        .alias("filled_ct"),
+        F.col("ev_ct").isNull().alias("is_gap"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-user EWMA (alpha = 0.5) — the decayed engagement score timeseries
+# stores compute natively. Exactness across engines: the fold is pinned to
+# event order (ts, event_id) and every step is acc*0.5 + x*0.5 — halving is
+# EXACT in binary floating point and the two engines execute the identical
+# left fold (Spark F.aggregate == DuckDB list_reduce), so the doubles are
+# bit-identical (same argument as the bigram-LM entry, extras/text.py).
+# Scale shape: one shuffle on user_id; the collect_list is bounded by a
+# single user's event count (the same bound any per-user sessionization
+# carries) — the streaming twin of this fold is a one-value keyed state.
+# ---------------------------------------------------------------------------
+@register(
+    "ewma_user_value",
+    """
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           list_reduce(list_prepend(0.0, list(value ORDER BY ts, event_id)),
+                       (acc, x) -> acc * 0.5 + x * 0.5) AS ewma
+    FROM events GROUP BY 1
+    """,
+)
+def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ordered = F.transform(
+        F.sort_array(F.collect_list(F.struct("ts", "event_id", "value"))),
+        lambda s: s["value"],
+    )
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.aggregate(
+            ordered, F.lit(0.0), lambda acc, x: acc * F.lit(0.5) + x * F.lit(0.5)
+        ).alias("ewma"),
+    )

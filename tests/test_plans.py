@@ -230,6 +230,7 @@ _SCALAR_CROSS_OK = {
     "histogram_quantiles",  # cross join vs the 1-row global min/max bounds
     "bm25_topk",          # cross join vs the 1-row corpus-scalar aggregate
     "skew_report",        # cross join vs the 1-row key-total aggregate
+    "gapfill_locf",       # cross join vs the 1-row global span (lo, hi) aggregate
 }
 
 

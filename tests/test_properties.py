@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import datetime
 
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, assume, given, settings
 from hypothesis import strategies as st
 
 from pyspark.sql import functions as F
@@ -317,29 +317,39 @@ def test_hard_negative_knn_matches_pairwise_model(spark, vecs):
     selection model — including anchors with no other-label candidates (emit
     nothing) and fewer negatives than k (emit what exists).
 
-    The model reuses the kernel's numeric pipeline (float64 normalize, then
-    matmul) because mathematically-equal cosines of DIFFERENT vectors land
-    an ulp apart under any fixed fp evaluation order — adversarial integer
-    examples hit such ties, and what this test owns is the masking/slab/
-    rank logic, not fp tie philosophy (registry outputs avoid it by
-    construction: real embeddings tie only on identical vectors, where
-    normalized rows are bitwise equal)."""
-    import numpy as np
+    The model ranks by EXACT rational cosine keys (sign(dot)·dot²/(nᵢ·nⱼ)
+    over the original integer vectors — monotone with cosine, no floats),
+    and `assume`s away examples where two candidates of one anchor tie
+    mathematically: distinct rational cosines of these small integer vectors
+    differ by ≥ ~1e-8, far above any fp pipeline's noise, so the kernel's
+    float ranking must agree — while exact ties (e.g. two orthogonal
+    candidates) land an ulp apart in ANY fixed fp order and are out of
+    scope by the registry's own construction (real embeddings tie only on
+    identical vectors, where normalized rows are bitwise equal)."""
+    from fractions import Fraction
 
     from gmall_spark.extras.similarity import hard_negative_knn
 
     rows = [(i, lbl, [float(x) for x in v]) for i, (lbl, v) in enumerate(vecs)]
+    ivecs = [v for _, v in vecs]
+    norms = [sum(x * x for x in v) for v in ivecs]
+
+    def cos_key(i: int, j: int) -> Fraction:
+        d = sum(a * b for a, b in zip(ivecs[i], ivecs[j]))
+        return Fraction((1 if d >= 0 else -1) * d * d, norms[i] * norms[j])
+
+    expect = set()
+    for i, (la, _) in enumerate(vecs):
+        cands = [(-cos_key(i, j), j) for j, (lb, _) in enumerate(vecs) if lb != la]
+        # no tie anywhere among this anchor's candidates, so the top-2 cut
+        # and the ranks are both uniquely determined
+        assume(len({k for k, _ in cands}) == len(cands))
+        for rnk, (_, j) in enumerate(sorted(cands)[:2], start=1):
+            expect.add((i, j, rnk))
+
     df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
     got = {
         (r["vec_id"], r["neighbor_id"], r["rnk"])
         for r in hard_negative_knn(df, "vec_id", "embedding", "label", k=2).collect()
     }
-    M = np.array([v for _, _, v in rows], dtype="float64")
-    M /= np.sqrt((M * M).sum(axis=1))[:, None]
-    S = M @ M.T  # same normalize-then-matmul pipeline as the kernel
-    expect = set()
-    for i, la, _ in rows:
-        cands = [(-S[i, j], j) for j, lb, _ in rows if lb != la]
-        for rnk, (_, j) in enumerate(sorted(cands)[:2], start=1):
-            expect.add((i, j, rnk))
     assert got == expect
