@@ -33,6 +33,7 @@ from gmall_spark.streaming.pipelines import (
 from gmall_spark.streaming.stateful import (
     dedup_daily_stream,
     detect_bounce_stream,
+    ewma_stream,
     fix_is_new_stream,
 )
 
@@ -117,6 +118,25 @@ def streaming_unique_visit(spark: SparkSession, sf_dir: str) -> DataFrame:
 def streaming_is_new_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST1 as keyed streaming state."""
     return run_to_memory(fix_is_new_stream(stream_events(spark, sf_dir)), _name("s_isnew"))
+
+
+@register(
+    "streaming_ewma_user",
+    """
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           list_reduce(list_prepend(0.0, list(value ORDER BY ts, event_id)),
+                       (acc, x) -> acc * 0.5 + x * 0.5) AS ewma
+    FROM events GROUP BY 1
+    """,
+)
+def streaming_ewma_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key EWMA as keyed streaming state (the one-value fold the batch
+    ewma_user_value docstring promises). NoTimeout state emits the updated
+    value each micro-batch a key appears in; with the source pinned to one
+    batch that is exactly one row per user, bit-identical to the batch fold
+    (see ewma_stream on why the fp order is pinned)."""
+    return run_to_memory(ewma_stream(stream_events(spark, sf_dir)), _name("s_ewma"))
 
 
 @register(

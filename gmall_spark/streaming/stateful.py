@@ -201,6 +201,42 @@ def detect_bounce_stream(
     )
 
 
+def ewma_stream(events: DataFrame, key: str = "user_id", alpha: float = 0.5) -> DataFrame:
+    """Streaming twin of the batch ewma_user_value entry: per-key EWMA as a
+    one-value keyed fold (state = running ewma + event count), emitting the
+    updated (key, n_events, ewma) once per micro-batch the key appears in.
+
+    The fold is a deliberate per-row Python loop, NOT a vectorized power-sum:
+    EWMA is inherently sequential, and only the literal acc*α' + x*α order
+    reproduces the batch twin's F.aggregate fold bit-for-bit (a numpy
+    dot-with-powers evaluates the same sum in a different order → an ulp
+    off → a different value-hash). The loop runs over one key's rows in one
+    micro-batch — same asymptotics as the vectorized path, and the state
+    carried between batches is two scalars, never a row buffer."""
+
+    out_schema = f"{key} long, n_events long, ewma double"
+    state_schema = "ewma double, n long"
+    keep = 1.0 - alpha
+
+    def fn(
+        key_tuple: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        acc, n = (state.get if state.exists else (0.0, 0))
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for x in pdf["value"].tolist():
+                acc = acc * keep + x * alpha
+            n += len(pdf)
+            yield pd.DataFrame({key: [key_tuple[0]], "n_events": [n], "ewma": [acc]})
+        state.update((acc, n))
+
+    return events.groupBy(key).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def fix_is_new_tws(events: DataFrame, key: str = "user_id") -> DataFrame:
     """ST1 on the Spark 4 transformWithStateInPandas API: the same seen-flag
     repair as fix_is_new_stream, but with typed per-key ValueState managed by

@@ -326,3 +326,35 @@ def test_interval_join_stream_left_outer(spark, chunked_events):
     seen_views = outer.select("view_id").distinct().count()
     assert seen_views <= n_views
     assert seen_views >= n_views * 0.9
+
+
+def test_ewma_stream_matches_batch_fold_bitwise(spark, chunked_events):
+    """Cross-batch state carry: the 4-chunk streaming EWMA's LAST emission
+    per key must equal the batch F.aggregate fold BIT-FOR-BIT — the fold
+    order is pinned (ts, event_id) on both paths and every step is
+    acc*0.5 + x*0.5, so even float equality is exact."""
+    from pyspark.sql import Window
+
+    from gmall_spark.streaming.stateful import ewma_stream
+
+    stream = run_to_memory(ewma_stream(read_stream(spark, chunked_events)), "t_ewma")
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    last = (
+        stream.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("user_id", "n_events", "ewma")
+    )
+    ev = load_table(spark, SF, "events")
+    ordered = F.transform(
+        F.sort_array(F.collect_list(F.struct("ts", "event_id", "value"))),
+        lambda s: s["value"],
+    )
+    batch = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.aggregate(
+            ordered, F.lit(0.0), lambda acc, x: acc * F.lit(0.5) + x * F.lit(0.5)
+        ).alias("ewma"),
+    )
+    got = rows_set(last, ["user_id", "n_events", "ewma"])
+    want = rows_set(batch, ["user_id", "n_events", "ewma"])
+    assert got == want
