@@ -140,6 +140,37 @@ def streaming_ewma_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_dedup_union",
+    f"""
+    SELECT event_id, user_id, event_type, strftime(ts, '{_DUCK_FMT}') AS ts
+    FROM events
+    """,
+)
+def streaming_dedup_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-least-once intake dedup — dropDuplicatesWithinWatermark on the
+    primary key over a self-unioned stream (two sources replaying the same
+    topic = the duplicate-delivery shape an at-least-once Kafka consumer
+    sees). Every duplicate lands inside the watermark horizon here, so the
+    output is exactly the distinct event set; the cross-batch expiry
+    semantics (a dupe arriving after the watermark passes survives) is
+    pinned by tests/test_streaming.py::test_drop_duplicates_within_watermark.
+    Scale: state is one entry per key within the horizon, partitioned by the
+    dedup key — the bounded-state form of a global distinct."""
+    a = stream_events(spark, sf_dir)
+    b = stream_events(spark, sf_dir)
+    out = (
+        a.unionByName(b)
+        .withWatermark("ts", "2 seconds")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type", "ts")
+    )
+    res = run_to_memory(out, _name("s_dedup"))
+    return res.select(
+        "event_id", "user_id", "event_type", F.date_format("ts", TS_FMT).alias("ts")
+    )
+
+
+@register(
     "streaming_bounce_detect",
     f"""
     WITH wm AS {_WM_MS},
