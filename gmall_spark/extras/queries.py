@@ -3024,3 +3024,97 @@ def embed_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("n2") < 1.0).cast("int")).cast("long").alias("n_below_unit"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document duplicate-PASSAGE removal — the corpus REWRITE step of
+# exact substring dedup (the token-level shape of suffix-array substring
+# dedup): any 13-token window already seen in an earlier document is
+# removed from later documents (keep-first), and the surviving tokens are
+# reassembled into the deduplicated text. Complements dup_ngram_fraction
+# (which only measures) and dedup_* (which drop whole docs).
+#
+# Scale shape: shingle OCCURRENCES ≈ corpus token count — one shuffle on
+# the shingle for the min-doc owner, one join back, one per-doc rollup of
+# duplicate window starts, then a co-partitioned join onto the corpus; the
+# interval-union and token rebuild are row-local array expressions (no
+# second token explode). Hot boilerplate shingles fan out occurrence rows
+# linearly, never pairs — no quadratic key, unlike similarity joins.
+# ---------------------------------------------------------------------------
+_SUBSTR_REWRITE_ORACLE = """
+WITH base AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+occ AS (
+  SELECT doc_id, i AS pos, array_to_string(t[i:i+12], ' ') AS sh
+  FROM base, UNNEST(range(1, greatest(len(t) - 11, 1))) AS u(i)
+  WHERE len(t) >= 13
+),
+firsts AS (SELECT sh, min(doc_id) AS min_doc FROM occ GROUP BY 1),
+dups AS (
+  SELECT o.doc_id, list(DISTINCT o.pos) AS starts
+  FROM occ o JOIN firsts f ON o.sh = f.sh
+  WHERE o.doc_id > f.min_doc GROUP BY 1
+),
+r AS (
+  SELECT b.doc_id, b.t,
+         list_distinct(flatten(list_transform(coalesce(d.starts, CAST([] AS BIGINT[])),
+                                              p -> range(p, p + 13)))) AS removed
+  FROM base b LEFT JOIN dups d USING (doc_id)
+),
+k AS (
+  SELECT doc_id, t,
+         list_filter(range(1, len(t) + 1), i -> NOT list_contains(removed, i)) AS kept
+  FROM r
+)
+SELECT doc_id,
+       -- a FULLY-removed doc has kept = [] and array_to_string([]) is NULL
+       -- in DuckDB while Spark's concat_ws of an empty array is '' — pin ''
+       coalesce(array_to_string(list_transform(kept, i -> t[i]), ' '), '') AS text_dedup,
+       CAST(len(t) AS BIGINT) AS n_tokens,
+       CAST(len(t) - len(kept) AS BIGINT) AS n_removed
+FROM k
+"""
+
+
+@register("dedup_substring_rewrite", _SUBSTR_REWRITE_ORACLE)
+def dedup_substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", F.split(F.trim("text"), " ").alias("t"))
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.size("t") - 12),
+        lambda i: F.concat_ws(" ", F.slice("t", i, 13)),
+    )
+    occ = (
+        base.filter(F.size("t") >= 13)
+        .select("doc_id", F.posexplode(shingles).alias("pos0", "sh"))
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "sh")
+    )
+    firsts = occ.groupBy("sh").agg(F.min("doc_id").alias("min_doc"))
+    dups = (
+        occ.join(firsts, "sh")
+        .filter(F.col("doc_id") > F.col("min_doc"))
+        .groupBy("doc_id")
+        .agg(F.collect_set("pos").alias("starts"))
+    )
+    r = base.join(dups, "doc_id", "left").withColumn(
+        "removed",
+        F.array_distinct(
+            F.flatten(
+                F.transform(
+                    F.coalesce("starts", F.array().cast("array<int>")),
+                    lambda p: F.sequence(p, p + 12),
+                )
+            )
+        ),
+    )
+    kept = F.filter(
+        F.sequence(F.lit(1), F.size("t")),
+        lambda i: ~F.array_contains(F.col("removed"), i),
+    )
+    return r.select(
+        "doc_id",
+        F.concat_ws(" ", F.transform(kept, lambda i: F.element_at("t", i))).alias(
+            "text_dedup"
+        ),
+        F.size("t").cast("long").alias("n_tokens"),
+        (F.size("t") - F.size(kept)).cast("long").alias("n_removed"),
+    )

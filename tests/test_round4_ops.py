@@ -151,3 +151,56 @@ def test_training_shuffle_is_permutation_and_stable(spark, sf_dir):
         assert sorted(ps) == list(range(1, len(ps) + 1)), shard
     out2 = QUERIES["training_shuffle"](spark, sf_dir).collect()
     assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=30).map(
+            " ".join
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_substring_rewrite_matches_naive_model(spark, tmp_path_factory, docs):
+    """Keep-first duplicate-passage removal vs a direct Python enumeration:
+    every 13-token window owned by an earlier doc removes its covered tokens
+    in later docs; first owners and sub-13-token docs are untouched. The
+    3-letter vocab forces heavy window collisions."""
+    import gmall_spark.extras.queries  # noqa: F401 — registers extras entries
+
+    from gmall_spark.queries import QUERIES as Q
+
+    tmp = tmp_path_factory.mktemp("docs_sr")
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(docs)),
+            "text": docs,
+            "lang": "en",
+            "source": "t",
+            "n_chars": [len(d) for d in docs],
+        }
+    )
+    pdf.to_parquet(tmp / "documents.parquet", index=False)
+
+    first_owner: dict[tuple, int] = {}
+    toks = [d.strip().split(" ") for d in docs]
+    for d, t in enumerate(toks):
+        for p in range(len(t) - 12):
+            first_owner.setdefault(tuple(t[p : p + 13]), d)
+    expect = {}
+    for d, t in enumerate(toks):
+        removed = set()
+        for p in range(len(t) - 12):
+            if first_owner[tuple(t[p : p + 13])] < d:
+                removed.update(range(p, p + 13))
+        kept = [tok for q, tok in enumerate(t) if q not in removed]
+        expect[d] = (" ".join(kept), len(t), len(removed))
+
+    out = Q["dedup_substring_rewrite"](spark, str(tmp))
+    got = {
+        r["doc_id"]: (r["text_dedup"], r["n_tokens"], r["n_removed"])
+        for r in out.collect()
+    }
+    assert got == expect
