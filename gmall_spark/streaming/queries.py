@@ -885,6 +885,39 @@ def streaming_mb_unique_visit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_mb_ewma",
+    f"""
+    WITH {_mb_cte()},
+    pres AS (SELECT DISTINCT user_id, chunk FROM placed),
+    pref AS (
+      SELECT p.user_id, pr.chunk AS eb,
+             CAST(count(*) AS BIGINT) AS n_events,
+             list_reduce(list_prepend(0.0, list(p.value ORDER BY p.ts, p.event_id)),
+                         (acc, x) -> acc * 0.5 + x * 0.5) AS ewma
+      FROM placed p JOIN pres pr
+        ON p.user_id = pr.user_id AND p.chunk <= pr.chunk
+      GROUP BY 1, 2
+    )
+    SELECT user_id, n_events, ewma, CAST(eb AS INT) AS emit_batch FROM pref
+    """,
+)
+def streaming_mb_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric keyed state across three micro-batches: each batch a user
+    appears in emits the CUMULATIVE (n, ewma) — so every emission is a
+    prefix fold over everything the key has seen, and the oracle replays
+    each prefix with the identical pinned-order fold (bit-identical doubles,
+    same argument as ewma_user_value). Without persisted scalar state the
+    per-batch emissions would restart from 0 and every prefix row would
+    mismatch."""
+    from gmall_spark.streaming.multibatch import (
+        run_collect_batches,
+        stream_event_chunks,
+    )
+
+    return run_collect_batches(ewma_stream(stream_event_chunks(spark, sf_dir, 3)))
+
+
+@register(
     "streaming_mb_bounce",
     f"""
     WITH {_mb_cte()},
