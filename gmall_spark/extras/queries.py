@@ -3118,3 +3118,90 @@ def dedup_substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("t").cast("long").alias("n_tokens"),
         (F.size("t") - F.size(kept)).cast("long").alias("n_removed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end training-data pipeline — the composition story: quality filter
+# → exact dedup (keep-min content hash) → 13-gram decontamination against
+# the held-out benchmark slice → deterministic shuffle/shard, all as ONE
+# lazy DataFrame chain. Nothing materializes between stages: Catalyst fuses
+# the filters into the scans and the whole pipeline is a single job whose
+# shuffle count tests/test_plans.py pins — the property that makes a
+# 100 TB run one pass over the corpus instead of four.
+#
+# Stage semantics reuse the standalone entries' exact definitions
+# (document_filter-lite, dedup_exact, decontaminate_ngrams' benchmark
+# convention doc_id % 7 = 0, training_shuffle's hash layout), so each stage
+# stays individually auditable against its own registry twin.
+# ---------------------------------------------------------------------------
+_PIPELINE_ORACLE = f"""
+WITH corpus AS (
+  SELECT doc_id, text,
+         len(list_filter(string_split(trim(text), ' '), x -> x <> '')) AS n_tokens
+  FROM documents
+  WHERE doc_id % 7 <> 0
+),
+quality AS (SELECT * FROM corpus WHERE n_tokens >= 5),
+kept AS (
+  SELECT * FROM quality
+  WHERE doc_id IN (SELECT min(doc_id) FROM quality GROUP BY md5(text))
+),
+bench_sh AS (
+  SELECT DISTINCT shingle FROM (
+    SELECT array_to_string(t[i:i+12], ' ') AS shingle
+    FROM (SELECT string_split(trim(text), ' ') AS t FROM documents WHERE doc_id % 7 = 0),
+         UNNEST(range(1, greatest(len(t) - 12, 1) + 1)) AS u(i)
+  )
+),
+contaminated AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT k.doc_id, array_to_string(t[i:i+12], ' ') AS shingle
+    FROM (SELECT doc_id, string_split(trim(text), ' ') AS t FROM kept) k,
+         UNNEST(range(1, greatest(len(t) - 12, 1) + 1)) AS u(i)
+  ) s JOIN bench_sh b ON s.shingle = b.shingle
+),
+clean AS (SELECT * FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM contaminated))
+SELECT doc_id,
+       CAST((strpos('0123456789abcdef', substr(md5(concat('{_SHUF_SEED}', CAST(doc_id AS VARCHAR))), 1, 1)) - 1)
+            % {_SHUF_SHARDS} AS BIGINT) AS shard,
+       CAST(row_number() OVER (
+              PARTITION BY (strpos('0123456789abcdef', substr(md5(concat('{_SHUF_SEED}', CAST(doc_id AS VARCHAR))), 1, 1)) - 1) % {_SHUF_SHARDS}
+              ORDER BY md5(concat('{_SHUF_SEED}', CAST(doc_id AS VARCHAR))), doc_id)
+            AS BIGINT) AS pos_in_shard,
+       CAST(n_tokens AS BIGINT) AS n_tokens
+FROM clean
+"""
+
+
+@register("pipeline_end_to_end", _PIPELINE_ORACLE)
+def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.trim("text"), " "), lambda x: x != "")
+    corpus = docs.filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id", "text", F.size(toks).alias("n_tokens")
+    )
+    quality = corpus.filter(F.col("n_tokens") >= 5)
+    keep_ids = quality.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    kept = quality.join(keep_ids.select("doc_id"), "doc_id")
+    bench_sh = (
+        dedup.shingle_set(docs.filter(F.col("doc_id") % 7 == 0), "doc_id", "text", k=13)
+        .select("shingle")
+        .distinct()
+    )
+    corpus_sh = dedup.shingle_set(kept, "doc_id", "text", k=13)
+    contaminated = corpus_sh.join(bench_sh, "shingle").select("doc_id").distinct()
+    clean = kept.join(contaminated, "doc_id", "left_anti")
+    k = F.md5(F.concat(F.lit(_SHUF_SEED), F.col("doc_id").cast("string")))
+    shard = (F.conv(F.substring(k, 1, 1), 16, 10).cast("long") % _SHUF_SHARDS).alias(
+        "shard"
+    )
+    w = Window.partitionBy("shard").orderBy("k", "doc_id")
+    return (
+        clean.select("doc_id", F.col("n_tokens").cast("long").alias("n_tokens"), k.alias("k"), shard)
+        .withColumn("pos_in_shard", F.row_number().over(w).cast("long"))
+        .select("doc_id", "shard", "pos_in_shard", "n_tokens")
+    )

@@ -204,3 +204,22 @@ def test_substring_rewrite_matches_naive_model(spark, tmp_path_factory, docs):
         for r in out.collect()
     }
     assert got == expect
+
+
+def test_pipeline_end_to_end_shuffle_budget(spark, sf_dir):
+    """The composed pipeline must stay ONE fused lazy plan with a bounded
+    shuffle budget: small sides broadcast (dedup keep-list, benchmark
+    shingles, contamination ids), and at most 8 hash-partitioning exchanges
+    (dedup groupBy, shingle dedups, contamination join, shard window) — an
+    accidental materialization or a lost broadcast shows up as extra
+    exchanges here before it shows up as a 100 TB regression."""
+    import gmall_spark.extras.queries  # noqa: F401 — registers extras entries
+
+    from gmall_spark.queries import QUERIES as Q
+
+    df = Q["pipeline_end_to_end"](spark, sf_dir)
+    tree = df._jdf.queryExecution().executedPlan().toString()
+    assert tree.count("Exchange hashpartitioning") <= 8, tree
+    assert tree.count("Exchange RoundRobinPartitioning") <= 2, tree
+    assert tree.count("BroadcastHashJoin") >= 2, tree
+    assert "CartesianProduct" not in tree
