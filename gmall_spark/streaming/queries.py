@@ -35,6 +35,7 @@ from gmall_spark.streaming.stateful import (
     detect_bounce_stream,
     ewma_stream,
     fix_is_new_stream,
+    gapfill_stream,
 )
 
 _DUCK_FMT = "%Y-%m-%d %H:%M:%S"
@@ -137,6 +138,51 @@ def streaming_ewma_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch that is exactly one row per user, bit-identical to the batch fold
     (see ewma_stream on why the fp order is pinned)."""
     return run_to_memory(ewma_stream(stream_events(spark, sf_dir)), _name("s_ewma"))
+
+
+@register(
+    "streaming_gapfill",
+    f"""
+    WITH wm AS {_WM_MS},
+    agg AS (
+      SELECT event_type, (epoch_us(ts) // 1000) // 3600000 * 3600000 AS bms,
+             CAST(count(*) AS BIGINT) AS ct
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (SELECT event_type, min(bms) AS b0 FROM agg GROUP BY 1),
+    lc AS (SELECT (wm_ms - 3600000) // 3600000 * 3600000 AS last_closed FROM wm),
+    grid AS (
+      SELECT b.event_type, u.bms
+      FROM bounds b, lc, UNNEST(range(b.b0, lc.last_closed + 1, 3600000)) AS u(bms)
+    ),
+    filled AS (
+      SELECT g.event_type, g.bms, a.ct,
+             coalesce(a.ct, last_value(a.ct IGNORE NULLS) OVER (
+               PARTITION BY g.event_type ORDER BY g.bms
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS f
+      FROM grid g LEFT JOIN agg a USING (event_type, bms)
+    )
+    SELECT event_type,
+           strftime(make_timestamp(bms * 1000), '{_DUCK_FMT}') AS bucket_hour,
+           CAST(f AS BIGINT) AS filled_ct,
+           ct IS NULL AS is_gap
+    FROM filled
+    """,
+)
+def streaming_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timer-driven gap-fill + LOCF from keyed state — rows are SYNTHESIZED
+    for empty buckets as the watermark closes them (see gapfill_stream for
+    the operator design; no Spark built-in can emit a row where none
+    arrived). Emission closure replayed by the oracle: per key, every
+    hourly bucket from its first observation through the last bucket whose
+    end lies at or below the final watermark."""
+    out = run_to_memory(gapfill_stream(stream_events(spark, sf_dir)), _name("s_gapfill"))
+    return out.select(
+        "event_type",
+        F.date_format("bucket", TS_FMT).alias("bucket_hour"),
+        "filled_ct",
+        "is_gap",
+    )
 
 
 @register(

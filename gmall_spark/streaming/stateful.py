@@ -237,6 +237,93 @@ def ewma_stream(events: DataFrame, key: str = "user_id", alpha: float = 0.5) -> 
     )
 
 
+def gapfill_stream(
+    events: DataFrame,
+    key: str = "event_type",
+    ts: str = "ts",
+    watermark: str = "2 seconds",
+) -> DataFrame:
+    """Streaming gap-fill + LOCF — the timer-driven twin of the batch
+    gapfill_locf entry, and the one operator here that EMITS SYNTHETIC ROWS:
+    hourly buckets with no data at all are materialized (with the last
+    observed count carried forward) as the watermark closes them. Flink
+    users build this with registerEventTimeTimer; Spark has no built-in, so
+    it is keyed state (pending bucket counts + emission cursor + LOCF carry)
+    plus an event-time timer that wakes the key when its next bucket can
+    close — including on batches where the key received NO data (the
+    heartbeat path a windowed agg cannot express, since windows only exist
+    where rows do).
+
+    Emission rule (deterministic, oracle-replayable): a bucket [b, b+1h)
+    emits in the first invocation whose watermark wm satisfies
+    b + 1h <= wm; the per-key grid runs from the key's first observed
+    bucket through the last closed bucket, is_gap marking synthesized rows.
+    State is the open-bucket tail plus two scalars — bounded by the key's
+    out-of-orderness, not its history."""
+
+    hour = 3_600_000
+    out_schema = f"{key} string, bucket timestamp, filled_ct long, is_gap boolean"
+    state_schema = "bms array<long>, cts array<long>, nxt long, carry long"
+
+    def fn(
+        key_tuple: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            bms, cts, nxt, carry = state.get
+            obs = dict(zip(list(bms), list(cts)))
+        else:
+            obs, nxt, carry = {}, None, None
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            # unit-agnostic epoch-ms (Arrow hands ns here, µs elsewhere)
+            ms = (pdf[ts] - pd.Timestamp(0)) // pd.Timedelta(milliseconds=1)
+            b = ms // hour * hour
+            for bm, c in b.value_counts().items():
+                obs[int(bm)] = obs.get(int(bm), 0) + int(c)
+        wm = state.getCurrentWatermarkMs()
+        rows = []
+        if obs and nxt is None:
+            nxt = min(obs)
+        if nxt is not None:
+            # belt: the watermark pre-filter already drops rows of closed
+            # buckets; never let one resurrect an emitted bucket
+            obs = {b: c for b, c in obs.items() if b >= nxt}
+        if nxt is not None and wm > 0:
+            last_closed = (wm - hour) // hour * hour
+            while nxt <= last_closed:
+                c = obs.pop(nxt, None)
+                if c is not None:
+                    carry = c
+                    rows.append((nxt, c, False))
+                else:
+                    rows.append((nxt, carry, True))
+                nxt += hour
+        if rows:
+            yield pd.DataFrame(
+                {
+                    key: key_tuple[0],
+                    "bucket": pd.to_datetime([r[0] for r in rows], unit="ms"),
+                    "filled_ct": [r[1] for r in rows],
+                    "is_gap": [r[2] for r in rows],
+                }
+            )
+        ks = sorted(obs)
+        state.update((ks, [obs[k] for k in ks], nxt, carry))
+        if obs:
+            # wake this key when its next pending bucket can close (strictly
+            # beyond the current watermark, as the API requires)
+            state.setTimeoutTimestamp(max(wm + 1, (min(obs) + hour)))
+
+    return (
+        events.withWatermark(ts, watermark)
+        .groupBy(key)
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+        )
+    )
+
+
 def fix_is_new_tws(events: DataFrame, key: str = "user_id") -> DataFrame:
     """ST1 on the Spark 4 transformWithStateInPandas API: the same seen-flag
     repair as fix_is_new_stream, but with typed per-key ValueState managed by

@@ -358,3 +358,42 @@ def test_ewma_stream_matches_batch_fold_bitwise(spark, chunked_events):
     got = rows_set(last, ["user_id", "n_events", "ewma"])
     want = rows_set(batch, ["user_id", "n_events", "ewma"])
     assert got == want
+
+
+def test_gapfill_stream_multibatch_matches_model(spark, chunked_events):
+    """4 advancing-watermark batches must produce exactly the buckets the
+    final watermark closes — gap rows synthesized for silent hours, counts
+    carried LOCF — with the pending-bucket state and the event-time timer
+    surviving every batch boundary."""
+    from gmall_spark.streaming.stateful import gapfill_stream
+
+    out = run_to_memory(
+        gapfill_stream(read_stream(spark, chunked_events)), "t_gapfill"
+    )
+    got = {
+        (r["event_type"], int(r["bucket"].timestamp() * 1000)): (
+            r["filled_ct"],
+            r["is_gap"],
+        )
+        for r in out.collect()
+    }
+
+    pdf = load_table(spark, SF, "events").select("event_type", "ts").toPandas()
+    hour = 3_600_000
+    ms = (pdf["ts"] - pd.Timestamp(0)) // pd.Timedelta(milliseconds=1)
+    pdf["bms"] = ms // hour * hour
+    wm = int(ms.max()) - 2000
+    last_closed = (wm - hour) // hour * hour
+    expect = {}
+    for et, g in pdf.groupby("event_type"):
+        counts = g.groupby("bms").size().to_dict()
+        carry = None
+        b = min(counts)
+        while b <= last_closed:
+            if b in counts:
+                carry = counts[b]
+                expect[(et, b)] = (carry, False)
+            else:
+                expect[(et, b)] = (carry, True)
+            b += hour
+    assert got == expect
