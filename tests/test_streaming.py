@@ -280,6 +280,9 @@ def test_drop_duplicates_within_watermark(spark, chunked_events):
 def test_fix_is_new_tws_matches_batch(spark, chunked_events):
     """The Spark 4 transformWithStateInPandas variant must agree with both
     the applyInPandasWithState version and the batch twin."""
+    from gmall_spark.compat import ensure_protobuf
+
+    ensure_protobuf()  # wires the vendored runtime; see compat.py
     pytest.importorskip("google.protobuf", reason="TWS state protocol needs protobuf")
     from gmall_spark.streaming.stateful import fix_is_new_tws
 
