@@ -141,6 +141,33 @@ def streaming_ewma_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_update_counts",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS ev_ct,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS val_sum
+    FROM events GROUP BY 1
+    """,
+)
+def streaming_update_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE output mode — the registry's one non-append mode: an
+    unwindowed global running aggregate can never close in append mode (no
+    watermark ever passes an unbounded group), so the reference's
+    forever-running totals map to update mode, which re-emits each key's
+    refreshed value every micro-batch it changes. With the source pinned to
+    one batch the sink holds exactly the final totals."""
+    ev = stream_events(spark, sf_dir)
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("ev_ct"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .cast("double")
+        .alias("val_sum"),
+    )
+    return run_to_memory(agg, _name("s_upd"), output_mode="update")
+
+
+@register(
     "streaming_gapfill",
     f"""
     WITH wm AS {_WM_MS},
