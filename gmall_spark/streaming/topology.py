@@ -53,7 +53,7 @@ def _dir(base: str, name: str) -> str:
 def warehouse_e2e(
     spark: SparkSession,
     sf_dir: str,
-    trigger_secs: float = 0.5,
+    trigger_secs: float = 0.3,
     timeout_secs: float = 600.0,
 ) -> DataFrame:
     """Run the four-query topology to quiescence; returns the DWS result:
@@ -161,7 +161,7 @@ def warehouse_e2e(
                 raise TimeoutError(
                     f"warehouse_e2e: topology not quiescent within {timeout_secs}s"
                 )
-            time.sleep(max(trigger_secs, 0.4))
+            time.sleep(max(trigger_secs, 0.25))
             progs = [q.lastProgress for q in queries]
             if all(p is not None and p["numInputRows"] == 0 for p in progs):
                 idle += 1
