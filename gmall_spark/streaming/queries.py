@@ -1109,6 +1109,69 @@ def streaming_outer_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "streaming_full_outer_join",
+    f"""
+    WITH wm AS (
+      SELECT least((SELECT epoch_us(max(ts)) FROM events WHERE event_type = 'view'),
+                   (SELECT epoch_us(max(ts)) FROM events WHERE event_type = 'purchase'))
+             // 1000 - 2000 AS wm_ms
+    ),
+    v AS (SELECT * FROM events WHERE event_type = 'view'),
+    p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+    matched AS (
+      SELECT v.event_id AS view_id, p.event_id AS purchase_id, v.user_id,
+             strftime(v.ts, '{_DUCK_FMT}') AS view_ts,
+             strftime(p.ts, '{_DUCK_FMT}') AS purchase_ts
+      FROM v JOIN p ON v.user_id = p.user_id
+       AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL '15 minutes'
+    ),
+    un_v AS (
+      SELECT v.event_id AS view_id, CAST(NULL AS BIGINT) AS purchase_id, v.user_id,
+             strftime(v.ts, '{_DUCK_FMT}') AS view_ts, CAST(NULL AS VARCHAR) AS purchase_ts
+      FROM v, wm
+      WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.user_id = v.user_id
+                        AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL '15 minutes')
+        AND wm.wm_ms > epoch_us(v.ts + INTERVAL '15 minutes') // 1000
+    ),
+    un_p AS (
+      -- a purchase can match any view with ts in [p.ts - 15min, p.ts]; the
+      -- last possible matching view has ts = p.ts, so the null side emits
+      -- once the watermark passes p.ts itself
+      SELECT CAST(NULL AS BIGINT) AS view_id, p.event_id AS purchase_id, p.user_id,
+             CAST(NULL AS VARCHAR) AS view_ts, strftime(p.ts, '{_DUCK_FMT}') AS purchase_ts
+      FROM p, wm
+      WHERE NOT EXISTS (SELECT 1 FROM v WHERE v.user_id = p.user_id
+                        AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL '15 minutes')
+        AND wm.wm_ms > epoch_us(p.ts) // 1000
+    )
+    SELECT * FROM matched UNION ALL SELECT * FROM un_v UNION ALL SELECT * FROM un_p
+    """,
+)
+def streaming_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER stream-stream interval join — completes the join-mode
+    matrix (inner: streaming_payment_wide; left outer:
+    streaming_outer_interval_join). Each side's null emission is gated by
+    its own eviction bound under the min-of-both-sides watermark: an
+    unmatched view waits past view_ts + 15min, an unmatched purchase only
+    past purchase_ts (the latest view that could match it carries its own
+    timestamp)."""
+    ev = stream_events(spark, sf_dir)
+    views = ev.filter(F.col("event_type") == "view")
+    buys = ev.filter(F.col("event_type") == "purchase")
+    j = interval_join_stream(
+        views, buys, "user_id", "ts", "ts", "0 minutes", "15 minutes",
+        how="full_outer",
+    ).select(
+        F.col("l.event_id").alias("view_id"),
+        F.col("r.event_id").alias("purchase_id"),
+        F.coalesce(F.col("l.user_id"), F.col("r.user_id")).alias("user_id"),
+        F.date_format(F.col("l.ts"), TS_FMT).alias("view_ts"),
+        F.date_format(F.col("r.ts"), TS_FMT).alias("purchase_ts"),
+    )
+    return run_to_memory(j, _name("s_fouter"))
+
+
+@register(
     "streaming_warehouse_e2e",
     f"""
     WITH wm AS {_WM_MS},
