@@ -3205,3 +3205,76 @@ def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pos_in_shard", F.row_number().over(w).cast("long"))
         .select("doc_id", "shard", "pos_in_shard", "n_tokens")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization — 64 float32 dims → 4 codes from per-subspace
+# 4-centroid codebooks (extras/similarity.py:pq_encode). The oracle replays
+# ALL FOUR independent k-means trainings (same deterministic recipe the IVF
+# oracle proved: lowest-id seeds, 2 rounds, argmin ties to the lower cell,
+# empty cells keep their stale centroid) and the final per-subspace
+# assignment, joined back into one code row per vector.
+# ---------------------------------------------------------------------------
+def _pq_sub(s: int, k: int = 4) -> str:
+    """Oracle CTE chain for subspace ``s`` (dims 16s+1 .. 16s+16)."""
+    lo = 16 * s + 1
+
+    def assign(cent: str, out: str) -> str:
+        return f"""
+{out}_{s} AS (
+  SELECT vec_id, sv, cell FROM (
+    SELECT n.vec_id, n.sv, c.cell,
+           row_number() OVER (
+             PARTITION BY n.vec_id
+             ORDER BY list_sum(list_transform(range(1, 17),
+                       i -> (n.sv[i] - c.c[i]) * (n.sv[i] - c.c[i]))) ASC,
+                      c.cell ASC) AS rn
+    FROM sub_{s} n, {cent}_{s} c
+  ) WHERE rn = 1
+)"""
+
+    def means(assign_cte: str, prev: str, out: str) -> str:
+        return f"""
+{out}_m_{s} AS (
+  SELECT a.cell, u.d, avg(a.sv[u.d]) AS m
+  FROM {assign_cte}_{s} a, (SELECT unnest(range(1, 17)) AS d) u
+  GROUP BY 1, 2
+),
+{out}_{s} AS (
+  SELECT p.cell, coalesce(l.c, p.c) AS c
+  FROM {prev}_{s} p
+  LEFT JOIN (SELECT cell, list(m ORDER BY d) AS c FROM {out}_m_{s} GROUP BY cell) l
+    ON p.cell = l.cell
+)"""
+
+    return f"""
+sub_{s} AS (
+  SELECT vec_id, (embedding::DOUBLE[])[{lo}:{lo + 15}] AS sv FROM embeddings
+),
+seed_{s} AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, sv AS c
+  FROM (SELECT vec_id, sv FROM sub_{s} ORDER BY vec_id LIMIT {k})
+),
+{assign("seed", "asg1")},
+{means("asg1", "seed", "cent1")},
+{assign("cent1", "asg2")},
+{means("asg2", "cent1", "cent2")},
+{assign("cent2", "asg3")}"""
+
+
+_PQ_ORACLE = f"""
+WITH {", ".join(_pq_sub(s) for s in range(4))}
+SELECT a0.vec_id,
+       CAST(a0.cell AS INT) AS code_0, CAST(a1.cell AS INT) AS code_1,
+       CAST(a2.cell AS INT) AS code_2, CAST(a3.cell AS INT) AS code_3
+FROM asg3_0 a0
+JOIN asg3_1 a1 ON a0.vec_id = a1.vec_id
+JOIN asg3_2 a2 ON a0.vec_id = a2.vec_id
+JOIN asg3_3 a3 ON a0.vec_id = a3.vec_id
+"""
+
+
+@register("embed_pq_encode", _PQ_ORACLE)
+def embed_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.pq_encode(emb, "vec_id", "embedding", m=4, k=4, iters=2)

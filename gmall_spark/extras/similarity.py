@@ -684,3 +684,55 @@ def hard_negative_knn(
         ),
         df,
     )
+
+
+def pq_encode(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int = 4,
+    k: int = 4,
+    iters: int = 2,
+    sub_dim: int = 16,
+) -> DataFrame:
+    """Product quantization — the embedding-compression step ANN systems run
+    before the index: split each D-dim vector into ``m`` contiguous
+    ``sub_dim``-wide subvectors, train an independent ``k``-centroid
+    codebook per subspace (the same deterministic Lloyd recipe as
+    kmeans_centroids: lowest-id seeds, fixed rounds, argmin ties to the
+    lower cell), and store each vector as m small codes — 64 float32 dims
+    become m log2(k)-bit codes, a 64x shrink at (m=4, k=4).
+
+    Scale shape: codebook training is m runs of the fsum-merged partial-sum
+    k-means (k·partitions tiny rows to the driver per round, never data);
+    encoding is ONE Arrow pass with all m codebooks broadcast — at 100 TB
+    the corpus is touched m times for training sums and once for encoding,
+    and nothing wider than (id, m codes) is ever shuffled."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    books = []
+    for s in range(m):
+        sub = df.select(id_col, F.slice(vec_col, s * sub_dim + 1, sub_dim).alias("sv"))
+        C = kmeans_centroids(sub, id_col, "sv", n_clusters=k, iters=iters)
+        books.append(C)
+    sc = df.sparkSession.sparkContext
+    bc = sc.broadcast(books)
+
+    out_schema = f"{id_col} long, " + ", ".join(f"code_{s} int" for s in range(m))
+
+    def encode(batches):
+        B = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            cols = {id_col: pdf[id_col]}
+            for s, C in enumerate(B):
+                sub = X[:, s * sub_dim : (s + 1) * sub_dim]
+                cols[f"code_{s}"] = _cell_dists(sub, C).argmin(axis=1).astype("int32")
+            yield pd.DataFrame(cols)
+
+    return df.select(id_col, vec_col).mapInPandas(encode, out_schema)
