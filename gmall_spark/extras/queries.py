@@ -3278,3 +3278,50 @@ JOIN asg3_3 a3 ON a0.vec_id = a3.vec_id
 def embed_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.pq_encode(emb, "vec_id", "embedding", m=4, k=4, iters=2)
+
+
+# ---------------------------------------------------------------------------
+# PQ-ADC approximate nearest neighbors — the compressed-domain scan the PQ
+# codes exist for (extras/similarity.py:pq_ann): the index side is 4 codes
+# per vector (broadcast under the same row guard as the float baseline but
+# 64x smaller), each query builds exact per-subspace lookup tables against
+# the trained codebooks, and every candidate costs 4 gathers + 4 adds. The
+# oracle replays the codebook training (the PQ chains), the code
+# assignment, the LUTs, and the s-ordered ADC sum; rank ties (frequent —
+# only 256 distinct code tuples exist) break to the lower neighbor id in
+# both engines.
+# ---------------------------------------------------------------------------
+_PQ_ANN_ORACLE = f"""
+WITH {", ".join(_pq_sub(s) for s in range(4))},
+codes AS (
+  SELECT a0.vec_id, a0.cell AS c0, a1.cell AS c1, a2.cell AS c2, a3.cell AS c3
+  FROM asg3_0 a0
+  JOIN asg3_1 a1 ON a0.vec_id = a1.vec_id
+  JOIN asg3_2 a2 ON a0.vec_id = a2.vec_id
+  JOIN asg3_3 a3 ON a0.vec_id = a3.vec_id
+),
+{", ".join(f'''lut_{s} AS (
+  SELECT n.vec_id, c.cell,
+         list_sum(list_transform(range(1, 17),
+                  i -> (n.sv[i] - c.c[i]) * (n.sv[i] - c.c[i]))) AS d
+  FROM sub_{s} n, cent2_{s} c
+)''' for s in range(4))}
+SELECT vec_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk FROM (
+  SELECT q.vec_id, t.vec_id AS neighbor_id,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY l0.d + l1.d + l2.d + l3.d ASC, t.vec_id ASC) AS rnk
+  FROM (SELECT vec_id FROM embeddings) q
+  JOIN codes t ON t.vec_id <> q.vec_id
+  JOIN lut_0 l0 ON l0.vec_id = q.vec_id AND l0.cell = t.c0
+  JOIN lut_1 l1 ON l1.vec_id = q.vec_id AND l1.cell = t.c1
+  JOIN lut_2 l2 ON l2.vec_id = q.vec_id AND l2.cell = t.c2
+  JOIN lut_3 l3 ON l3.vec_id = q.vec_id AND l3.cell = t.c3
+) WHERE rnk <= 5
+"""
+
+
+@register("embed_ann_pq", _PQ_ANN_ORACLE)
+def embed_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.pq_ann(emb, "vec_id", "embedding", k=5)

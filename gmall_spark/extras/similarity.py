@@ -736,3 +736,86 @@ def pq_encode(
             yield pd.DataFrame(cols)
 
     return df.select(id_col, vec_col).mapInPandas(encode, out_schema)
+
+
+def pq_ann(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    m: int = 4,
+    n_codes: int = 4,
+    iters: int = 2,
+    sub_dim: int = 16,
+) -> DataFrame:
+    """ADC (asymmetric distance) top-k over PQ codes — the compressed-domain
+    scan a PQ index exists for: the index side is reduced to m small codes
+    per vector (broadcast; the same _guarded_index contract and bound as the
+    float baseline, but m bytes/vector instead of 4·D — 64x more rows fit
+    under the same guard), each query builds its m×n_codes lookup table of
+    exact subspace distances, and every candidate's approximate distance is
+    m table gathers + adds, no float vector ever touched on the index side.
+
+    Determinism: the ADC sum accumulates subspaces s = 0..m-1 in order
+    (identical fp schedule to the oracle's s-ordered addition); rank ties
+    break to the lower neighbor id. Self-matches are excluded."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from gmall_spark.session import spread_to_parallelism
+
+    base = df.select(id_col, vec_col).persist()
+    base.count()
+    try:
+        books = []
+        for s in range(m):
+            sub = base.select(
+                id_col, F.slice(vec_col, s * sub_dim + 1, sub_dim).alias("sv")
+            )
+            books.append(kmeans_centroids(sub, id_col, "sv", n_clusters=n_codes, iters=iters))
+        codes_pdf = _guarded_index(
+            pq_encode(base, id_col, vec_col, m=m, k=n_codes, iters=iters),
+            [id_col] + [f"code_{s}" for s in range(m)],
+            "pq_ann",
+            "ivf_ann",
+        ).sort_values(id_col)
+        ids = codes_pdf[id_col].to_numpy()
+        codes = codes_pdf[[f"code_{s}" for s in range(m)]].to_numpy().astype("int64")
+        sc = df.sparkSession.sparkContext
+        bc = sc.broadcast((ids, codes, books))
+
+        out_schema = f"{id_col} long, neighbor_id long, rnk long"
+
+        def scan(batches):
+            ids_, codes_, books_ = bc.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+                qids = pdf[id_col].to_numpy()
+                # approx dist accumulated subspace-by-subspace (s ascending)
+                dist = np.zeros((len(X), len(ids_)))
+                for s in range(m):
+                    q = X[:, s * sub_dim : (s + 1) * sub_dim]
+                    lut = _cell_dists(q, books_[s])  # |Q| × n_codes, exact
+                    dist += lut[:, codes_[:, s]]
+                order = np.argsort(dist, axis=1, kind="stable")  # ties → lower id
+                rows = {id_col: [], "neighbor_id": [], "rnk": []}
+                for qi in range(len(X)):
+                    rnk = 0
+                    for j in order[qi]:
+                        if ids_[j] == qids[qi]:
+                            continue
+                        rnk += 1
+                        rows[id_col].append(qids[qi])
+                        rows["neighbor_id"].append(ids_[j])
+                        rows["rnk"].append(rnk)
+                        if rnk == k:
+                            break
+                yield pd.DataFrame(rows)
+
+        return spread_to_parallelism(base).mapInPandas(scan, out_schema)
+    finally:
+        base.unpersist()
