@@ -127,3 +127,28 @@ def test_lsh_near_dup_recall_vs_exact(spark):
     assert lsh_pairs <= exact_pairs  # no false positives
     if exact_pairs:
         assert len(lsh_pairs) / len(exact_pairs) > 0.3
+
+
+def test_pq_adc_recall_beats_random(spark):
+    """PQ-ADC at 8 bits/vector on ISOTROPIC random embeddings cannot match
+    float cosine (there is no cluster structure for the codebooks to
+    exploit) — the honest quality bar is a solid multiple of the random-
+    guess baseline (k/(n-1) ≈ 1%), which proves the codes carry signal and
+    the ADC scan ranks by it. Measured ~4.6% at sf0.01; floor set at 3x
+    random. Codes must also be a valid [0, n_codes) assignment for every
+    vector."""
+    emb = load_table(spark, SF, "embeddings")
+    exact = {
+        (r.vec_id, r.neighbor_id)
+        for r in similarity.brute_force_knn(emb, "vec_id", "embedding", k=5).collect()
+    }
+    pq = {
+        (r.vec_id, r.neighbor_id)
+        for r in similarity.pq_ann(emb, "vec_id", "embedding", k=5).collect()
+    }
+    n = emb.count()
+    random_recall = 5 / (n - 1)
+    assert len(pq & exact) / len(exact) > 3 * random_recall
+    codes = similarity.pq_encode(emb, "vec_id", "embedding").collect()
+    assert len(codes) == n
+    assert all(0 <= r[f"code_{s}"] < 4 for r in codes for s in range(4))
