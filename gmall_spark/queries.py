@@ -2629,3 +2629,67 @@ def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             ordered, F.lit(0.0), lambda acc, x: acc * F.lit(0.5) + x * F.lit(0.5)
         ).alias("ewma"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 point-in-time join — the query side of the scd2_dim pattern: each
+# fact row joins the dimension VERSION that was valid at its event time
+# (here: each lineitem to the customer's order-status version in force on
+# its ship date). Implemented as the version-window join (equi on the key +
+# [valid_from, valid_to) residual) — per-key fan-out is lines × versions of
+# ONE customer before the residual prunes it to exactly one, so the shuffle
+# is the co-partitioned custkey join, never a global range explosion.
+# Zero-width windows from same-day version ties match nothing, exactly as
+# the lead()-derived validity encodes; every line lands in precisely one
+# version (its ship date is >= its own order's valid_from).
+# ---------------------------------------------------------------------------
+@register(
+    "scd2_pit_join",
+    """
+    WITH v AS (
+      SELECT o_custkey AS custkey, o_orderstatus AS status, o_orderdate AS vf,
+             lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey) AS vt
+      FROM orders
+    ),
+    f AS (
+      SELECT o.o_custkey AS custkey, l.l_shipdate AS sd,
+             CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(4,2))) AS rev
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT v.status AS status_at_ship,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(CAST(sum(f.rev) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
+    FROM f JOIN v ON f.custkey = v.custkey
+     AND f.sd >= v.vf AND (v.vt IS NULL OR f.sd < v.vt)
+    GROUP BY 1
+    """,
+)
+def scd2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    v = o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderdate").alias("vf"),
+        F.lead("o_orderdate").over(w).alias("vt"),
+    )
+    f = l.join(o.select("o_orderkey", "o_custkey"), l.l_orderkey == o.o_orderkey).select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("l_shipdate").alias("sd"),
+        _revenue().alias("rev"),
+    )
+    joined = f.join(
+        v,
+        (f.custkey == v.custkey)
+        & (F.col("sd") >= F.col("vf"))
+        & (F.col("vt").isNull() | (F.col("sd") < F.col("vt"))),
+    )
+    return joined.groupBy(F.col("status").alias("status_at_ship")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum("rev").cast("decimal(18,4)").cast("double").alias("revenue"),
+    )
