@@ -332,3 +332,94 @@ def edge_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gmall_spark.session import unpersist_with
 
     return unpersist_with(edges.join(cn, ["a", "b"]).select("a", "b", "common_ct"), edges)
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (k=3, 4 pruning rounds) — the standard graph
+# summarization for "dense collaboration backbone": repeatedly drop nodes
+# with degree < k until stable. Rounds are CAPPED (like pagerank's unrolled
+# loop): extra rounds after convergence remove nothing, so a run that
+# stabilizes early equals the fixed-round oracle exactly; a graph that
+# needs more rounds gets the same round-4 cut in both engines. Per round:
+# one partial-agg degree shuffle + two semi-joins against the keep list
+# (broadcast-sized here — the keep list is nodes, not edges).
+# ---------------------------------------------------------------------------
+_KCORE_K = 3
+_KCORE_ROUNDS = 4
+
+
+def _kcore_oracle() -> str:
+    ctes = [
+        """edges0 AS (
+  SELECT DISTINCT a.l_suppkey AS a, b.l_suppkey AS b
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+  JOIN (SELECT o_orderkey FROM orders
+        WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1995-04-01') q
+    ON a.l_orderkey = q.o_orderkey
+)"""
+    ]
+    for r in range(_KCORE_ROUNDS):
+        ctes.append(
+            f"""deg{r} AS (
+  SELECT node, count(*) AS d FROM (
+    SELECT a AS node FROM edges{r} UNION ALL SELECT b AS node FROM edges{r}
+  ) GROUP BY 1
+),
+keep{r} AS (SELECT node FROM deg{r} WHERE d >= {_KCORE_K}),
+edges{r + 1} AS (
+  SELECT e.a, e.b FROM edges{r} e
+  JOIN keep{r} ka ON e.a = ka.node
+  JOIN keep{r} kb ON e.b = kb.node
+)"""
+        )
+    last = _KCORE_ROUNDS
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT node, CAST(count(*) AS BIGINT) AS core_degree FROM (
+  SELECT a AS node FROM edges{last} UNION ALL SELECT b AS node FROM edges{last}
+) GROUP BY 1"""
+    )
+
+
+@register("kcore_decompose", _kcore_oracle())
+def kcore_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1995-04-01")
+    ).select("o_orderkey")
+    lq = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+    )
+    a, b = lq.alias("a"), lq.alias("b")
+    edges = (
+        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+               & (F.col("a.l_suppkey") < F.col("b.l_suppkey")))
+        .select(F.col("a.l_suppkey").alias("a"), F.col("b.l_suppkey").alias("b"))
+        .distinct()
+    )
+    surv = edges
+    for _ in range(_KCORE_ROUNDS):
+        deg = (
+            surv.select(F.col("a").alias("node"))
+            .unionByName(surv.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= _KCORE_K).select("node")
+        # no broadcast hint: the keep list is node-sized — small enough for
+        # AQE to broadcast on its own here, but at billion-node scale the
+        # planner must be free to fall back to a shuffled semi-join
+        surv = (
+            surv.join(keep, surv.a == keep.node, "left_semi")
+            .join(keep, F.col("b") == keep.node, "left_semi")
+        )
+    return (
+        surv.select(F.col("a").alias("node"))
+        .unionByName(surv.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+    )
