@@ -2060,12 +2060,16 @@ def lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BLOOM_M = 65536  # bits; 1024 64-bit words
 
 
-def _bloom_pos_sql(salt: int) -> str:
-    s = f"md5('bloom{salt}:' || shingle)"
+def _bloom_pos_sql(salt: int, m: str = "m") -> str:
+    # 16-bit position = hex digits [4·salt+1 .. 4·salt+4] of ONE shared md5 —
+    # k positions from one digest instead of k digests per shingle; the
+    # slices are disjoint 16-bit views of the 128-bit digest, independent
+    # enough for a Bloom membership test.
     digit = "(strpos('0123456789abcdef', substr({m}, {p}, 1)) - 1)"
+    p0 = 4 * salt
     return (
-        f"({digit.format(m=s, p=1)} * 4096 + {digit.format(m=s, p=2)} * 256 + "
-        f"{digit.format(m=s, p=3)} * 16 + {digit.format(m=s, p=4)})"
+        f"({digit.format(m=m, p=p0 + 1)} * 4096 + {digit.format(m=m, p=p0 + 2)} * 256 + "
+        f"{digit.format(m=m, p=p0 + 3)} * 16 + {digit.format(m=m, p=p0 + 4)})"
     )
 
 
@@ -2077,16 +2081,23 @@ WITH sh AS (
          UNNEST(range(1, greatest(len(t) - 12, 1) + 1)) AS u(i)
   )
 ),
-bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 7 = 0),
+bench AS (
+  SELECT shingle, md5('bloom:' || shingle) AS m
+  FROM (SELECT DISTINCT shingle FROM sh WHERE doc_id % 7 = 0)
+),
 bbits AS (
   SELECT DISTINCT pos FROM (
     {' UNION ALL '.join(f"SELECT {_bloom_pos_sql(i)} AS pos FROM bench" for i in range(3))}
   )
 ),
+pm AS (
+  SELECT doc_id, shingle, md5('bloom:' || shingle) AS m
+  FROM sh WHERE doc_id % 7 <> 0
+),
 probe AS (
   {' UNION ALL '.join(
-    f"SELECT doc_id, shingle, {i} AS salt, {_bloom_pos_sql(i)} AS pos "
-    "FROM sh WHERE doc_id % 7 <> 0" for i in range(3)
+    f"SELECT doc_id, shingle, {i} AS salt, {_bloom_pos_sql(i)} AS pos FROM pm"
+    for i in range(3)
   )}
 ),
 bloom_pos AS (
@@ -2105,16 +2116,26 @@ FROM bloom_ct b LEFT JOIN exact_ct e ON b.doc_id = e.doc_id
 """
 
 
-def _bloom_pos_col(salt: int):
-    m = F.md5(F.concat(F.lit(f"bloom{salt}:"), F.col("shingle")))
-    return F.conv(F.substring(m, 1, 4), 16, 10).cast("long")
+def _bloom_pos_col(salt: int, m="m"):
+    # slice [4·salt+1, 4) of the shared digest — one md5 per shingle total,
+    # not one per (shingle, salt); mirrors _bloom_pos_sql exactly.
+    return F.conv(F.substring(F.col(m), 4 * salt + 1, 4), 16, 10).cast("long")
 
 
 @register("decontaminate_bloom", _DECON_BLOOM_ORACLE)
 def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_spark.session import unpersist_with
+
     docs = load_table(spark, sf_dir, "documents")
-    sh = dedup.shingle_set(docs, "doc_id", "text", k=13)
-    bench = sh.filter(F.col("doc_id") % 7 == 0).select("shingle").distinct()
+    # The shingle set feeds three consumers (bloom build, probe, exact
+    # verify); persisted so the tokenize→explode→distinct pass runs once.
+    sh = dedup.shingle_set(docs, "doc_id", "text", k=13).persist()
+    bench = (
+        sh.filter(F.col("doc_id") % 7 == 0)
+        .select("shingle")
+        .distinct()
+        .withColumn("m", F.md5(F.concat(F.lit("bloom:"), F.col("shingle"))))
+    )
 
     # build: benchmark shingles -> bit positions -> bit_or per 64-bit word.
     # The groupBy output is <= m/64 rows regardless of benchmark size; the
@@ -2137,7 +2158,11 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # probe: broadcast the 1-row mask (allowlisted scalar pattern); three
     # codegen'd bit tests — no shuffle, no join on the probe path
-    corpus = sh.filter(F.col("doc_id") % 7 != 0).crossJoin(F.broadcast(mask_df))
+    corpus = (
+        sh.filter(F.col("doc_id") % 7 != 0)
+        .withColumn("m", F.md5(F.concat(F.lit("bloom:"), F.col("shingle"))))
+        .crossJoin(F.broadcast(mask_df))
+    )
     for i in range(3):
         corpus = corpus.withColumn(f"pos{i}", _bloom_pos_col(i))
 
@@ -2150,15 +2175,16 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     bloom_pos = corpus.filter(hit(0) & hit(1) & hit(2)).select("doc_id", "shingle")
     bloom_ct = bloom_pos.groupBy("doc_id").agg(F.count(F.lit(1)).alias("bloom_hit_ct"))
     exact = (
-        bloom_pos.join(bench, "shingle")
+        bloom_pos.join(bench.select("shingle"), "shingle")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("exact_hit_ct"))
     )
-    return bloom_ct.join(exact, "doc_id", "left").select(
+    out = bloom_ct.join(exact, "doc_id", "left").select(
         "doc_id",
         F.col("bloom_hit_ct").cast("long"),
         F.coalesce("exact_hit_ct", F.lit(0)).cast("long").alias("exact_hit_ct"),
     )
+    return unpersist_with(out, sh)
 
 
 # ---------------------------------------------------------------------------

@@ -2149,18 +2149,42 @@ def copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     l = load_table(spark, sf_dir, "lineitem")
-    pp = l.select("l_orderkey", "l_partkey").distinct()
-    a, b = pp.alias("a"), pp.alias("b")
+    # Pair generation WITHOUT the pp-self-join: group each order into a
+    # sorted distinct basket (one shuffle on l_orderkey — collect_set is the
+    # per-order distinct, so no separate global DISTINCT pass), then emit the
+    # C(w,2) ordered pairs with array combinators inside codegen. The old
+    # self-join shape sort-merges the distinct set against itself — two extra
+    # shuffles of the full pp set at 100 TB for the same basket-bounded pair
+    # stream. Both baskets consumers below are the identical aggregate
+    # subplan, which Catalyst collapses into one exchange (ReusedExchange).
+    baskets = l.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
     pairs = (
-        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-               & (F.col("a.l_partkey") < F.col("b.l_partkey")))
-        .groupBy(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(parts, (x, i) -> "
+                    "transform(slice(parts, i + 2, size(parts)), "
+                    "y -> struct(x AS pa, y AS pb))))"
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
         .agg(F.count(F.lit(1)).alias("co_ct"))
     )
     sym = pairs.select(F.col("pa").alias("anchor"), F.col("pb").alias("rec"), "co_ct").unionByName(
         pairs.select(F.col("pb").alias("anchor"), F.col("pa").alias("rec"), "co_ct")
     )
-    ct = pp.groupBy(F.col("l_partkey").alias("rec")).agg(F.count(F.lit(1)).alias("ct"))
+    # orders-per-part: |parts| rows — catalog-sized, i.e. it GROWS with SF,
+    # so no hard broadcast hint here; AQE picks broadcast while it fits and
+    # falls back to a shuffle join on rec once the catalog outgrows the
+    # threshold at real scale.
+    ct = (
+        baskets.select(F.explode("parts").alias("rec"))
+        .groupBy("rec")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
     w = Window.partitionBy("anchor").orderBy(
         (F.col("co_ct").cast("double") / F.col("ct")).desc(), F.col("rec")
     )
