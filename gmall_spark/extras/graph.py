@@ -435,3 +435,112 @@ def kcore_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
     )
     return unpersist_with(out, surv)
+
+
+# ---------------------------------------------------------------------------
+# Label-propagation communities (LPA) — the near-linear community detector
+# (Raghavan et al. 2007) over the same customer↔supplier trade graph as
+# pagerank_trade: each round every node adopts the MODE of its neighbors'
+# labels (ties → smallest label), run for a fixed 3 synchronous rounds so
+# the oracle can replay the rounds as unrolled CTEs. Fully deterministic:
+# init label = node id, mode counts are integers, ties break on label. Each
+# node also casts ONE vote for its own current label (a self-loop on every
+# node): the standard inertia damping — without it, synchronous LPA on a
+# bipartite graph (exactly this shape) flips the two partitions' labels
+# every round and never settles.
+#
+# Scale shape per round: one equi-join of the persisted edge list against
+# the label table + one (node, label) count + one per-node top-1 window —
+# the same two-shuffle round as pagerank; synchronous LPA is the variant
+# that parallelizes (asynchronous LPA's sequential sweep does not shard).
+# Fixed round count, not convergence-polled: LPA oscillates on bipartite
+# graphs (exactly this shape), so production runs cap rounds anyway.
+# ---------------------------------------------------------------------------
+_LPA_ROUNDS = 3
+
+
+def _lpa_oracle() -> str:
+    head = """
+    WITH pairs AS (
+      SELECT DISTINCT o.o_custkey * 2 AS c_node, l.l_suppkey * 2 + 1 AS s_node
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ), edges AS (
+      SELECT c_node AS src, s_node AS dst FROM pairs
+      UNION ALL
+      SELECT s_node AS src, c_node AS dst FROM pairs
+    ), selfed AS (
+      SELECT src, dst FROM edges
+      UNION ALL
+      SELECT DISTINCT src, src FROM edges
+    ), r0 AS (
+      SELECT DISTINCT src AS node, src AS lab FROM edges
+    )"""
+    body = ""
+    for i in range(1, _LPA_ROUNDS + 1):
+        body += f""", nbr{i} AS (
+      SELECT e.dst AS node, w.lab, count(*) AS c
+      FROM selfed e JOIN r{i - 1} w ON e.src = w.node
+      GROUP BY 1, 2
+    ), pick{i} AS (
+      SELECT node, lab FROM (
+        SELECT node, lab,
+               row_number() OVER (PARTITION BY node ORDER BY c DESC, lab) AS rn
+        FROM nbr{i}
+      ) WHERE rn = 1
+    ), r{i} AS (
+      SELECT r.node, coalesce(p.lab, r.lab) AS lab
+      FROM r{i - 1} r LEFT JOIN pick{i} p ON r.node = p.node
+    )"""
+    return head + body + f"""
+    SELECT node, lab AS community,
+           CAST(count(*) OVER (PARTITION BY lab) AS BIGINT) AS community_size
+    FROM r{_LPA_ROUNDS}"""
+
+
+@register("label_communities", _lpa_oracle())
+def label_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("c_node"),
+            (F.col("l_suppkey") * 2 + 1).alias("s_node"),
+        )
+        .distinct()
+    )
+    sym = pairs.select(F.col("c_node").alias("src"), F.col("s_node").alias("dst")).unionByName(
+        pairs.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst"))
+    )
+    # self-loop per node = the one inertia vote (see module comment)
+    edges = sym.unionByName(
+        sym.select("src").distinct().select("src", F.col("src").alias("dst"))
+    ).persist()
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "lab", F.col("node")
+    )
+    top1 = Window.partitionBy("node").orderBy(F.col("c").desc(), F.col("lab"))
+    for _ in range(_LPA_ROUNDS):
+        nbr = (
+            edges.join(labels.select(F.col("node").alias("src"), "lab"), "src")
+            .groupBy(F.col("dst").alias("node"), "lab")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        pick = (
+            nbr.withColumn("rn", F.row_number().over(top1))
+            .filter(F.col("rn") == 1)
+            .select("node", F.col("lab").alias("new_lab"))
+        )
+        labels = labels.join(pick, "node", "left").select(
+            "node", F.coalesce("new_lab", "lab").alias("lab")
+        )
+    out = labels.select(
+        "node",
+        F.col("lab").alias("community"),
+        F.count(F.lit(1)).over(Window.partitionBy("lab")).cast("long").alias("community_size"),
+    )
+    from gmall_spark.session import unpersist_with
+
+    return unpersist_with(out, edges)

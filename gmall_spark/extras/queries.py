@@ -3351,3 +3351,364 @@ SELECT vec_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk FROM (
 def embed_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.pq_ann(emb, "vec_id", "embedding", k=5)
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values / bottom-k theta) distinct sketch — the OTHER classic
+# mergeable cardinality sketch next to hll_registers: keep the k smallest
+# distinct hash values; the k-th smallest estimates density. Two properties
+# make it the 100 TB tool: the sketch is exactly k rows per group no matter
+# the input (a bounded-state partial agg), and union across groups is just
+# "k smallest of the concatenated sketches" — shown here by merging the five
+# per-type sketches into the __ALL__ row WITHOUT touching raw data again.
+# Engine parity: the 60-bit hash is integer-exact; the estimator
+# (k-1)·2^60/h_k is (exact double)·(exact double)/(int64→double, an
+# IEEE-defined conversion) — one multiply + one divide in fixed order, so
+# both engines produce the identical double, and floor() of it the
+# identical BIGINT. Sketches smaller than k are exact by definition
+# (est = member count). exact_ct is the audit column (same role as
+# cms_heavy_hitters'): at 100 TB you'd drop it — it is the cost the sketch
+# avoids.
+# ---------------------------------------------------------------------------
+_KMV_K = 64
+
+_KMV_ORACLE = f"""
+WITH uh AS (
+  SELECT DISTINCT event_type,
+         {_hex_val_sql("md5('kmv:' || CAST(user_id AS VARCHAR))", 1, 15)} AS h
+  FROM events
+),
+kept AS (
+  SELECT event_type, h FROM (
+    SELECT event_type, h,
+           row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+    FROM uh
+  ) WHERE rn <= {_KMV_K}
+),
+merged AS (
+  SELECT '__ALL__' AS event_type, h FROM (
+    SELECT h, row_number() OVER (ORDER BY h) AS rn
+    FROM (SELECT DISTINCT h FROM kept)
+  ) WHERE rn <= {_KMV_K}
+),
+sk AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS sk_ct, max(h) AS kth_hash
+  FROM (SELECT * FROM kept UNION ALL SELECT * FROM merged)
+  GROUP BY 1
+),
+ex AS (
+  SELECT event_type, count(DISTINCT user_id) AS exact_ct FROM events GROUP BY 1
+  UNION ALL
+  SELECT '__ALL__', count(DISTINCT user_id) FROM events
+)
+SELECT s.event_type AS scope,
+       CAST(s.kth_hash AS BIGINT) AS kth_hash,
+       CAST(CASE WHEN s.sk_ct < {_KMV_K} THEN s.sk_ct
+                 ELSE floor((CAST({_KMV_K - 1} AS DOUBLE) * 1152921504606846976)
+                            / s.kth_hash)
+            END AS BIGINT) AS kmv_est,
+       CAST(e.exact_ct AS BIGINT) AS exact_ct
+FROM sk s JOIN ex e ON s.event_type = e.event_type
+"""
+
+
+@register("kmv_distinct", _KMV_ORACLE)
+def kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("kmv:"), F.col("user_id").cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    uh = ev.select("event_type", h.alias("h")).distinct()
+    kept = (
+        uh.withColumn(
+            "rn", F.row_number().over(Window.partitionBy("event_type").orderBy("h"))
+        )
+        .filter(F.col("rn") <= _KMV_K)
+        .drop("rn")
+    )
+    merged = (
+        kept.select("h")
+        .distinct()
+        .withColumn("rn", F.row_number().over(Window.orderBy("h")))
+        .filter(F.col("rn") <= _KMV_K)
+        .select(F.lit("__ALL__").alias("event_type"), "h")
+    )
+    sk = (
+        kept.unionByName(merged)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("sk_ct"), F.max("h").alias("kth_hash"))
+    )
+    ex = (
+        ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact_ct"))
+        .unionByName(
+            ev.agg(F.countDistinct("user_id").alias("exact_ct")).select(
+                F.lit("__ALL__").alias("event_type"), "exact_ct"
+            )
+        )
+    )
+    est = F.when(F.col("sk_ct") < _KMV_K, F.col("sk_ct")).otherwise(
+        F.floor(
+            (F.lit(float(_KMV_K - 1)) * F.lit(1152921504606846976.0))
+            / F.col("kth_hash")
+        )
+    )
+    return (
+        sk.join(ex, "event_type")
+        .select(
+            F.col("event_type").alias("scope"),
+            F.col("kth_hash").cast("long"),
+            est.cast("long").alias("kmv_est"),
+            F.col("exact_ct").cast("long"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# HLL union + estimate — completes hll_registers (which stops at the register
+# table) with the actual cardinality estimate AND the union step, all in
+# INTEGER arithmetic: the harmonic denominator Σ 2^(-rho) is scaled by 2^33
+# (every term 2^(33-rho) is then an exact BIGINT — registers never seen
+# contribute rho=0, i.e. 2^33 each), and alpha_m·m²·2^33 is the precomputed
+# integer constant A, so est = A DIV S never touches a float. The __ALL__
+# row max-merges the per-type registers — the mergeability that makes HLL
+# the distributed-distinct workhorse (partial agg on max, constant state).
+# No small-range linear-counting correction: it needs ln(); consumers that
+# want it have zero_regs in the output to apply their own.
+# ---------------------------------------------------------------------------
+_HLL_M = 256
+_HLL_A = 404351522913637  # round(0.7213/(1+1.079/256) * 256^2 * 2^33)
+
+_HLL_EST_ORACLE = f"""
+WITH h AS (
+  SELECT event_type,
+         {_hex_val_sql("md5('hll:' || CAST(user_id AS VARCHAR))", 1, 2)} AS reg,
+         {_hex_val_sql("md5('hll:' || CAST(user_id AS VARCHAR))", 3, 8)} AS v
+  FROM events
+),
+regs AS (
+  SELECT event_type, reg,
+         max(CASE WHEN v = 0 THEN 33 ELSE 32 - CAST(floor(log2(v)) AS INT) END) AS rho
+  FROM h GROUP BY 1, 2
+),
+allregs AS (
+  SELECT event_type, reg, rho FROM regs
+  UNION ALL
+  SELECT '__ALL__', reg, max(rho) FROM regs GROUP BY 2
+),
+s AS (
+  SELECT event_type,
+         CAST(sum(CAST(1 AS BIGINT) << (33 - rho)) AS BIGINT)
+           + ({_HLL_M} - count(*)) * (CAST(1 AS BIGINT) << 33) AS harm,
+         {_HLL_M} - count(*) AS zero_regs
+  FROM allregs GROUP BY 1
+)
+SELECT event_type AS scope,
+       CAST(harm AS BIGINT) AS harmonic_scaled,
+       CAST(zero_regs AS BIGINT) AS zero_regs,
+       CAST({_HLL_A} // harm AS BIGINT) AS hll_est
+FROM s
+"""
+
+
+@register("hll_union_estimate", _HLL_EST_ORACLE)
+def hll_union_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    m = F.md5(F.concat(F.lit("hll:"), F.col("user_id").cast("string")))
+    reg = F.conv(F.substring(m, 1, 2), 16, 10).cast("int")
+    v = F.conv(F.substring(m, 3, 8), 16, 10).cast("long")
+    rho = F.when(v == 0, F.lit(33)).otherwise(F.lit(32) - F.floor(F.log2(v)).cast("int"))
+    regs = (
+        ev.select("event_type", reg.alias("reg"), rho.alias("rho"))
+        .groupBy("event_type", "reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+    allregs = regs.unionByName(
+        regs.groupBy("reg")
+        .agg(F.max("rho").alias("rho"))
+        .select(F.lit("__ALL__").alias("event_type"), "reg", "rho")
+    )
+    s = allregs.groupBy("event_type").agg(
+        (
+            F.sum(F.expr("shiftleft(bigint(1), 33 - rho)"))
+            + (F.lit(_HLL_M) - F.count(F.lit(1))) * F.lit(1 << 33)
+        ).alias("harm"),
+        (F.lit(_HLL_M) - F.count(F.lit(1))).cast("long").alias("zero_regs"),
+    )
+    return s.select(
+        F.col("event_type").alias("scope"),
+        F.col("harm").cast("long").alias("harmonic_scaled"),
+        "zero_regs",
+        F.expr(f"{_HLL_A} div harm").cast("long").alias("hll_est"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hashed n-gram importance resampling — the DSIR-style data-selection step
+# (Xie et al. 2023, "Data Selection for Language Models via Importance
+# Resampling"): score every raw-pool document by how much its hashed-unigram
+# profile looks like the TARGET domain vs the raw pool, keep the top slice.
+# Target domain here = sources whose index ≡ 0 (mod 5); features = tokens
+# hashed into 4096 buckets (md5, 3 hex digits — the fixed-width trick that
+# makes vocabulary size irrelevant at 100 TB).
+#
+# Engine parity: DSIR's log-likelihood-ratio sum would put a transcendental
+# per token at the engine boundary, so the score is the sum-form likelihood
+# ratio — num = Σ_tok (ct_target(bucket)+1), den = Σ_tok (ct_raw(bucket)+1)
+# (add-one smoothing) — exact BIGINTs; the rank key is the single IEEE
+# division num/den (bm25_topk's trick). Same monotone "more target-typical
+# per token" ordering, zero float folds.
+#
+# Scale shape: two token passes (one to build the 4096-row bucket table, one
+# to score), the bucket table is CONSTANT-size so it hard-broadcasts at any
+# SF, and scoring is a partial-agg groupBy on doc_id. Top-100 via one
+# window over the scored docs (at 100 TB: total-order rank → range-partition
+# the score or threshold on a quantile instead).
+# ---------------------------------------------------------------------------
+_DSIR_BUCKETS = 4096
+_DSIR_TOP = 100
+
+_DSIR_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(substr(source, 4) AS INT) % 5 = 0 AS is_target,
+         {_hex_val_sql("md5('dsir:' || token)", 1, 3)} AS bucket
+  FROM (
+    SELECT doc_id, source, unnest(string_split(trim(text), ' ')) AS token
+    FROM documents
+  )
+  WHERE token <> ''
+),
+buckets AS (
+  SELECT bucket,
+         sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS ct_t,
+         sum(CASE WHEN is_target THEN 0 ELSE 1 END) AS ct_r
+  FROM toks GROUP BY 1
+),
+scored AS (
+  SELECT t.doc_id,
+         CAST(sum(b.ct_t + 1) AS BIGINT) AS num,
+         CAST(sum(b.ct_r + 1) AS BIGINT) AS den
+  FROM toks t JOIN buckets b ON t.bucket = b.bucket
+  WHERE NOT t.is_target
+  GROUP BY 1
+)
+SELECT doc_id, num, den, CAST(rnk AS BIGINT) AS rnk FROM (
+  SELECT doc_id, num, den,
+         row_number() OVER (ORDER BY CAST(num AS DOUBLE) / den DESC, doc_id) AS rnk
+  FROM scored
+) WHERE rnk <= {_DSIR_TOP}
+"""
+
+
+@register("importance_resample", _DSIR_ORACLE)
+def importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id",
+            (F.substring("source", 4, 10).cast("int") % 5 == 0).alias("is_target"),
+            F.explode(F.split(F.trim(F.col("text")), " ")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .withColumn(
+            "bucket",
+            F.conv(F.substring(F.md5(F.concat(F.lit("dsir:"), F.col("token"))), 1, 3), 16, 10)
+            .cast("int"),
+        )
+    )
+    buckets = toks.groupBy("bucket").agg(
+        F.sum(F.col("is_target").cast("long")).alias("ct_t"),
+        F.sum((~F.col("is_target")).cast("long")).alias("ct_r"),
+    )
+    # ≤4096 rows at ANY corpus size — the one broadcast in this file that is
+    # genuinely scale-invariant, so the hint is unconditional.
+    scored = (
+        toks.filter(~F.col("is_target"))
+        .join(F.broadcast(buckets), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("ct_t") + 1).alias("num"),
+            F.sum(F.col("ct_r") + 1).alias("den"),
+        )
+    )
+    w = Window.orderBy((F.col("num").cast("double") / F.col("den")).desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= _DSIR_TOP)
+        .select("doc_id", F.col("num").cast("long"), F.col("den").cast("long"), "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Winsorized robust statistics — the outlier-clipping pass run before any
+# mean/σ-based quality gate on raw telemetry: per event_type, find the exact
+# discrete p01/p99 elements and sum values clipped into [p01, p99].
+# Percentile ELEMENTS, not interpolations: the cut index is pure integer
+# arithmetic ((n+99)//100-th and ((99n+99)//100)-th rows of the (value,
+# event_id)-sorted order), so both engines pick the same physical row and no
+# arithmetic ever touches the percentile values. The clipped sum accumulates
+# DECIMAL(18,2) (exact, order-independent) and casts to DOUBLE once at the
+# edge. One sort-shuffle per group for the rank, one partial-agg pass for
+# the sums — n·log(n/p) per partition at scale, no driver involvement.
+# ---------------------------------------------------------------------------
+_WINSOR_ORACLE = """
+WITH ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+cuts AS (
+  SELECT event_type,
+         max(CASE WHEN rn = (n + 99) // 100 THEN value END) AS p01,
+         max(CASE WHEN rn = (99 * n + 99) // 100 THEN value END) AS p99
+  FROM ranked GROUP BY 1
+)
+SELECT e.event_type,
+       c.p01, c.p99,
+       CAST(sum(CAST(least(greatest(e.value, c.p01), c.p99) AS DECIMAL(18,2)))
+            AS DOUBLE) AS winsorized_sum,
+       CAST(sum(CASE WHEN e.value < c.p01 OR e.value > c.p99 THEN 1 ELSE 0 END)
+            AS BIGINT) AS clipped_ct
+FROM events e JOIN cuts c ON e.event_type = c.event_type
+GROUP BY 1, 2, 3
+"""
+
+
+@register("winsorize_stats", _WINSOR_ORACLE)
+def winsorize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    # cut indexes via expr-level integer DIV — no fractional drift
+    cuts = ranked.groupBy("event_type").agg(
+        F.max(F.when(F.col("rn") == F.expr("(n + 99) div 100"), F.col("value"))).alias("p01"),
+        F.max(F.when(F.col("rn") == F.expr("(99 * n + 99) div 100"), F.col("value"))).alias("p99"),
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("p01")), F.col("p99"))
+    return (
+        ev.join(cuts, "event_type")
+        .groupBy("event_type", "p01", "p99")
+        .agg(
+            F.sum(clipped.cast("decimal(18,2)")).cast("double").alias("winsorized_sum"),
+            F.sum(
+                ((F.col("value") < F.col("p01")) | (F.col("value") > F.col("p99"))).cast("long")
+            ).alias("clipped_ct"),
+        )
+        .select("event_type", "p01", "p99", "winsorized_sum", "clipped_ct")
+    )

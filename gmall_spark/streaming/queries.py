@@ -1292,3 +1292,65 @@ def streaming_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     return run_to_memory(out, _name("s_dq"))
+
+
+@register(
+    "streaming_decontaminate",
+    """
+    WITH sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id, array_to_string(t[i:i+12], ' ') AS shingle
+        FROM (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+             UNNEST(range(1, greatest(len(t) - 12, 1) + 1)) AS u(i)
+      )
+    ),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 7 = 0)
+    SELECT s.doc_id, CAST(count(*) AS BIGINT) AS hit_ct
+    FROM sh s JOIN bench b USING (shingle)
+    WHERE s.doc_id % 7 <> 0
+    GROUP BY 1
+    """,
+)
+def streaming_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming intake decontamination — the live twin of the batch
+    `decontaminate` gate: documents arrive as a stream, are shingled into
+    13-grams in-flight, and stream-static-JOINED against the benchmark
+    shingle index (built once, batch-side, from the held-out doc_id % 7 = 0
+    slice — in production: the eval-set index a pipeline keeps materialized).
+    Emits per arriving doc its contaminated-shingle count.
+
+    The join is the SHUFFLE stream-static shape, not a broadcast: a
+    benchmark n-gram index grows with the eval corpus and does not fit an
+    executor at 100 TB, so each micro-batch's shingles exchange-partition
+    onto the index's hash layout (stateless — no watermark, no state store;
+    every micro-batch re-reads the static side, which is how Spark gives the
+    index-refresh freshness the reference's dim-cache TTL approximates).
+    Stateless inner join + in-batch group count ⇒ the single-batch run
+    replays exactly in SQL."""
+    from gmall_spark.extras import dedup
+    from gmall_spark.sources import load_table
+    from gmall_spark.streaming.pipelines import stream_table
+
+    docs_static = load_table(spark, sf_dir, "documents")
+    bench = (
+        dedup.shingle_set(docs_static.filter(F.col("doc_id") % 7 == 0), "doc_id", "text", k=13)
+        .select("shingle")
+        .distinct()
+    )
+    stream = stream_table(
+        spark, sf_dir, "documents",
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).filter(F.col("doc_id") % 7 != 0)
+    # in-flight shingling of the stream side — the SAME column expressions as
+    # the batch gate (dedup._tokens/_shingles), applied to a streaming DF
+    sh = (
+        stream.select(
+            "doc_id",
+            F.explode(dedup._shingles(dedup._tokens("text"), 13)).alias("shingle"),
+        )
+        .distinct()
+        .join(bench, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("hit_ct"))
+    )
+    return run_to_memory(sh, _name("s_decon"), output_mode="complete")
