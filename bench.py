@@ -28,8 +28,22 @@ def main() -> None:
     spark = get_spark("gmall_spark_bench")
     queries = entrymod.queries()
 
-    # JVM/codegen warm-up on a trivial action so q1 isn't charged for it.
+    # Warm-up so q1 (alphabetically: ann_recall_audit) isn't charged for
+    # one-time engine costs: JVM/codegen, the parquet reader path, AND the
+    # Python/Arrow worker pool (first pandas_udf spawns the daemon +
+    # workers — ~10s on this box, none of it per-query work).
     spark.range(1000).count()
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _warm(s: pd.Series) -> pd.Series:
+        return s
+
+    spark.read.parquet(f"{sf_dir}/region.parquet").select(
+        _warm(F.monotonically_increasing_id())
+    ).count()
 
     timings: dict[str, float] = {}
     for name in sorted(queries):
