@@ -3712,3 +3712,113 @@ def winsorize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "p01", "p99", "winsorized_sum", "clipped_ct")
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility audit — the per-(source, lang) tokens-per-byte table a
+# data-budgeting pass runs before mixing corpora: a tokenizer that spends 3×
+# the tokens per byte on one language silently shrinks that language's
+# effective share of the training budget. Reuses token_count's tokenizers
+# (whitespace + word-regex + the chars/4 BPE estimate) aggregated per
+# (source, lang); integer sums only, fertility ratios left to one exact
+# IEEE division at the edge (chars per word-token ×1000, floored — integer
+# output, deterministic cross-engine). One scan, pure partial aggregation —
+# the cheapest audit in the file at any scale.
+# ---------------------------------------------------------------------------
+_FERTILITY_ORACLE = """
+SELECT source, lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(text)) AS BIGINT) AS chars_total,
+       CAST(sum(len(list_filter(string_split(trim(text), ' '), x -> x <> ''))) AS BIGINT) AS ws_tokens,
+       CAST(sum(len(regexp_extract_all(text, '[a-z]+'))) AS BIGINT) AS word_tokens,
+       CAST(floor(CAST(sum(len(text)) * 1000 AS DOUBLE)
+                  / nullif(sum(len(regexp_extract_all(text, '[a-z]+'))), 0)) AS BIGINT)
+         AS chars_per_word_token_x1000
+FROM documents
+GROUP BY 1, 2
+"""
+
+
+@register("token_fertility", _FERTILITY_ORACLE)
+def token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.size(F.filter(F.split(F.trim(F.col("text")), " "), lambda x: x != ""))
+    words = F.size(F.expr("regexp_extract_all(text, '[a-z]+', 0)"))
+    agg = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.length("text")).cast("long").alias("chars_total"),
+        F.sum(ws).cast("long").alias("ws_tokens"),
+        F.sum(words).cast("long").alias("word_tokens"),
+    )
+    return agg.select(
+        "source",
+        "lang",
+        "n_docs",
+        "chars_total",
+        "ws_tokens",
+        "word_tokens",
+        F.floor(
+            (F.col("chars_total") * 1000).cast("double")
+            / F.nullif(F.col("word_tokens"), F.lit(0))
+        )
+        .cast("long")
+        .alias("chars_per_word_token_x1000"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source duplication audit — "where do my duplicates come from": for
+# every duplicate-fingerprint group (25-token-prefix md5 — the chunk-level
+# fingerprint that catches template/boilerplate reuse, not just byte-equal
+# copies), count the duplicate PAIRS within each
+# source and across each source pair. The provenance question that decides
+# whether to drop a whole feed (mirrors of another crawl) vs merely dedup
+# inside it. Pair counts are combinatorial over the per-(hash, source)
+# membership counts — n_a·n_b across sources, C(n,2) within — so nothing
+# ever explodes to the pair level: one shuffle to (hash, source) counts
+# (bounded by |corpus|), a per-hash self-join bounded by sources-per-hash
+# (≤ |sources|, a constant), and a final rollup keyed on the source pair.
+# ---------------------------------------------------------------------------
+_CROSS_SOURCE_ORACLE = """
+WITH hs AS (
+  SELECT md5(array_to_string(string_split(trim(text), ' ')[1:25], ' ')) AS h,
+         source, count(*) AS n
+  FROM documents GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b, a.n * b.n AS pair_ct
+  FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+  UNION ALL
+  SELECT source, source, n * (n - 1) // 2 FROM hs WHERE n > 1
+)
+SELECT source_a, source_b, CAST(sum(pair_ct) AS BIGINT) AS dup_pair_ct
+FROM pairs GROUP BY 1, 2
+"""
+
+
+@register("dedup_cross_source", _CROSS_SOURCE_ORACLE)
+def dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    prefix_fp = F.md5(
+        F.concat_ws(" ", F.slice(F.split(F.trim(F.col("text")), " "), 1, 25))
+    )
+    hs = docs.groupBy(prefix_fp.alias("h"), "source").agg(F.count(F.lit(1)).alias("n"))
+    a, b = hs.alias("a"), hs.alias("b")
+    cross = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.source") < F.col("b.source")))
+        .select(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+            (F.col("a.n") * F.col("b.n")).alias("pair_ct"),
+        )
+    )
+    within = hs.filter(F.col("n") > 1).select(
+        F.col("source").alias("source_a"),
+        F.col("source").alias("source_b"),
+        F.expr("n * (n - 1) div 2").alias("pair_ct"),
+    )
+    return (
+        cross.unionByName(within)
+        .groupBy("source_a", "source_b")
+        .agg(F.sum("pair_ct").cast("long").alias("dup_pair_ct"))
+    )

@@ -150,3 +150,35 @@ def test_streaming_decontaminate_matches_batch_gate(spark, tmp_path):
     out = {r["doc_id"]: r["hit_ct"] for r in QUERIES["streaming_decontaminate"](spark, sf).collect()}
     assert 1 in out and out[1] >= 1
     assert 2 not in out
+
+
+def test_token_fertility_integer_ratios(spark, tmp_path):
+    """chars_per_word_token_x1000 is floor(chars*1000/word_tokens); a group
+    with zero word-regex tokens yields NULL, not an error."""
+    rows = [
+        (1, "abc def", "en", "srcA", 7),       # 7 chars, 2 word tokens
+        (2, "ghij kl", "en", "srcA", 7),       # 7 chars, 2 word tokens
+        (3, "123 456 789", "nb", "srcB", 11),  # no [a-z]+ tokens at all
+    ]
+    sf = _write_docs(tmp_path, rows)
+    out = {(r["source"], r["lang"]): r for r in QUERIES["token_fertility"](spark, sf).collect()}
+    a = out[("srcA", "en")]
+    assert (a["chars_total"], a["ws_tokens"], a["word_tokens"]) == (14, 4, 4)
+    assert a["chars_per_word_token_x1000"] == 14 * 1000 // 4
+    assert out[("srcB", "nb")]["chars_per_word_token_x1000"] is None
+
+
+def test_dedup_cross_source_pair_combinatorics(spark, tmp_path):
+    """2 copies in srcA + 3 in srcB of the same 25-token prefix: within-A
+    C(2,2)=1, within-B C(3,2)=3, across A×B 2·3=6. Source pair is ordered
+    (source_a < source_b) so the matrix has no mirror rows."""
+    text = " ".join(f"w{i}" for i in range(30))
+    rows = [(i, text + f" tail{i}", "en", "srcA", 99) for i in range(2)]
+    rows += [(10 + i, text + f" other{i}", "en", "srcB", 99) for i in range(3)]
+    rows += [(99, "totally different words here", "en", "srcC", 28)]
+    sf = _write_docs(tmp_path, rows)
+    out = {
+        (r["source_a"], r["source_b"]): r["dup_pair_ct"]
+        for r in QUERIES["dedup_cross_source"](spark, sf).collect()
+    }
+    assert out == {("srcA", "srcA"): 1, ("srcB", "srcB"): 3, ("srcA", "srcB"): 6}
