@@ -461,17 +461,21 @@ def connected_components(
     long-chain graphs use ``connected_components_star`` below — same
     per-round shuffle shape, O(log n) rounds on any topology.
     """
-    # persisted: every propagation round re-references the edge list — without
-    # this the (possibly expensive) upstream pair-generation DAG re-executes
-    # once per iteration
-    sym = (
+    from gmall_spark.session import iter_checkpoint
+
+    # checkpointed (lineage-truncated), not merely persisted: every round
+    # re-references the edge list (without materialization the possibly
+    # expensive upstream pair-generation DAG re-executes per iteration),
+    # and per-round persist alone leaves the LABEL plan round-N-deep —
+    # Catalyst re-analyzes the nested tree on every fixpoint action (see
+    # session.iter_checkpoint; same fix as kcore/star-CC).
+    sym = iter_checkpoint(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .persist()
     )
     labels = nodes.select(F.col(node_col).alias("node")).withColumn(
         "label", F.col("node")
-    ).persist()
+    )
     prev_sum = None
     for _ in range(max_iter):
         nbr = (
@@ -481,21 +485,18 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("bl").alias("nmin"))
         )
-        new_labels = (
+        labels = iter_checkpoint(
             labels.join(nbr, labels["node"] == nbr["a"], "left")
             .select(
                 "node",
                 F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias("label"),
             )
-            .persist()
         )
         # fixpoint via the monotone invariant: a label only ever decreases
         # (least of itself and the neighborhood min), so the label SUM is
         # strictly decreasing until convergence — one scalar agg per round
         # instead of a new-vs-old join
-        label_sum = new_labels.agg(F.sum("label")).collect()[0][0] or 0
-        labels.unpersist()
-        labels = new_labels
+        label_sum = labels.agg(F.sum("label")).collect()[0][0] or 0
         if label_sum == prev_sum:
             break
         prev_sum = label_sum

@@ -401,13 +401,15 @@ def kcore_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.l_suppkey").alias("a"), F.col("b.l_suppkey").alias("b"))
         .distinct()
     )
-    # Each round is persisted and MATERIALIZED before the next builds on it
-    # (connected_components discipline): the unrolled loop otherwise nests
-    # the quadratic pair-build once per round — 4 rounds recomputed the
-    # edge derivation 2^4-deep and cost 92s at sf0.1 vs ~3s persisted.
-    surv = edges.persist()
-    surv.count()
-    from gmall_spark.session import unpersist_with
+    # Each round is materialized AND lineage-truncated before the next
+    # builds on it (session.iter_checkpoint): per-round persist alone keeps
+    # the logical plan growing — Catalyst re-analyzes the nested tree per
+    # action and round 4 cost 15s against 0.6s truncated (42s → 7s total);
+    # without any materialization the quadratic pair-build itself nests
+    # 2^4-deep (92s at sf0.1).
+    from gmall_spark.session import iter_checkpoint
+
+    surv = iter_checkpoint(edges)
 
     for _ in range(_KCORE_ROUNDS):
         deg = (
@@ -420,21 +422,16 @@ def kcore_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         # no broadcast hint: the keep list is node-sized — small enough for
         # AQE to broadcast on its own here, but at billion-node scale the
         # planner must be free to fall back to a shuffled semi-join
-        nxt = (
+        surv = iter_checkpoint(
             surv.join(keep, surv.a == keep.node, "left_semi")
             .join(keep, F.col("b") == keep.node, "left_semi")
-            .persist()
         )
-        nxt.count()
-        surv.unpersist()
-        surv = nxt
-    out = (
+    return (
         surv.select(F.col("a").alias("node"))
         .unionByName(surv.select(F.col("b").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
     )
-    return unpersist_with(out, surv)
 
 
 # ---------------------------------------------------------------------------
@@ -515,32 +512,38 @@ def label_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst"))
     )
     # self-loop per node = the one inertia vote (see module comment)
-    edges = sym.unionByName(
-        sym.select("src").distinct().select("src", F.col("src").alias("dst"))
-    ).persist()
+    from gmall_spark.session import iter_checkpoint
+
+    edges = iter_checkpoint(
+        sym.unionByName(
+            sym.select("src").distinct().select("src", F.col("src").alias("dst"))
+        )
+    )
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "lab", F.col("node")
     )
-    top1 = Window.partitionBy("node").orderBy(F.col("c").desc(), F.col("lab"))
     for _ in range(_LPA_ROUNDS):
         nbr = (
             edges.join(labels.select(F.col("node").alias("src"), "lab"), "src")
             .groupBy(F.col("dst").alias("node"), "lab")
             .agg(F.count(F.lit(1)).alias("c"))
         )
-        pick = (
-            nbr.withColumn("rn", F.row_number().over(top1))
-            .filter(F.col("rn") == 1)
-            .select("node", F.col("lab").alias("new_lab"))
+        # mode-with-min-tiebreak as ONE hash aggregate: max of (count, -lab)
+        # orders by count desc then lab asc — replaces the per-node
+        # row_number window (a sort shuffle) with a partial-aggregable max
+        pick = nbr.groupBy("node").agg(
+            F.max(F.struct(F.col("c"), (-F.col("lab")).alias("nl"))).alias("m")
+        ).select("node", (-F.col("m.nl")).alias("new_lab"))
+        # truncate per round: the label relation is round-N-deep otherwise
+        # (see iter_checkpoint — Catalyst re-optimizes the nested tree per
+        # action and the final window pays for all three rounds at once)
+        labels = iter_checkpoint(
+            labels.join(pick, "node", "left").select(
+                "node", F.coalesce("new_lab", "lab").alias("lab")
+            )
         )
-        labels = labels.join(pick, "node", "left").select(
-            "node", F.coalesce("new_lab", "lab").alias("lab")
-        )
-    out = labels.select(
+    return labels.select(
         "node",
         F.col("lab").alias("community"),
         F.count(F.lit(1)).over(Window.partitionBy("lab")).cast("long").alias("community_size"),
     )
-    from gmall_spark.session import unpersist_with
-
-    return unpersist_with(out, edges)
