@@ -1354,3 +1354,57 @@ def streaming_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("hit_ct"))
     )
     return run_to_memory(sh, _name("s_decon"), output_mode="complete")
+
+
+from gmall_spark.extras.queries import _hex_val_sql
+
+
+@register(
+    "streaming_hll_windows",
+    f"""
+    WITH wm AS {_WM_MS},
+    h AS (
+      SELECT time_bucket(INTERVAL '10 minutes', ts) AS ws,
+             {_hex_val_sql("md5('hll:' || CAST(user_id AS VARCHAR))", 1, 2)} AS reg,
+             {_hex_val_sql("md5('hll:' || CAST(user_id AS VARCHAR))", 3, 8)} AS v
+      FROM events
+    ),
+    regs AS (
+      SELECT ws, reg,
+             max(CASE WHEN v = 0 THEN 33 ELSE 32 - CAST(floor(log2(v)) AS INT) END) AS rho
+      FROM h GROUP BY 1, 2
+    )
+    SELECT strftime(ws, '{_DUCK_FMT}') AS stt,
+           strftime(ws + INTERVAL '10 minutes', '{_DUCK_FMT}') AS edt,
+           CAST(reg AS INT) AS register, CAST(rho AS INT) AS max_rho
+    FROM regs, wm
+    WHERE epoch_us(ws + INTERVAL '10 minutes') // 1000 <= wm.wm_ms
+    """,
+)
+def streaming_hll_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HLL register sketch as a LIVE windowed aggregation — how
+    distinct-user counting actually ships at stream scale: per (window,
+    register) keep max(rho). The whole sketch is an ordinary watermarked
+    window agg (max is partial-aggregable, state = 256 small rows per open
+    window — CONSTANT per window, unlike windowed countDistinct whose state
+    is user-cardinality-sized: the reason HLL replaces exact distinct in
+    every streaming metrics pipeline). Each closed window's register row set
+    max-merges downstream exactly like hll_union_estimate's __ALL__ row —
+    windows→days→months without touching raw data again. Emission on
+    watermark closure; the oracle replays registers + closure filter."""
+    ev = stream_events(spark, sf_dir)
+    m = F.md5(F.concat(F.lit("hll:"), F.col("user_id").cast("string")))
+    reg = F.conv(F.substring(m, 1, 2), 16, 10).cast("int")
+    v = F.conv(F.substring(m, 3, 8), 16, 10).cast("long")
+    rho = F.when(v == 0, F.lit(33)).otherwise(F.lit(32) - F.floor(F.log2(v)).cast("int"))
+    keyed = ev.select("ts", reg.alias("register"), rho.alias("rho"))
+    out = (
+        keyed.withWatermark("ts", "2 seconds")
+        .groupBy(F.window("ts", "10 minutes").alias("w"), "register")
+        .agg(F.max("rho").cast("int").alias("max_rho"))
+    )
+    from gmall_spark.functions import window_bounds
+
+    stt, edt = window_bounds(F.col("w"))
+    res = out.withColumn("stt", stt).withColumn("edt", edt).drop("w")
+    return run_to_memory(res, _name("s_hll")).select("stt", "edt", "register", "max_rho")
