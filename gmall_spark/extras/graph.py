@@ -542,8 +542,11 @@ def label_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "node", F.coalesce("new_lab", "lab").alias("lab")
             )
         )
-    return labels.select(
-        "node",
-        F.col("lab").alias("community"),
-        F.count(F.lit(1)).over(Window.partitionBy("lab")).cast("long").alias("community_size"),
+    # community_size via groupBy-count + join, not a window partitioned on
+    # the label: LPA routinely produces one giant community, and a window
+    # would funnel that whole component through a single task (hot key);
+    # the count aggregates partially and AQE handles the skewed join side.
+    sizes = labels.groupBy("lab").agg(F.count(F.lit(1)).cast("long").alias("community_size"))
+    return labels.join(sizes, "lab").select(
+        "node", F.col("lab").alias("community"), "community_size"
     )

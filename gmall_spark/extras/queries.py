@@ -3423,8 +3423,22 @@ def kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         10,
     ).cast("long")
     uh = ev.select("event_type", h.alias("h")).distinct()
+    # Two-level bottom-k so no task ever sorts a whole group: level 1 takes
+    # each (type, h mod 32) salt-slice's k smallest (parallel, bounded k
+    # rows out per slice — every global bottom-k member is necessarily in
+    # its slice's bottom-k), level 2 ranks only the <=32k survivors per
+    # type. A single per-type window would funnel ALL distinct hashes of a
+    # type through one sort task — the skew that kills per-key top-k at
+    # 10^9 users.
+    w1 = Window.partitionBy("event_type", "salt").orderBy("h")
+    pre = (
+        uh.withColumn("salt", F.pmod(F.col("h"), F.lit(32)))
+        .withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= _KMV_K)
+        .drop("rn", "salt")
+    )
     kept = (
-        uh.withColumn(
+        pre.withColumn(
             "rn", F.row_number().over(Window.partitionBy("event_type").orderBy("h"))
         )
         .filter(F.col("rn") <= _KMV_K)
@@ -3638,9 +3652,21 @@ def importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("ct_r") + 1).alias("den"),
         )
     )
-    w = Window.orderBy((F.col("num").cast("double") / F.col("den")).desc(), F.col("doc_id"))
+    # Two-level global top-N (same discipline as kmv_distinct's bottom-k):
+    # per-salt top-N first — every global top-N doc is in its salt slice's
+    # top-N — so the final single-partition rank only sees 32·N survivors,
+    # never the whole scored corpus.
+    key = F.col("num").cast("double") / F.col("den")
+    w1 = Window.partitionBy("salt").orderBy(key.desc(), F.col("doc_id"))
+    pre = (
+        scored.withColumn("salt", F.pmod(F.col("doc_id"), F.lit(32)))
+        .withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= _DSIR_TOP)
+        .drop("rn", "salt")
+    )
+    w2 = Window.orderBy(key.desc(), F.col("doc_id"))
     return (
-        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        pre.withColumn("rnk", F.row_number().over(w2).cast("long"))
         .filter(F.col("rnk") <= _DSIR_TOP)
         .select("doc_id", F.col("num").cast("long"), F.col("den").cast("long"), "rnk")
     )
