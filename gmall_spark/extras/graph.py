@@ -508,20 +508,23 @@ def label_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    sym = pairs.select(F.col("c_node").alias("src"), F.col("s_node").alias("dst")).unionByName(
-        pairs.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst"))
-    )
-    # self-loop per node = the one inertia vote (see module comment)
     from gmall_spark.session import iter_checkpoint
 
-    edges = iter_checkpoint(
-        sym.unionByName(
-            sym.select("src").distinct().select("src", F.col("src").alias("dst"))
-        )
+    # Staged materialization (not one composite plan): the fused
+    # join→distinct→union→distinct job ran all its hash aggregates
+    # concurrently and hit AGGREGATE_OUT_OF_MEMORY at sf10 (59M distinct
+    # pairs on this box); checkpointing the pair set first gives each agg
+    # its own job — the same staging pagerank uses, which scales cleanly.
+    pd = iter_checkpoint(pairs)
+    sym = pd.select(F.col("c_node").alias("src"), F.col("s_node").alias("dst")).unionByName(
+        pd.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst"))
     )
-    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
-        "lab", F.col("node")
-    )
+    nodes = iter_checkpoint(sym.select("src").distinct())
+    # self-loop per node (the one inertia vote, see module comment) from the
+    # node list; sym itself is a narrow union over the checkpointed pairs —
+    # no further materialization needed
+    edges = sym.unionByName(nodes.select("src", F.col("src").alias("dst")))
+    labels = nodes.select(F.col("src").alias("node")).withColumn("lab", F.col("node"))
     for _ in range(_LPA_ROUNDS):
         nbr = (
             edges.join(labels.select(F.col("node").alias("src"), "lab"), "src")
