@@ -33,14 +33,12 @@ def main() -> None:
     # Python/Arrow worker pool (first pandas_udf spawns the daemon +
     # workers — ~10s on this box, none of it per-query work).
     spark.range(1000).count()
-    import pandas as pd
     from pyspark.sql import functions as F
     from pyspark.sql.functions import pandas_udf
 
-    @pandas_udf("long")
-    def _warm(s: pd.Series) -> pd.Series:
-        return s
-
+    # lambda form: `from __future__ import annotations` stringifies type
+    # hints, which pandas_udf's hint inference cannot resolve here
+    _warm = pandas_udf(lambda s: s, "long")
     spark.read.parquet(f"{sf_dir}/region.parquet").select(
         _warm(F.monotonically_increasing_id())
     ).count()
