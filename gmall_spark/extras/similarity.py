@@ -10,6 +10,13 @@
 - ivf_ann: k-means cells + nprobe — the other classic ANN scale path. The
   centroid model trains in fsum-merged partial-sum passes, assignment and
   probing are one broadcast-argmin pass, verify is per-cell BLAS.
+
+Both ANN paths take their density (LSH signature width / IVF cell count) as
+"auto": sized from the corpus count so bucket/cell population — and hence
+the O(b²) per-bucket verify cost — stays ~constant as the corpus grows.
+That is the 100 TB default; the registry pins small ints only so the DuckDB
+oracle replays bit-identically at sf0.01 (the sf10 probe in BASELINE.md
+measured the difference: 13×/26× on the same 200k vectors).
 """
 
 from __future__ import annotations
@@ -222,6 +229,44 @@ def cosine_near_dup(
     )
 
 
+def auto_lsh_bits(n_rows: int, target_bucket: int = 256) -> int:
+    """Signature width that keeps the EXPECTED bucket population near
+    target_bucket: n/2^bits ≈ target ⇒ bits = ceil(log2(n/target)), floored
+    at 4 (below that buckets stop discriminating) and capped at 24 (beyond
+    ~16M buckets the shuffle keys outnumber any real corpus's value).
+
+    This is the density knob the sf10 probe measured: the same 200k-vector
+    corpus runs 13× faster at the auto width than at a width tuned for 2k
+    vectors — bucket kernels are O(b²), so holding b constant as n grows is
+    what keeps the path linear."""
+    import math
+
+    if n_rows <= target_bucket:
+        return 4
+    return max(4, min(24, math.ceil(math.log2(n_rows / target_bucket))))
+
+
+def auto_ivf_cells(n_rows: int, target_cell: int = 1024) -> int:
+    """Cell count that keeps the EXPECTED cell population near target_cell.
+    Floor 16 (the oracle-pinned small-corpus density), cap 65536 — the
+    centroid model is broadcast to every executor and the driver merges
+    cells×dims partial sums per iteration, so the cap bounds both at a few
+    tens of MB. Past ~65M vectors per index, shard the corpus and run one
+    IVF per shard (the standard composite-index move)."""
+    import math
+
+    return max(16, min(65536, math.ceil(n_rows / target_cell)))
+
+
+def _resolve_density(df: DataFrame, value, resolver):
+    """Turn the literal "auto" into a concrete density via ONE count job on
+    the id projection (metadata-fast on parquet sources). Pinned ints pass
+    through untouched so oracle-replayable callers stay bit-identical."""
+    if value == "auto":
+        return resolver(df.count())
+    return value
+
+
 def _hyperplanes(n_tables: int, n_bits: int, dims: int):
     """The deterministic ±1 hyperplane tensor, generated from md5 parity —
     md5(f"h{table}:{bit},{dim}") first hex digit >= 8 → +1 — so an
@@ -361,7 +406,7 @@ def lsh_ann(
     df: DataFrame,
     id_col: str,
     vec_col: str,
-    n_bits: int = 6,
+    n_bits: int | str = 6,
     n_tables: int = 12,
     k: int = 5,
 ) -> DataFrame:
@@ -376,7 +421,11 @@ def lsh_ann(
     and a tiny window merges local top-ks into the global rank. At 100 TB the
     bucket shuffle partitions on (table, sig); a hot bucket's O(b²) kernel
     cost is LSH's inherent candidate blowup — widen n_bits to split buckets
-    rather than fight the kernel."""
+    rather than fight the kernel. n_bits="auto" does exactly that: it sizes
+    the signature from the corpus count (auto_lsh_bits) so bucket population
+    stays ~constant as the corpus grows — the scale default; registry
+    entries pin an int only so the DuckDB oracle replays bit-identically."""
+    n_bits = _resolve_density(df, n_bits, auto_lsh_bits)
     sigs = signatures(df, id_col, vec_col, n_bits, n_tables, with_vec=True)
     local = sigs.groupBy("table", "sig").applyInPandas(
         _bucket_topk_kernel(id_col, k, pair_space=True),
@@ -386,10 +435,20 @@ def lsh_ann(
 
 
 def _cell_dists(X, C, block: int = 1024):
-    """Blocked squared-L2 distances (rows × cells) — bounds the X×k×D
-    temporary at block×k×D."""
+    """Blocked squared-L2 distances (rows × cells).
+
+    ≤64 cells: direct (x−c)² broadcasting, temporary bounded at block×k×D.
+    This is the branch every oracle-pinned density uses — its float behavior
+    is frozen (the DuckDB oracles replay it term-by-term).
+    >64 cells (the auto-density regime): the ‖x‖²−2x·C+‖C‖² expansion — the
+    direct temporary would be block×k×D floats (≈1 GB at 2k cells) while the
+    expansion is one BLAS matmul. Last-ulp differences vs the direct form
+    only ever land in auto paths, which carry no bit-exact oracle."""
     import numpy as np
 
+    if len(C) > 64:
+        d = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + (C * C).sum(axis=1)[None, :]
+        return np.maximum(d, 0.0, out=d)
     out = np.empty((len(X), len(C)))
     for s in range(0, len(X), block):
         out[s : s + block] = ((X[s : s + block, None, :] - C[None, :, :]) ** 2).sum(axis=2)
@@ -397,7 +456,7 @@ def _cell_dists(X, C, block: int = 1024):
 
 
 def kmeans_centroids(
-    df: DataFrame, id_col: str, vec_col: str, n_clusters: int = 16, iters: int = 2
+    df: DataFrame, id_col: str, vec_col: str, n_clusters: int | str = 16, iters: int = 2
 ):
     """Deterministic Lloyd training: seeds = vectors of the n_clusters lowest
     ids, fixed iteration count, argmin ties to the lower cell, empty cells
@@ -417,6 +476,7 @@ def kmeans_centroids(
     import numpy as np
     import pandas as pd
 
+    n_clusters = _resolve_density(df, n_clusters, auto_ivf_cells)
     base = df.select(id_col, vec_col)
     seed_pdf = base.orderBy(id_col).limit(n_clusters).toPandas()
     if not len(seed_pdf):
@@ -461,7 +521,7 @@ def kmeans_centroids(
 
 
 def ivf_index(
-    df: DataFrame, id_col: str, vec_col: str, n_clusters: int = 16, iters: int = 2
+    df: DataFrame, id_col: str, vec_col: str, n_clusters: int | str = 16, iters: int = 2
 ) -> DataFrame:
     """IVF (inverted-file) index: k-means-quantize vectors into n_clusters
     cells; ANN then probes only a few cells. Returns (id, cell) — one
@@ -492,7 +552,7 @@ def ivf_ann(
     id_col: str,
     vec_col: str,
     k: int = 5,
-    n_clusters: int = 16,
+    n_clusters: int | str = 16,
     nprobe: int = 4,
 ) -> DataFrame:
     """Approximate top-k cosine via IVF: candidates come from the query's
@@ -505,7 +565,10 @@ def ivf_ann(
     vector's cell AND its nprobe nearest cells, one shuffle groups member
     rows + probe rows by cell, and a per-cell BLAS kernel verifies and emits
     local top-ks that a tiny window merges into the global rank. Cells
-    partition the corpus, so no pair dedup is needed."""
+    partition the corpus, so no pair dedup is needed. n_clusters="auto"
+    sizes the cell grid from the corpus count (auto_ivf_cells) so per-cell
+    verify cost stays ~constant as the corpus grows — the scale default;
+    registry entries pin an int only for oracle determinism."""
     import numpy as np
     import pandas as pd
 
@@ -559,7 +622,7 @@ def cosine_near_dup_lsh(
     vec_col: str,
     label_col: str,
     threshold: float = 0.4,
-    n_bits: int = 6,
+    n_bits: int | str = 6,
     n_tables: int = 12,
 ) -> DataFrame:
     """The 100 TB path for embedding near-dup pairs: candidates from shared
@@ -568,10 +631,12 @@ def cosine_near_dup_lsh(
     pair is missed only if it collides in none of the L tables (recall is
     tuned by n_bits/n_tables and asserted vs the exact kernel in tests).
     Output: (vec_a, vec_b, same_label), a < b — the same contract as
-    cosine_near_dup, which stays the guarded small-corpus baseline."""
+    cosine_near_dup, which stays the guarded small-corpus baseline.
+    n_bits="auto" sizes buckets from the corpus count (auto_lsh_bits)."""
     import numpy as np
     import pandas as pd
 
+    n_bits = _resolve_density(df, n_bits, auto_lsh_bits)
     sigs = signatures(df, id_col, vec_col, n_bits, n_tables, with_vec=True)
     empty = pd.DataFrame({"vec_a": [], "vec_b": []})
 

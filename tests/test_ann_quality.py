@@ -152,3 +152,51 @@ def test_pq_adc_recall_beats_random(spark):
     codes = similarity.pq_encode(emb, "vec_id", "embedding").collect()
     assert len(codes) == n
     assert all(0 <= r[f"code_{s}"] < 4 for r in codes for s in range(4))
+
+
+def test_auto_density_formulas():
+    """The auto knobs must hold bucket/cell population ~constant: width grows
+    with log2(n) for LSH, cell count linearly for IVF, both clamped to the
+    documented floors/caps."""
+    assert similarity.auto_lsh_bits(0) == 4
+    assert similarity.auto_lsh_bits(200) == 4  # <= target_bucket -> floor
+    assert similarity.auto_lsh_bits(200_000) == 10  # the sf10 probe regime
+    assert similarity.auto_lsh_bits(10**9) == 22
+    assert similarity.auto_lsh_bits(10**12) == 24  # cap
+    assert similarity.auto_ivf_cells(2_000) == 16  # floor == oracle-pinned
+    assert similarity.auto_ivf_cells(200_000) == 196
+    assert similarity.auto_ivf_cells(10**9) == 65536  # cap
+
+
+def test_auto_density_matches_pinned_at_small_n(spark):
+    """"auto" must be a pure parameter resolution: at a corpus size where the
+    formula lands on a concrete value, results are IDENTICAL to pinning that
+    value — same buckets, same kernels, same ranks."""
+    emb = load_table(spark, SF, "embeddings")
+    n = emb.count()
+    assert similarity.auto_lsh_bits(n) == 4
+    auto = similarity.lsh_ann(emb, "vec_id", "embedding", n_bits="auto", k=5)
+    pinned = similarity.lsh_ann(emb, "vec_id", "embedding", n_bits=4, k=5)
+    assert sorted(map(tuple, auto.collect())) == sorted(map(tuple, pinned.collect()))
+    assert similarity.auto_ivf_cells(n) == 16
+    auto_i = similarity.ivf_ann(emb, "vec_id", "embedding", k=5, n_clusters="auto")
+    pinned_i = similarity.ivf_ann(emb, "vec_id", "embedding", k=5, n_clusters=16)
+    assert sorted(map(tuple, auto_i.collect())) == sorted(map(tuple, pinned_i.collect()))
+
+
+def test_cell_dists_expansion_consistent():
+    """The >64-cell matmul expansion must agree with the frozen direct form
+    to float tolerance, and produce the same argmin assignment on
+    well-separated data (deterministic inputs, no RNG)."""
+    import numpy as np
+
+    # deterministic quasi-random matrix: sin of a lattice, scaled
+    X = np.sin(np.arange(500 * 8, dtype="float64").reshape(500, 8) * 0.7315) * 3.0
+    C_small = X[:50]  # direct branch
+    C_big = np.concatenate([X[:50]] * 2 + [X[50:75]])  # 125 cells -> matmul branch
+    d_small = similarity._cell_dists(X, C_small)
+    d_big = similarity._cell_dists(X, C_big)
+    assert d_big.shape == (500, 125)
+    # the first 50 columns of the big grid are the same centroids
+    assert np.allclose(d_small, d_big[:, :50], atol=1e-8)
+    assert (d_big >= 0).all()  # expansion is clamped, never tiny-negative
