@@ -2040,6 +2040,69 @@ def lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Naive-Bayes classifier filter — the MODEL-based quality gate (CCNet/GPT-3
+# shape) next to lm_score's perplexity gate. A 20% split (doc_id % 5 = 0)
+# trains multinomial token counts against a length-proxy label
+# (n_chars >= 300 — stands in for "wiki-like" reference pages); the held-out
+# 80% is scored by mean per-token posterior under equal priors. Laplace
+# likelihoods are IEEE divisions of exact integer counts and the per-doc sum
+# is an order-pinned fold, so the double output replays bit-identically in
+# DuckDB (same discipline as _LM_SCORE_ORACLE, see nb_posterior_scores).
+# ---------------------------------------------------------------------------
+_NB_FILTER_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, n_chars, list_filter(string_split(trim(text), ' '), x -> x <> '') AS t
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, n_chars, i AS pos, t[i] AS w
+  FROM toks, UNNEST(range(1, len(t) + 1)) AS u(i)
+),
+train AS (
+  SELECT w,
+         sum(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END) AS ct_hi,
+         sum(CASE WHEN n_chars >= 300 THEN 0 ELSE 1 END) AS ct_lo
+  FROM tok WHERE doc_id % 5 = 0 GROUP BY 1
+),
+tot AS (
+  SELECT sum(ct_hi) AS tok_hi, sum(ct_lo) AS tok_lo, count(*) AS vocab FROM train
+),
+ab AS (
+  SELECT t.doc_id, t.pos,
+         (coalesce(tr.ct_hi, 0) + 1) / CAST(tot.tok_hi + tot.vocab AS DOUBLE) AS a,
+         (coalesce(tr.ct_lo, 0) + 1) / CAST(tot.tok_lo + tot.vocab AS DOUBLE) AS b
+  FROM tok t LEFT JOIN train tr ON t.w = tr.w CROSS JOIN tot
+  WHERE t.doc_id % 5 <> 0
+),
+p AS (SELECT doc_id, pos, a / (a + b) AS p FROM ab),
+agg AS (
+  SELECT doc_id, count(*) AS n_toks,
+         list_reduce(list_prepend(0.0, list(p ORDER BY pos)), (acc, x) -> acc + x) AS s
+  FROM p GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(a.n_toks, 0) AS BIGINT) AS n_toks,
+       coalesce(a.s / a.n_toks, 0.0) AS nb_score,
+       coalesce(a.s / a.n_toks, 0.0) >= 0.5 AS keep
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+WHERE d.doc_id % 5 <> 0
+"""
+
+
+@register("nb_quality_filter", _NB_FILTER_ORACLE)
+def nb_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        (F.col("n_chars") >= 300).alias("hi"),
+        (F.col("doc_id") % 5 == 0).alias("is_train"),
+    )
+    return text.nb_posterior_scores(
+        docs, "doc_id", "text", label_col="hi", train_col="is_train"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Bloom-prefiltered n-gram decontamination — the scale path for the
 # decontaminate_ngrams shape. The benchmark's 13-gram set is folded into a
 # 65536-bit Bloom bitmap (k=3 md5-derived hashes); the build aggregates

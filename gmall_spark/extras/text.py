@@ -267,3 +267,96 @@ def bigram_lm_scores(
             (score >= F.lit(keep_threshold)).alias("keep"),
         )
     )
+
+
+def nb_posterior_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    label_col: str,
+    train_col: str,
+    keep_threshold: float = 0.5,
+) -> DataFrame:
+    """Model-based quality filtering (the CCNet/GPT-3 classifier-filter
+    shape): train a multinomial-Naive-Bayes token model on the labeled split
+    (``train_col`` true; boolean ``label_col`` = high quality) and score
+    every held-out document by its mean per-token class posterior
+    p(hi|w) = P(w|hi) / (P(w|hi) + P(w|lo)) under equal priors, keeping
+    docs whose mean posterior clears ``keep_threshold``.
+
+    Float parity, same discipline as bigram_lm_scores: Laplace-smoothed
+    likelihoods are single IEEE divisions of exact integer counts, the
+    posterior is one add + one divide of those, and the per-doc sum folds
+    left-to-right in position order via ``F.aggregate`` over a
+    position-sorted array (DuckDB replays with ``list_reduce(list(p ORDER
+    BY pos))``). A production variant would sum log-likelihoods; ``ln`` is
+    not bit-portable across engines, and the mean posterior ranks documents
+    identically for a thresholded filter (documented deviation).
+
+    Scale: the model is VOCAB-bounded, never corpus-bounded — one
+    partial-agg shuffle builds per-token class counts from the training
+    split, totals reduce to a 1-row broadcast scalar, the held-out token
+    stream left-joins the model keyed on token (broadcastable whenever the
+    training vocab fits, AQE's call), and one groupBy on the doc id folds
+    the scores. Unseen tokens take the smoothing-only posterior from the
+    same formula via coalesce-to-0, so no second code path exists.
+    """
+    tok = df.select(
+        id_col,
+        F.col(label_col).alias("_lab"),
+        F.col(train_col).alias("_train"),
+        F.posexplode(F.filter(_tokens(text_col), lambda x: x != "")).alias("pos", "w"),
+    )
+    model = (
+        tok.filter("_train")
+        .groupBy("w")
+        .agg(
+            F.sum(F.when(F.col("_lab"), 1).otherwise(0)).alias("ct_hi"),
+            F.sum(F.when(F.col("_lab"), 0).otherwise(1)).alias("ct_lo"),
+        )
+    )
+    totals = model.agg(
+        F.sum("ct_hi").alias("tok_hi"),
+        F.sum("ct_lo").alias("tok_lo"),
+        F.count(F.lit(1)).alias("vocab"),
+    )
+    scored = (
+        tok.filter(~F.col("_train"))
+        .join(model, "w", "left")
+        .crossJoin(F.broadcast(totals))  # 1-row scalar — the allowlisted pattern
+        .select(
+            id_col,
+            "pos",
+            (
+                (F.coalesce("ct_hi", F.lit(0)) + F.lit(1)).cast("double")
+                / (F.col("tok_hi") + F.col("vocab")).cast("double")
+            ).alias("a"),
+            (
+                (F.coalesce("ct_lo", F.lit(0)) + F.lit(1)).cast("double")
+                / (F.col("tok_lo") + F.col("vocab")).cast("double")
+            ).alias("b"),
+        )
+        .select(id_col, "pos", (F.col("a") / (F.col("a") + F.col("b"))).alias("p"))
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_toks"),
+        F.aggregate(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "p"))), lambda x: x["p"]
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("s"),
+    )
+    score = F.coalesce(F.col("s") / F.col("n_toks"), F.lit(0.0))
+    return (
+        df.filter(~F.col(train_col))
+        .select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_toks", F.lit(0)).cast("long").alias("n_toks"),
+            score.alias("nb_score"),
+            (score >= F.lit(keep_threshold)).alias("keep"),
+        )
+    )

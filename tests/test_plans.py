@@ -231,6 +231,7 @@ _SCALAR_CROSS_OK = {
     "bm25_topk",          # cross join vs the 1-row corpus-scalar aggregate
     "skew_report",        # cross join vs the 1-row key-total aggregate
     "gapfill_locf",       # cross join vs the 1-row global span (lo, hi) aggregate
+    "nb_quality_filter",  # cross join vs the 1-row token-total/vocab aggregate
 }
 
 
