@@ -90,6 +90,33 @@ def get_spark(app_name: str = "gmall_spark", master: str | None = None) -> Spark
     return spark
 
 
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def enable_rocksdb_state(spark: SparkSession, enabled: bool = True) -> None:
+    """Switch Structured Streaming state to the RocksDB provider (session
+    conf — applies to queries STARTED afterwards; running queries keep the
+    provider they started with, and a checkpoint is bound to its provider).
+
+    The default HDFS-backed provider holds every key of every partition's
+    state map in executor heap — fine for window aggregates, but a keyed
+    store over user-level state (unique-visit dedup, is_new repair) grows
+    with the KEY universe: at 100 TB that's billions of keys and the heap
+    map becomes the bottleneck long before CPU does (the sf10 probe's
+    4M-key run already shows it). RocksDB keeps state off-heap/on-disk with
+    changelog checkpointing, bounding heap by the block cache, not by key
+    count — the standard big-state deployment; flip it per job, not
+    per-operator."""
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        _ROCKSDB_PROVIDER
+        if enabled
+        else "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+    )
+
+
 # Bounded FIFO of persisted-intermediate groups ("scopes") registered by
 # builders whose lazy results still read the cache — see unpersist_with.
 _CACHE_SCOPES: list[tuple] = []

@@ -400,3 +400,43 @@ def test_gapfill_stream_multibatch_matches_model(spark, chunked_events):
                 expect[(et, b)] = (carry, True)
             b += hour
     assert got == expect
+
+
+def test_rocksdb_state_store_matches_default_provider(spark, chunked_events):
+    """The big-state deployment knob (session.enable_rocksdb_state) must be
+    pure mechanism: the SAME keyed-state pipelines produce the SAME rows
+    under RocksDB as under the default heap-map provider — covering both
+    state APIs we ship (applyInPandasWithState via fix_is_new_stream,
+    dropDuplicates-style keyed dedup via dedup_daily_stream)."""
+    from gmall_spark.session import enable_rocksdb_state
+
+    prior = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    enable_rocksdb_state(spark)
+    try:
+        got_isnew = run_to_memory(
+            fix_is_new_stream(read_stream(spark, chunked_events)), "t_isnew_rocks"
+        )
+        batch = first_touch(
+            load_table(spark, SF, "events"), "user_id", "ts", "event_id"
+        ).select("event_id", "user_id", F.col("is_first").alias("is_new"))
+        assert rows_set(got_isnew, ["event_id", "user_id", "is_new"]) == rows_set(
+            batch, ["event_id", "user_id", "is_new"]
+        )
+        got_uv = run_to_memory(
+            dedup_daily_stream(read_stream(spark, chunked_events)), "t_uv_rocks"
+        )
+        batch_uv = dedup_daily(
+            load_table(spark, SF, "events"), "user_id", "ts", "event_id"
+        ).select(
+            "user_id",
+            F.date_format("dt", "yyyy-MM-dd").alias("dt"),
+            F.col("event_id").alias("first_event_id"),
+        )
+        assert rows_set(got_uv, ["user_id", "dt", "first_event_id"]) == rows_set(
+            batch_uv, ["user_id", "dt", "first_event_id"]
+        )
+    finally:
+        if prior is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prior)
