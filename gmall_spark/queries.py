@@ -2717,3 +2717,133 @@ def scd2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_lines"),
         F.sum("rev").cast("decimal(18,4)").cast("double").alias("revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order data layout — the write-time clustering decision that data-skipping
+# lives or dies on at 100 TB. The reference never faces this (Flink streams;
+# its OLAP store ClickHouse orders by its primary key), but any Spark
+# warehouse must pick a sort order for its fact files, and min/max zone maps
+# (parquet row-group stats, Delta file stats) prune scans only if the layout
+# keeps each file's bounding box small in EVERY filtered dimension.
+#
+# This entry measures that, deterministically: quantize (ts, user_id) to 16
+# bits each, bit-interleave into a 32-bit Morton z-value, split the corpus
+# into 64 equal-row "files" under three layouts — z-order, linear (ts-sorted,
+# i.e. ingestion order), and scattered (hash order, the no-layout baseline) —
+# build each file's zone map, and count how many files a 2-D box predicate
+# (middle 20% band of both dimensions) would scan. All arithmetic is integer
+# (quantization by integer division, box bounds by cross-multiplication), so
+# the oracle replays the exact file assignment and the exact scan set; the
+# output is the skipping report a layout job would log: files scanned /
+# rows scanned / rows actually matched, per layout.
+#
+# Scale shape: quantization bounds are one 4-scalar aggregate (broadcast);
+# the z-value is a static 64-term bit expression (whole-stage codegen, no
+# UDF); the per-layout file split here uses ntile over a global sort — the
+# bench-measurable stand-in for the writer's repartitionByRange(z) + local
+# sort, which is the same one shuffle with planner-sampled range bounds
+# (sampled bounds are not oracle-replayable; equal-row ntile is).
+# ---------------------------------------------------------------------------
+def _zorder_sql(engine: str) -> str:
+    """One template, two engines: Spark SQL and DuckDB differ only in epoch
+    extraction, integer division, string cast, and bit-shift spelling."""
+    if engine == "spark":
+        epoch = "CAST(ts AS LONG)"
+        idiv = " div "
+        vchar = "STRING"
+
+        def shl(x: str, n: int) -> str:
+            return f"shiftleft({x}, {n})"
+
+        def shr(x: str, n: int) -> str:
+            return f"shiftright({x}, {n})"
+
+    else:
+        epoch = "CAST(floor(date_part('epoch', ts)) AS BIGINT)"
+        idiv = " // "
+        vchar = "VARCHAR"
+
+        def shl(x: str, n: int) -> str:
+            return f"({x} << {n})"
+
+        def shr(x: str, n: int) -> str:
+            return f"({x} >> {n})"
+
+    zterms = []
+    for k in range(16):
+        zterms.append(shl(f"({shr('tq', k)} & 1)", 2 * k + 1))
+        zterms.append(shl(f"({shr('uq', k)} & 1)", 2 * k))
+    zexpr = " + ".join(zterms)
+    return f"""
+    WITH base AS (
+      SELECT event_id, {epoch} AS te, user_id AS u FROM events
+    ),
+    b AS (
+      SELECT min(te) AS tmin, max(te) AS tmax, min(u) AS umin, max(u) AS umax
+      FROM base
+    ),
+    q AS (
+      SELECT event_id, te, u, tmin, tmax, umin, umax,
+             ((te - tmin) * 65535){idiv}(CASE WHEN tmax > tmin THEN tmax - tmin ELSE 1 END) AS tq,
+             ((u - umin) * 65535){idiv}(CASE WHEN umax > umin THEN umax - umin ELSE 1 END) AS uq
+      FROM base, b
+    ),
+    zb AS (
+      SELECT event_id, te, u, tmin, tmax, umin, umax,
+             {zexpr} AS zv,
+             md5(CAST(event_id AS {vchar})) AS hv,
+             CASE WHEN (te - tmin) * 5 >= (tmax - tmin) * 2
+                   AND (te - tmin) * 5 <  (tmax - tmin) * 3
+                   AND (u - umin) * 5 >= (umax - umin) * 2
+                   AND (u - umin) * 5 <  (umax - umin) * 3
+                  THEN 1 ELSE 0 END AS hit
+      FROM q
+    ),
+    lay AS (
+      SELECT 'zorder' AS layout, ntile(64) OVER (ORDER BY zv, event_id) AS chunk,
+             te, u, hit, tmin, tmax, umin, umax FROM zb
+      UNION ALL
+      SELECT 'linear_ts' AS layout, ntile(64) OVER (ORDER BY te, event_id) AS chunk,
+             te, u, hit, tmin, tmax, umin, umax FROM zb
+      UNION ALL
+      SELECT 'scattered' AS layout, ntile(64) OVER (ORDER BY hv, event_id) AS chunk,
+             te, u, hit, tmin, tmax, umin, umax FROM zb
+    ),
+    zones AS (
+      SELECT layout, chunk,
+             count(*) AS rows_in_chunk,
+             sum(hit) AS hits,
+             min(te) AS cte_min, max(te) AS cte_max,
+             min(u) AS cu_min, max(u) AS cu_max,
+             min(tmin) AS tmin, min(tmax) AS tmax,
+             min(umin) AS umin, min(umax) AS umax
+      FROM lay GROUP BY layout, chunk
+    ),
+    flagged AS (
+      SELECT layout, rows_in_chunk, hits,
+             CASE WHEN (cte_max - tmin) * 5 >= (tmax - tmin) * 2
+                   AND (cte_min - tmin) * 5 <  (tmax - tmin) * 3
+                   AND (cu_max - umin) * 5 >= (umax - umin) * 2
+                   AND (cu_min - umin) * 5 <  (umax - umin) * 3
+                  THEN 1 ELSE 0 END AS scanned
+      FROM zones
+    )
+    SELECT layout,
+           CAST(count(*) AS BIGINT) AS chunks_total,
+           CAST(sum(scanned) AS BIGINT) AS chunks_scanned,
+           CAST(sum(scanned * rows_in_chunk) AS BIGINT) AS rows_scanned,
+           CAST(sum(hits) AS BIGINT) AS rows_matched
+    FROM flagged
+    GROUP BY layout
+    """
+
+
+@register("zorder_skipping", _zorder_sql("duckdb"))
+def zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton-order layout vs linear vs scattered, scored by zone-map file
+    skipping on a 2-D box predicate (docstring block above; integer-exact)."""
+    from gmall_spark.sources import register_views
+
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_zorder_sql("spark"))

@@ -1,0 +1,124 @@
+"""Write-time z-order layout: the writer must produce files whose per-file
+min/max stats (what parquet row-group / Delta file skipping reads) are tight
+in EVERY clustered dimension — the property a linear sort cannot give.
+
+Measured from the actual written files' parquet footers, not from the plan:
+for each file compute the normalized span of each dimension; a ts-linear
+write leaves user_id spans ≈ 1 (no skipping for user_id predicates), while
+the Morton write must bound BOTH dims well below 1."""
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from gmall_spark.operators.layout import with_zvalue, write_zordered, zvalue
+from gmall_spark.sources import load_table
+
+SF = os.environ.get("GMALL_PARITY_SF", "/root/testdata/sf0.01")
+
+
+def _file_spans(path: str, cols):
+    """Per-file normalized [min,max] span of each column, from footer stats."""
+    files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    assert files, path
+    stats = []  # per file: {col: (min, max)}
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        per = {}
+        for rg in range(md.num_row_groups):
+            row = md.row_group(rg)
+            for ci in range(row.num_columns):
+                c = row.column(ci)
+                name = c.path_in_schema
+                if name in cols and c.statistics is not None:
+                    lo, hi = c.statistics.min, c.statistics.max
+                    if name in per:
+                        per[name] = (min(per[name][0], lo), max(per[name][1], hi))
+                    else:
+                        per[name] = (lo, hi)
+        stats.append(per)
+    spans = {c: [] for c in cols}
+    glo = {
+        c: (min(s[c][0] for s in stats), max(s[c][1] for s in stats)) for c in cols
+    }
+    for s in stats:
+        for c in cols:
+            lo, hi = glo[c]
+            width = (hi - lo) or 1
+            if hasattr(width, "total_seconds"):
+                spans[c].append((s[c][1] - s[c][0]).total_seconds() / width.total_seconds())
+            else:
+                spans[c].append((s[c][1] - s[c][0]) / width)
+    return {c: sum(v) / len(v) for c, v in spans.items()}
+
+
+def test_zorder_write_bounds_every_dim(spark, tmp_path):
+    ev = load_table(spark, SF, "events").withColumn("te", F.col("ts").cast("long"))
+    zpath, lpath = str(tmp_path / "z"), str(tmp_path / "lin")
+    write_zordered(ev, zpath, ["te", "user_id"], n_files=8)
+    # linear comparison: same file count, sorted by ts alone
+    (
+        ev.repartitionByRange(8, "te")
+        .sortWithinPartitions("te")
+        .write.mode("overwrite")
+        .parquet(lpath)
+    )
+    zs = _file_spans(zpath, ["te", "user_id"])
+    ls = _file_spans(lpath, ["te", "user_id"])
+    # linear: perfect on ts, useless on user_id
+    assert ls["te"] < 0.25
+    assert ls["user_id"] > 0.9
+    # z-order: BOTH dims meaningfully bounded — every file's box is a tile,
+    # so single-dim predicates on either column skip files
+    assert zs["te"] < 0.6, zs
+    assert zs["user_id"] < 0.6, zs
+
+
+def test_zorder_write_roundtrips_all_rows(spark, tmp_path):
+    ev = load_table(spark, SF, "events").withColumn("te", F.col("ts").cast("long"))
+    path = str(tmp_path / "z2")
+    write_zordered(ev, path, ["te", "user_id"], n_files=4)
+    back = spark.read.parquet(path)
+    assert back.count() == ev.count()
+    assert "_z" not in back.columns
+    # same multiset of event ids
+    assert (
+        back.select(F.sum(F.col("event_id")).alias("s")).first()["s"]
+        == ev.select(F.sum(F.col("event_id")).alias("s")).first()["s"]
+    )
+
+
+def test_zvalue_is_locality_preserving():
+    """Morton key of a point adjacent in one dim moves by a bounded-bit flip;
+    key equality ⇔ cell equality (injective over the cell grid)."""
+    # pure-expression test via a tiny in-memory frame
+    from gmall_spark.session import get_spark
+
+    spark = get_spark("layout-unit")
+    rows = [(a, b) for a in range(8) for b in range(8)]
+    df = spark.createDataFrame(rows, "a int, b int")
+    z = df.select(
+        "a", "b", zvalue([F.col("a").cast("long"), F.col("b").cast("long")], bits=3).alias("z")
+    )
+    got = {(r["a"], r["b"]): r["z"] for r in z.collect()}
+    # injective on the 8x8 grid
+    assert len(set(got.values())) == 64
+    # interleave check against the python reference
+    def ref(a, b):
+        out = 0
+        for j in range(3):
+            out |= ((a >> j) & 1) << (2 * j)
+            out |= ((b >> j) & 1) << (2 * j + 1)
+        return out
+
+    for (a, b), v in got.items():
+        assert v == ref(a, b), (a, b, v)
+
+
+def test_with_zvalue_rejects_long_overflow(spark):
+    ev = load_table(spark, SF, "events").limit(10).withColumn("te", F.col("ts").cast("long"))
+    with pytest.raises(ValueError):
+        with_zvalue(ev, ["te", "user_id", "event_id"], bits=22)

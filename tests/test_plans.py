@@ -232,6 +232,7 @@ _SCALAR_CROSS_OK = {
     "skew_report",        # cross join vs the 1-row key-total aggregate
     "gapfill_locf",       # cross join vs the 1-row global span (lo, hi) aggregate
     "nb_quality_filter",  # cross join vs the 1-row token-total/vocab aggregate
+    "zorder_skipping",    # cross join vs the 1-row quantization-bounds aggregate
 }
 
 
