@@ -553,3 +553,84 @@ def label_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.join(sizes, "lab").select(
         "node", F.col("lab").alias("community"), "community_size"
     )
+
+
+# ---------------------------------------------------------------------------
+# BFS hop distance — the sixth graph kernel: unweighted single-source
+# shortest paths over the bipartite trade graph (who is N introductions away
+# from the anchor customer — reachability/radius analysis, the "Erdős
+# number" of the trade network). The reference's graph-adjacent logic is all
+# one-hop joins (HBase dim lookups); multi-hop reachability is the natural
+# next question its users ask and a core scale kernel here.
+#
+# Frontier BFS, bounded at 4 hops: per round, join the frontier with the
+# edge list, anti-join the already-visited set (first touch == minimum
+# distance, so no min-aggregation is ever needed), tag with the round
+# number. Per round: one equi-join + one distinct + one anti-join — all
+# key-partitioned shuffles on node id; the frontier is the only state, and
+# lineage is truncated per round (iter_checkpoint) so round N doesn't replan
+# rounds 1..N-1.
+#
+# The oracle is a genuine WITH RECURSIVE (DuckDB executes the fixpoint; no
+# unrolled CTE chain): UNION-deduped (node, dist) pairs bounded by dist < 4,
+# min(dist) at the end — provably the same BFS level set.
+# ---------------------------------------------------------------------------
+_BFS_HOPS = 4
+_BFS_SRC = 2  # customer #1's node id (custkey * 2)
+
+_BFS_ORACLE = f"""
+WITH RECURSIVE pairs AS (
+  SELECT DISTINCT o.o_custkey * 2 AS c_node, l.l_suppkey * 2 + 1 AS s_node
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+), edges AS (
+  SELECT c_node AS src, s_node AS dst FROM pairs
+  UNION ALL
+  SELECT s_node AS src, c_node AS dst FROM pairs
+), bfs(node, dist) AS (
+  SELECT {_BFS_SRC} AS node, 0 AS dist
+  UNION
+  SELECT e.dst, bfs.dist + 1
+  FROM bfs JOIN edges e ON bfs.node = e.src
+  WHERE bfs.dist < {_BFS_HOPS}
+)
+SELECT node, CAST(min(dist) AS BIGINT) AS dist
+FROM bfs GROUP BY 1
+"""
+
+
+@register("bfs_hops", _BFS_ORACLE)
+def bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_spark.session import iter_checkpoint
+
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("c_node"),
+            (F.col("l_suppkey") * 2 + 1).alias("s_node"),
+        )
+        .distinct()
+    )
+    edges = iter_checkpoint(
+        pairs.select(F.col("c_node").alias("src"), F.col("s_node").alias("dst")).unionByName(
+            pairs.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst"))
+        )
+    )
+    seed = spark.range(1).select(
+        F.lit(_BFS_SRC).cast("long").alias("node"), F.lit(0).cast("long").alias("dist")
+    )
+    visited, frontier = seed, seed
+    for hop in range(1, _BFS_HOPS + 1):
+        nxt = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(hop).cast("long"))
+        )
+        # truncate lineage: the next round's anti-join otherwise replans the
+        # whole BFS-so-far per action (cf. label_communities)
+        frontier = iter_checkpoint(nxt)
+        visited = iter_checkpoint(visited.unionByName(frontier))
+    return visited
