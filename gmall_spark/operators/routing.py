@@ -70,3 +70,20 @@ def sink_ddl(sink_table: str, sink_columns: str, sink_pk: str | None, sink_exten
         f"CREATE TABLE IF NOT EXISTS `{sink_table}` ({col_ddl}) USING parquet "
         f"COMMENT 'pk={pk}'{extend}"
     )
+
+
+def evolve_sink_ddl(sink_table: str, existing_cols: list[str], sink_columns: str) -> list[str]:
+    """K5's missing half: when a config rule GAINS columns after the sink
+    table exists (the reference recreates nothing — TableProcessFunction
+    only ever issues CREATE IF NOT EXISTS, so added rule columns silently
+    never reach the sink). Emit the ALTER TABLE ADD COLUMNS statements for
+    the drift instead; removed columns are left in place (additive-only —
+    dropping warehouse columns is a human decision, cf. sources/evolve.py's
+    refusal to narrow)."""
+    want = [c.strip() for c in sink_columns.split(",") if c.strip()]
+    have = set(existing_cols)
+    added = [c for c in want if c not in have]
+    if not added:
+        return []
+    cols = ", ".join(f"`{c}` STRING" for c in added)
+    return [f"ALTER TABLE `{sink_table}` ADD COLUMNS ({cols})"]

@@ -76,3 +76,31 @@ def test_evolve_to_refuses_silent_drop_and_narrowing(spark):
                 [T.StructField("id", T.IntegerType()), T.StructField("name", T.StringType())]
             ),
         )
+
+
+def test_evolve_sink_ddl_is_additive_only():
+    from gmall_spark.operators.routing import evolve_sink_ddl
+
+    # rule gained `email`, lost `legacy` — emit one ADD, never a DROP
+    stmts = evolve_sink_ddl("dim_user", ["id", "name", "legacy"], "id,name,email")
+    assert stmts == ["ALTER TABLE `dim_user` ADD COLUMNS (`email` STRING)"]
+    assert evolve_sink_ddl("dim_user", ["id", "name"], "id,name") == []
+
+
+def test_evolve_sink_ddl_applies(spark, tmp_path):
+    """The emitted DDL must actually run: create via sink_ddl, drift the
+    rule, apply the ALTER, and see the new column in the catalog."""
+    from gmall_spark.operators.routing import evolve_sink_ddl, sink_ddl
+
+    spark.sql("DROP TABLE IF EXISTS sink_evolve_t")
+    ddl = sink_ddl("sink_evolve_t", "id,name", "id", None)
+    spark.sql(ddl.replace("USING parquet", f"USING parquet LOCATION '{tmp_path}/t'"))
+    cols = [f.name for f in spark.table("sink_evolve_t").schema.fields]
+    for stmt in evolve_sink_ddl("sink_evolve_t", cols, "id,name,email"):
+        spark.sql(stmt)
+    assert [f.name for f in spark.table("sink_evolve_t").schema.fields] == [
+        "id",
+        "name",
+        "email",
+    ]
+    spark.sql("DROP TABLE IF EXISTS sink_evolve_t")
