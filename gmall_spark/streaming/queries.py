@@ -1408,3 +1408,89 @@ def streaming_hll_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     stt, edt = window_bounds(F.col("w"))
     res = out.withColumn("stt", stt).withColumn("edt", edt).drop("w")
     return run_to_memory(res, _name("s_hll")).select("stt", "edt", "register", "max_rho")
+
+
+@register(
+    "streaming_semi_join",
+    f"""
+    -- semi join emission is MATCH-driven, not watermark-driven: a view
+    -- emits (once) when its first purchase arrives, so with every event in
+    -- the batch the result is exactly the EXISTS set — no closure filter
+    SELECT v.event_id AS view_id, v.user_id,
+           strftime(v.ts, '{_DUCK_FMT}') AS view_ts
+    FROM events v
+    WHERE v.event_type = 'view'
+      AND EXISTS (SELECT 1 FROM events p
+                  WHERE p.event_type = 'purchase' AND p.user_id = v.user_id
+                    AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL '15 minutes')
+    """,
+)
+def streaming_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI stream-stream interval join — 'views that converted',
+    emitting each view at most once however many purchases follow. Fourth
+    cell of the streaming join-mode matrix (inner / left outer / full outer
+    / semi); Spark supports semi natively for stream-stream, with the same
+    range-predicate state eviction as the other modes. Unlike the outer
+    modes, nothing here waits for the watermark: emission is triggered by
+    the match itself (the oracle is therefore a plain EXISTS with no
+    closure term — the comment above is load-bearing semantics, not an
+    optimization)."""
+    ev = stream_events(spark, sf_dir)
+    views = ev.filter(F.col("event_type") == "view")
+    buys = ev.filter(F.col("event_type") == "purchase")
+    j = interval_join_stream(
+        views, buys, "user_id", "ts", "ts", "0 minutes", "15 minutes",
+        how="left_semi",
+    ).select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("user_id"),
+        F.date_format(F.col("ts"), TS_FMT).alias("view_ts"),
+    )
+    return run_to_memory(j, _name("s_semi"))
+
+
+@register(
+    "streaming_anti_join",
+    f"""
+    -- Spark has no native stream-stream left ANTI; the engine-idiomatic
+    -- derivation is left_outer + IS NULL, which inherits the outer mode's
+    -- watermark-proven emission: a view appears only once no purchase can
+    -- still arrive for it (wm past view_ts + 15min)
+    WITH wm AS (
+      SELECT least((SELECT epoch_us(max(ts)) FROM events WHERE event_type = 'view'),
+                   (SELECT epoch_us(max(ts)) FROM events WHERE event_type = 'purchase'))
+             // 1000 - 2000 AS wm_ms
+    )
+    SELECT v.event_id AS view_id, v.user_id,
+           strftime(v.ts, '{_DUCK_FMT}') AS view_ts
+    FROM events v, wm
+    WHERE v.event_type = 'view'
+      AND NOT EXISTS (SELECT 1 FROM events p
+                      WHERE p.event_type = 'purchase' AND p.user_id = v.user_id
+                        AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL '15 minutes')
+      AND wm.wm_ms > epoch_us(v.ts + INTERVAL '15 minutes') // 1000
+    """,
+)
+def streaming_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI on a live stream-stream interval join — 'views that
+    provably never converted', the abandonment feed. Derived as
+    left_outer + right-side-NULL filter (Spark's supported-mode matrix has
+    no native stream-stream anti), so a view emits exactly when the
+    watermark proves no purchase can still arrive — the correct semantics
+    for an abandonment trigger (emitting earlier would retract)."""
+    ev = stream_events(spark, sf_dir)
+    views = ev.filter(F.col("event_type") == "view")
+    buys = ev.filter(F.col("event_type") == "purchase")
+    j = (
+        interval_join_stream(
+            views, buys, "user_id", "ts", "ts", "0 minutes", "15 minutes",
+            how="left_outer",
+        )
+        .filter(F.col("r.event_id").isNull())
+        .select(
+            F.col("l.event_id").alias("view_id"),
+            F.col("l.user_id").alias("user_id"),
+            F.date_format(F.col("l.ts"), TS_FMT).alias("view_ts"),
+        )
+    )
+    return run_to_memory(j, _name("s_anti"))
