@@ -35,6 +35,9 @@ SCALE_CONFS = {
     # Nested-column (struct field) pruning down to the parquet reader —
     # matters for the behavior-log StructTypes.
     "spark.sql.optimizer.nestedSchemaPruning.enabled": "true",
+    # Planning-time filter pushdown into Python DataSources (the gmall_logs
+    # connector prunes whole landing-zone files by filename day).
+    "spark.sql.python.filterPushdown.enabled": "true",
     # Oracle comparison + reference parity: naive timestamps.
     "spark.sql.session.timeZone": "UTC",
     # 128 MiB input splits: the right granularity for both local[32] on sf0.1
