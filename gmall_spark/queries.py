@@ -2847,3 +2847,46 @@ def zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, ("events",))
     return spark.sql(_zorder_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# VARIANT (Spark 4) over the semi-structured props column — the open-schema
+# ingestion path: parse_json → VariantType (a binary-encoded semi-structured
+# value, NOT a string reparse per access), typed path extraction with
+# variant_get, then a relational aggregate over the extracted field. Where
+# props_extract (T1) demos the classic get_json_object string path, this is
+# the engine-native column type a 100 TB lake should land untyped payloads
+# in: parse once at ingestion, every downstream extraction is a cheap typed
+# read of the encoded value — no per-query JSON re-parse, and the shredded
+# encoding carries its own types (try_variant_get surfaces type mismatches
+# as NULLs instead of silent zeroes). Oracle: DuckDB's json_extract over the
+# same payload, integer arithmetic only.
+# ---------------------------------------------------------------------------
+@register(
+    "variant_props_stats",
+    """
+    SELECT CAST(json_extract(props, '$.k') AS BIGINT) // 10 AS k_decile,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_min,
+           CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max,
+           CAST(count(*) FILTER (WHERE json_extract(props, '$.missing') IS NOT NULL)
+                AS BIGINT) AS missing_ct
+    FROM events
+    GROUP BY 1
+    """,
+)
+def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    k = F.try_variant_get(v, "$.k", "bigint")
+    missing = F.try_variant_get(v, "$.missing", "bigint")
+    return (
+        ev.select(k.alias("k"), missing.alias("m"))
+        .groupBy((F.col("k") / 10).cast("long").alias("k_decile"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("k").cast("long").alias("k_min"),
+            F.max("k").cast("long").alias("k_max"),
+            F.count("m").cast("long").alias("missing_ct"),
+        )
+    )
