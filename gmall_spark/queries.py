@@ -2890,3 +2890,56 @@ def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("m").cast("long").alias("missing_ct"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# The gmall_logs connector under the correctness gate — S1/S6's landing-zone
+# ingest run END-TO-END through the native Python DataSource
+# (sources/logsource.py): spool events to a Hive-partitioned JSONL landing
+# zone (day=YYYY-MM-DD dirs — one distributed text write), read it back
+# through spark.read.format("gmall_logs") with an In-filter on `day` that
+# pushFilters consumes at PLANNING time (whole directories never become
+# partitions), parse, and aggregate. The oracle computes the same days
+# straight from the events table — so the driver's value-hash compares the
+# connector's entire scan → prune → parse path against ground truth.
+# ---------------------------------------------------------------------------
+@register(
+    "logsource_roundtrip",
+    """
+    SELECT strftime(ts, '%Y-%m-%d') AS day,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(user_id) AS BIGINT) AS user_sum
+    FROM events
+    WHERE strftime(ts, '%Y-%m-%d') IN ('2024-01-02', '2024-01-03')
+    GROUP BY 1
+    """,
+)
+def logsource_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from gmall_spark.sources.logsource import register_log_source
+
+    ev = load_table(spark, sf_dir, "events")
+    land = tempfile.mkdtemp(prefix="gmall_landing_")
+    (
+        ev.select(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            F.to_json(F.struct("event_id", "user_id")).alias("value"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("day")
+        .text(land)
+    )
+    register_log_source(spark)
+    raw = (
+        spark.read.format("gmall_logs")
+        .load(land)
+        .filter(F.col("day").isin("2024-01-02", "2024-01-03"))
+    )
+    parsed = raw.select(
+        "day", F.get_json_object("line", "$.user_id").cast("long").alias("user_id")
+    )
+    return parsed.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("user_id").cast("long").alias("user_sum"),
+    )

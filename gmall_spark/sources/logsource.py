@@ -52,19 +52,25 @@ _SCHEMA = "line string, src_file string, day string"
 _DAY_RE = re.compile(r"(\d{4}-\d{2}-\d{2})")
 
 
-def _day_of(fname: str) -> str | None:
-    m = _DAY_RE.search(os.path.basename(fname))
+def _day_of(path: str) -> str | None:
+    """Day stamp from the FULL path — matches both flat landing names
+    (log-2024-01-01.jsonl) and Hive-partitioned dirs (day=2024-01-01/...)."""
+    m = _DAY_RE.search(path)
     return m.group(1) if m else None
+
+
+_SUFFIXES = (".jsonl", ".json", ".log", ".txt")
 
 
 def _list_files(path: str) -> list[str]:
     if os.path.isfile(path):
         return [path]
-    return sorted(
-        os.path.join(path, f)
-        for f in os.listdir(path)
-        if f.endswith((".jsonl", ".json", ".log"))
-    )
+    out = []
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(_SUFFIXES) and not f.startswith((".", "_")):
+                out.append(os.path.join(root, f))
+    return sorted(out)
 
 
 class _FilePartition(InputPartition):
