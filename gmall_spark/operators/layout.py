@@ -105,3 +105,31 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def optimize_zorder(
+    spark,
+    path: str,
+    dims: Sequence[str],
+    n_files: int = 32,
+    bits: int = 16,
+) -> None:
+    """In-place re-layout of an existing parquet directory (the OPTIMIZE
+    ZORDER BY maintenance job): read, Morton-cluster, write to a sibling
+    temp dir, atomically swap (same crash discipline as
+    sinks.batch.compact_parquet — leftover dirs refuse, backup survives
+    until the new tree reads back)."""
+    import os
+
+    tmp = path.rstrip("/") + "__zordering"
+    old = path.rstrip("/") + "__old"
+    for leftover in (tmp, old):
+        if os.path.exists(leftover):
+            raise RuntimeError(
+                f"optimize_zorder: leftover {leftover!r} from a previous "
+                "failed run — resolve it (restore or delete) before re-running"
+            )
+    from gmall_spark.sinks.batch import swap_parquet_dirs
+
+    write_zordered(spark.read.parquet(path), tmp, dims, n_files=n_files, bits=bits)
+    swap_parquet_dirs(spark, path, tmp, old)

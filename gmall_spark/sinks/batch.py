@@ -56,6 +56,28 @@ def write_jdbc(
     )
 
 
+def swap_parquet_dirs(spark, path: str, tmp: str, old: str) -> None:
+    """Atomic directory replacement for in-place rewrites (compaction,
+    re-layout): os.rename is atomic on a posix filesystem (shutil.move may
+    degrade to copy+delete across devices); the new tree must read back
+    before the backup is dropped, so a failure at any step leaves a
+    recoverable copy. Callers must have already refused leftover tmp/old
+    dirs (re-entrancy guard)."""
+    import os
+    import shutil
+
+    os.rename(path, old)
+    try:
+        os.rename(tmp, path)
+        spark.read.parquet(path).head(1)
+    except BaseException:
+        # put the original back if the swap or verification failed
+        if not os.path.exists(path) and os.path.exists(old):
+            os.rename(old, path)
+        raise
+    shutil.rmtree(old)
+
+
 def compact_parquet(
     spark,
     path: str,
@@ -130,19 +152,7 @@ def compact_parquet(
     else:
         w = df.repartition(n_files).write.mode("overwrite")
     w.parquet(tmp)
-    # os.rename is atomic on a posix filesystem (shutil.move may degrade to
-    # copy+delete across devices); verify the new tree reads back before
-    # dropping the backup so a failure at any step leaves a recoverable copy.
-    os.rename(path, old)
-    try:
-        os.rename(tmp, path)
-        spark.read.parquet(path).head(1)
-    except BaseException:
-        # put the original back if the swap or verification failed
-        if not os.path.exists(path) and os.path.exists(old):
-            os.rename(old, path)
-        raise
-    shutil.rmtree(old)
+    swap_parquet_dirs(spark, path, tmp, old)
     return sum(
         1
         for _, _, files in os.walk(path)
@@ -159,47 +169,11 @@ def zorder_write(
     bits: int = 16,
 ) -> None:
     """Z-order (Morton) layout write — multi-column data skipping for scans
-    that filter on ANY of ``cols``, not just a lexicographic prefix. A plain
-    sort by (a, b) clusters a perfectly and b not at all; interleaving the
-    bit patterns clusters both, so parquet row-group min/max stats prune
-    files for predicates on either column. At 100 TB this is the difference
-    between scanning a shard and scanning the table when queries filter on
-    two independent dimensions.
+    that filter on ANY of ``cols``, not just a lexicographic prefix.
+    Delegates to the canonical implementation in operators/layout.py
+    (quantize → static bit-interleave expression → repartitionByRange +
+    local sort; no UDF, no driver-side data movement beyond the 2k bound
+    scalars)."""
+    from gmall_spark.operators.layout import write_zordered
 
-    Each column is min-max normalized to ``bits`` bits (two scalar aggs,
-    broadcast — no collect), the z-value is built from pure JVM bit
-    expressions (shiftright/and/shiftleft — whole-stage codegen, no UDF),
-    and repartitionByRange + sortWithinPartitions gives globally
-    range-partitioned, locally sorted files.
-    """
-    from pyspark.sql import functions as F
-
-    aggs = []
-    for c in cols:
-        aggs += [F.min(c).alias(f"_min_{c}"), F.max(c).alias(f"_max_{c}")]
-    stats = df.agg(*aggs)
-    out = df.crossJoin(F.broadcast(stats))
-    scaled = []
-    top = (1 << bits) - 1
-    for c in cols:
-        rng = F.col(f"_max_{c}") - F.col(f"_min_{c}")
-        norm = F.when(rng == 0, F.lit(0)).otherwise(
-            ((F.col(c) - F.col(f"_min_{c}")) * top / rng).cast("long")
-        )
-        scaled.append(norm)
-    z = F.lit(0).cast("long")
-    for i in range(bits):
-        for j, s in enumerate(scaled):
-            z = z + F.shiftleft(
-                F.shiftright(s, i).bitwiseAND(F.lit(1)), i * len(cols) + j
-            ).cast("long")
-    out = out.withColumn("_z", z).drop(
-        *[f"_min_{c}" for c in cols], *[f"_max_{c}" for c in cols]
-    )
-    (
-        out.repartitionByRange(n_files, "_z")
-        .sortWithinPartitions("_z")
-        .drop("_z")
-        .write.mode("overwrite")
-        .parquet(path)
-    )
+    write_zordered(df, path, cols, n_files=n_files, bits=bits)

@@ -122,3 +122,38 @@ def test_with_zvalue_rejects_long_overflow(spark):
     ev = load_table(spark, SF, "events").limit(10).withColumn("te", F.col("ts").cast("long"))
     with pytest.raises(ValueError):
         with_zvalue(ev, ["te", "user_id", "event_id"], bits=22)
+
+
+def test_optimize_zorder_in_place(spark, tmp_path):
+    """OPTIMIZE: an existing ts-linear directory gets re-laid-out in place;
+    afterwards BOTH dims' footer spans are bounded and rows survive."""
+    from gmall_spark.operators.layout import optimize_zorder
+
+    ev = load_table(spark, SF, "events").withColumn("te", F.col("ts").cast("long"))
+    path = str(tmp_path / "tbl")
+    (
+        ev.repartitionByRange(8, "te")
+        .sortWithinPartitions("te")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    before = _file_spans(path, ["te", "user_id"])
+    assert before["user_id"] > 0.9
+    n = spark.read.parquet(path).count()
+    optimize_zorder(spark, path, ["te", "user_id"], n_files=8)
+    after = _file_spans(path, ["te", "user_id"])
+    assert after["te"] < 0.6, after
+    assert after["user_id"] < 0.6, after
+    assert spark.read.parquet(path).count() == n
+
+
+def test_optimize_zorder_refuses_leftovers(spark, tmp_path):
+    import os
+
+    from gmall_spark.operators.layout import optimize_zorder
+
+    path = str(tmp_path / "tbl2")
+    spark.range(10).write.parquet(path)
+    os.makedirs(path + "__old")
+    with pytest.raises(RuntimeError):
+        optimize_zorder(spark, path, ["id"])
