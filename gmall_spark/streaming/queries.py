@@ -1494,3 +1494,52 @@ def streaming_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_memory(j, _name("s_anti"))
+
+
+@register(
+    "streaming_manifest_sink",
+    """
+    -- the sink is pass-through (stage + manifest-commit); with every event
+    -- available the manifested rows equal the filtered stream, so the
+    -- oracle is the direct aggregate over events
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(user_id) AS BIGINT) AS user_sum
+    FROM events
+    WHERE event_type IN ('purchase', 'signup')
+    GROUP BY 1
+    """,
+)
+def streaming_manifest_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The gmall_manifest Python DataSource SINK under the correctness
+    gate: a live availableNow stream writes through the two-phase
+    stage-then-manifest commit path (sinks/manifest_sink.py — per-epoch
+    manifest entries, replay idempotency), then the result is read back
+    VIA THE MANIFEST (only committed files) and aggregated; the oracle
+    computes the same aggregate straight from events. Verifies the whole
+    executor-stage → driver-commit → manifested-read contract end-to-end,
+    per micro-batch."""
+    import tempfile
+
+    from gmall_spark.sinks.manifest_sink import read_manifested, register_manifest_sink
+
+    register_manifest_sink(spark)
+    out = tempfile.mkdtemp(prefix="gmall_manifest_rt_")
+    ckpt = tempfile.mkdtemp(prefix="gmall_manifest_ck_")
+    ev = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type").isin("purchase", "signup"))
+        .select("event_id", "user_id", "event_type")
+    )
+    q = (
+        ev.writeStream.format("gmall_manifest")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = read_manifested(spark, out, "event_id long, user_id long, event_type string")
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("user_id").cast("long").alias("user_sum"),
+    )
