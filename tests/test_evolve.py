@@ -104,3 +104,44 @@ def test_evolve_sink_ddl_applies(spark, tmp_path):
         "email",
     ]
     spark.sql("DROP TABLE IF EXISTS sink_evolve_t")
+
+
+# --- lattice properties (hypothesis) ---------------------------------------
+try:
+    from hypothesis import given, strategies as st
+
+    _TOWER = [
+        T.ByteType(), T.ShortType(), T.IntegerType(), T.LongType(),
+        T.FloatType(), T.DoubleType(),
+    ]
+    _OTHER = [T.StringType(), T.BooleanType(), T.DateType(), T.TimestampType()]
+    _types = st.sampled_from(_TOWER + _OTHER)
+
+    def _try_widen(a, b):
+        try:
+            return widen(a, b)
+        except TypeError:
+            return None
+
+    @given(_types, _types)
+    def test_widen_commutative(a, b):
+        assert _try_widen(a, b) == _try_widen(b, a)
+
+    @given(_types)
+    def test_widen_idempotent(a):
+        assert widen(a, a) == a
+
+    @given(_types, _types, _types)
+    def test_widen_associative_when_defined(a, b, c):
+        ab, bc = _try_widen(a, b), _try_widen(b, c)
+        left = _try_widen(ab, c) if ab is not None else None
+        right = _try_widen(a, bc) if bc is not None else None
+        if left is not None and right is not None:
+            assert left == right
+
+    @given(st.sampled_from(_TOWER), st.sampled_from(_TOWER))
+    def test_widen_is_upper_bound_on_tower(a, b):
+        w = widen(a, b)
+        assert _TOWER.index(w) == max(_TOWER.index(a), _TOWER.index(b))
+except ImportError:  # pragma: no cover
+    pass
