@@ -1543,3 +1543,47 @@ def streaming_manifest_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("user_id").cast("long").alias("user_sum"),
     )
+
+
+@register(
+    "streaming_mb_interval_join",
+    f"""
+    WITH {_mb_cte()},
+    v AS (SELECT * FROM placed WHERE event_type = 'view'),
+    p AS (SELECT * FROM placed WHERE event_type = 'purchase')
+    SELECT v.event_id AS view_id, p.event_id AS purchase_id, v.user_id,
+           strftime(v.ts, '{_DUCK_FMT}') AS view_ts,
+           -- inner-join emission is match-driven: the pair emits in the
+           -- batch the LATER side arrives in (no watermark hold)
+           CAST(greatest(v.chunk, p.chunk) AS INT) AS emit_batch
+    FROM v JOIN p ON v.user_id = p.user_id
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL '15 minutes'
+    """,
+)
+def streaming_mb_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join across THREE advancing-watermark
+    micro-batches with cross-batch join state: a view arriving in batch 0
+    sits in join state until its purchase arrives (possibly two batches
+    later), and the emission stamp proves WHICH batch each match fired in.
+    Eviction safety is structural: chunks are time-ordered, so by the time
+    the watermark passes view_ts + 15min (evicting the view), any future
+    purchase's event time is beyond the join window anyway — the oracle's
+    plain interval join with emit_batch = greatest(arrival chunks) is
+    provably the streaming result, match losses impossible."""
+    from gmall_spark.streaming.multibatch import (
+        run_collect_batches,
+        stream_event_chunks,
+    )
+
+    ev = stream_event_chunks(spark, sf_dir, 3)
+    views = ev.filter(F.col("event_type") == "view")
+    buys = ev.filter(F.col("event_type") == "purchase")
+    j = interval_join_stream(
+        views, buys, "user_id", "ts", "ts", "0 minutes", "15 minutes"
+    ).select(
+        F.col("l.event_id").alias("view_id"),
+        F.col("r.event_id").alias("purchase_id"),
+        F.col("l.user_id").alias("user_id"),
+        F.date_format(F.col("l.ts"), TS_FMT).alias("view_ts"),
+    )
+    return run_collect_batches(j)
