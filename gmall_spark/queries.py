@@ -2943,3 +2943,49 @@ def logsource_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("user_id").cast("long").alias("user_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Recursive CTE hierarchy traversal (Spark 4.1 WITH RECURSIVE) — the classic
+# warehouse recursion (org charts, bill-of-materials explosion, referral
+# trees), here over the synthetic referral tree custkey -> custkey div 2
+# (unique parent, child key strictly greater ⇒ every customer derives
+# exactly once and recursion depth is ceil(log2 N), so UNION ALL — the only
+# recursive set op Spark supports — terminates structurally with |tree| = N
+# rows, no dedup needed; contrast bfs_hops, whose cyclic graph needs the
+# UNION-deduped DuckDB fixpoint and therefore a DataFrame-loop Spark
+# implementation). Both engines run ALMOST THE SAME recursive SQL — the
+# dialect differs only in integer division — making this the one entry
+# where the oracle and the implementation are the same recursive program,
+# executed by two engines.
+#
+# Scale shape: each recursion level is one equi-join of the full customer
+# table against the previous frontier (key-partitioned shuffle); levels =
+# log2(N) ≈ 27 at 100 TB-scale customer counts — the same round structure
+# as the iterative kernels, planned by Catalyst's native rCTE execution.
+# ---------------------------------------------------------------------------
+def _hierarchy_sql(idiv: str) -> str:
+    return f"""
+    WITH RECURSIVE tree(custkey, depth) AS (
+      SELECT CAST(1 AS BIGINT) AS custkey, CAST(0 AS INT) AS depth
+      UNION ALL
+      SELECT CAST(c.c_custkey AS BIGINT), CAST(t.depth + 1 AS INT)
+      FROM customer c JOIN tree t ON (c.c_custkey{idiv}2) = t.custkey
+      WHERE c.c_custkey > 1
+    )
+    SELECT CAST(t.depth AS INT) AS depth,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(CAST(sum(c.c_acctbal) AS DECIMAL(18,2)) AS DOUBLE) AS acctbal_sum
+    FROM tree t JOIN customer c ON c.c_custkey = t.custkey
+    GROUP BY t.depth
+    """
+
+
+@register("hierarchy_rollup", _hierarchy_sql(" // "))
+def hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-depth rollup of the referral tree via a NATIVE recursive CTE
+    (docstring block above)."""
+    from gmall_spark.sources import register_views
+
+    register_views(spark, sf_dir, ("customer",))
+    return spark.sql(_hierarchy_sql(" div "))
