@@ -75,11 +75,13 @@ def with_zvalue(
     for d in dims:
         aggs += [F.min(d).alias(f"_lo_{d}"), F.max(d).alias(f"_hi_{d}")]
     bounds = df.agg(*aggs).first()
+    # empty input (or all-null dim): no rows can reach the z expression, so
+    # any constant bounds are correct — avoid int(None)
     cells = [
         quantize(
             F.col(d).cast("long"),
-            F.lit(int(bounds[f"_lo_{d}"])),
-            F.lit(int(bounds[f"_hi_{d}"])),
+            F.lit(int(bounds[f"_lo_{d}"] or 0)),
+            F.lit(int(bounds[f"_hi_{d}"] or 0)),
             bits,
         )
         for d in dims

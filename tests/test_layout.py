@@ -157,3 +157,11 @@ def test_optimize_zorder_refuses_leftovers(spark, tmp_path):
     os.makedirs(path + "__old")
     with pytest.raises(RuntimeError):
         optimize_zorder(spark, path, ["id"])
+
+
+def test_write_zordered_empty_input(spark, tmp_path):
+    ev = load_table(spark, SF, "events").withColumn("te", F.col("ts").cast("long"))
+    empty = ev.filter(F.lit(False))
+    path = str(tmp_path / "empty")
+    write_zordered(empty, path, ["te", "user_id"], n_files=2)
+    assert spark.read.parquet(path).count() == 0
