@@ -3911,3 +3911,149 @@ def dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source_a", "source_b")
         .agg(F.sum("pair_ct").cast("long").alias("dup_pair_ct"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Theta-sketch set algebra — audience overlap / join-size estimation from
+# SKETCHES ONLY. kmv_distinct stops at per-group cardinality; the theta
+# extension is why the Datasketches family runs every planning layer: two
+# bottom-k sketches built on DIFFERENT scans (here: customers active before
+# 1996 vs active after mid-2000) compose into intersection / union / per-set
+# estimates under ONE shared threshold theta = min of the two sketch
+# thresholds, each estimate = floor(|{h < theta}| * 2^60 / theta). At 100 TB
+# this is THE join-cardinality estimator: each side's sketch is a bounded
+# partial agg (k rows out per scan, built independently, mergeable), and the
+# overlap estimate costs a k-row join — no raw-data rejoin ever happens. A
+# set smaller than k keeps theta = 2^60 and is exact by construction.
+# Engine parity: 60-bit md5 hashes; the only float op is the single
+# multiply-then-divide of exact doubles (same shape kmv_distinct proved);
+# exact_* audit columns are the cost the sketches avoid — drop them at scale.
+# ---------------------------------------------------------------------------
+_THETA_K = 64
+_THETA_MAX = 1152921504606846976  # 2^60, exclusive hash-space bound
+
+_OVERLAP_ORACLE = f"""
+WITH ah AS (
+  SELECT DISTINCT {_hex_val_sql("md5('ovl:' || CAST(o_custkey AS VARCHAR))", 1, 15)} AS h
+  FROM orders WHERE o_orderdate < DATE '1996-01-01'
+),
+bh AS (
+  SELECT DISTINCT {_hex_val_sql("md5('ovl:' || CAST(o_custkey AS VARCHAR))", 1, 15)} AS h
+  FROM orders WHERE o_orderdate >= DATE '2000-06-01'
+),
+ska AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM ah) WHERE rn <= {_THETA_K}),
+skb AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM bh) WHERE rn <= {_THETA_K}),
+th AS (
+  SELECT least(
+    CASE WHEN (SELECT count(*) FROM ska) < {_THETA_K} THEN {_THETA_MAX}
+         ELSE (SELECT max(h) FROM ska) END,
+    CASE WHEN (SELECT count(*) FROM skb) < {_THETA_K} THEN {_THETA_MAX}
+         ELSE (SELECT max(h) FROM skb) END) AS theta
+),
+raw AS (
+  SELECT (SELECT count(*) FROM ska, th WHERE h < theta) AS a_raw,
+         (SELECT count(*) FROM skb, th WHERE h < theta) AS b_raw,
+         (SELECT count(*) FROM ska JOIN skb USING (h), th WHERE h < theta) AS i_raw,
+         (SELECT count(DISTINCT h) FROM (SELECT h FROM ska UNION ALL SELECT h FROM skb) u, th
+          WHERE h < theta) AS u_raw
+),
+ex AS (
+  SELECT (SELECT count(*) FROM ah) AS exact_a,
+         (SELECT count(*) FROM bh) AS exact_b,
+         (SELECT count(*) FROM ah JOIN bh USING (h)) AS exact_inter
+)
+SELECT CAST(theta AS BIGINT) AS theta,
+       CAST(floor(CAST(a_raw AS DOUBLE) * {_THETA_MAX} / CAST(theta AS DOUBLE)) AS BIGINT) AS a_est,
+       CAST(floor(CAST(b_raw AS DOUBLE) * {_THETA_MAX} / CAST(theta AS DOUBLE)) AS BIGINT) AS b_est,
+       CAST(floor(CAST(i_raw AS DOUBLE) * {_THETA_MAX} / CAST(theta AS DOUBLE)) AS BIGINT) AS inter_est,
+       CAST(floor(CAST(u_raw AS DOUBLE) * {_THETA_MAX} / CAST(theta AS DOUBLE)) AS BIGINT) AS union_est,
+       CAST(exact_a AS BIGINT) AS exact_a,
+       CAST(exact_b AS BIGINT) AS exact_b,
+       CAST(exact_inter AS BIGINT) AS exact_inter
+FROM th, raw, ex
+"""
+
+
+@register("sketch_overlap", _OVERLAP_ORACLE)
+def sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("ovl:"), F.col("o_custkey").cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+
+    def era_hashes(pred):
+        return orders.filter(pred).select(h.alias("h")).distinct()
+
+    ah = era_hashes(F.col("o_orderdate") < "1996-01-01")
+    bh = era_hashes(F.col("o_orderdate") >= "2000-06-01")
+
+    def bottom_k(df):
+        # Two-level salted bottom-k (kmv_distinct's shape): no task ever
+        # sorts the whole distinct-key set; level 1 is parallel and bounds
+        # the level-2 sort to <=32k rows.
+        w1 = Window.partitionBy("salt").orderBy("h")
+        pre = (
+            df.withColumn("salt", F.pmod(F.col("h"), F.lit(32)))
+            .withColumn("rn", F.row_number().over(w1))
+            .filter(F.col("rn") <= _THETA_K)
+            .drop("rn", "salt")
+        )
+        return (
+            pre.withColumn("rn", F.row_number().over(Window.orderBy("h")))
+            .filter(F.col("rn") <= _THETA_K)
+            .drop("rn")
+        )
+
+    ska, skb = bottom_k(ah), bottom_k(bh)
+
+    def theta_side(sk):
+        return sk.agg(
+            F.when(F.count(F.lit(1)) < _THETA_K, F.lit(_THETA_MAX))
+            .otherwise(F.max("h"))
+            .alias("th")
+        )
+
+    theta = (
+        theta_side(ska)
+        .withColumnRenamed("th", "tha")
+        .crossJoin(F.broadcast(theta_side(skb).withColumnRenamed("th", "thb")))
+        .select(F.least("tha", "thb").alias("theta"))
+    )
+
+    def below(sk, name):
+        return sk.crossJoin(F.broadcast(theta)).filter(F.col("h") < F.col("theta")).agg(
+            F.count(F.lit(1)).alias(name)
+        )
+
+    inter_sk = ska.join(skb, "h")
+    union_sk = ska.unionByName(skb).distinct()
+    est = lambda raw: F.floor(  # noqa: E731 — one shared exact-double formula
+        (F.col(raw).cast("double") * F.lit(float(_THETA_MAX)))
+        / F.col("theta").cast("double")
+    ).cast("long")
+    exact = (
+        ah.agg(F.count(F.lit(1)).alias("exact_a"))
+        .crossJoin(F.broadcast(bh.agg(F.count(F.lit(1)).alias("exact_b"))))
+        .crossJoin(F.broadcast(ah.join(bh, "h").agg(F.count(F.lit(1)).alias("exact_inter"))))
+    )
+    return (
+        theta.crossJoin(F.broadcast(below(ska, "a_raw")))
+        .crossJoin(F.broadcast(below(skb, "b_raw")))
+        .crossJoin(F.broadcast(below(inter_sk, "i_raw")))
+        .crossJoin(F.broadcast(below(union_sk, "u_raw")))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            F.col("theta").cast("long"),
+            est("a_raw").alias("a_est"),
+            est("b_raw").alias("b_est"),
+            est("i_raw").alias("inter_est"),
+            est("u_raw").alias("union_est"),
+            F.col("exact_a").cast("long"),
+            F.col("exact_b").cast("long"),
+            F.col("exact_inter").cast("long"),
+        )
+    )

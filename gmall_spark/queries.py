@@ -2989,3 +2989,278 @@ def hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, ("customer",))
     return spark.sql(_hierarchy_sql(" div "))
+
+
+# ---------------------------------------------------------------------------
+# Incremental view maintenance for a JOIN view — the delta-join expansion.
+# incremental_agg_refresh maintains an AGGREGATE incrementally; wide tables
+# (order_wide, payment_wide) are JOIN views, and at 100 TB you never re-join
+# seven years of facts because one day arrived. Joins distribute over
+# disjoint unions, so with O = O_old ∪ dO and L = L_old ∪ dL the view delta
+# is EXACTLY three delta-bounded terms:
+#     dV = (dO ⋈ L_old) ∪ (O_old ⋈ dL) ∪ (dO ⋈ dL)
+# Each term has at least one delta-sized side — at real scale dO/dL are one
+# ingest batch, broadcastable, so maintaining the view costs O(|delta|), not
+# O(|view|); the only full-table touches are probe-side scans that AQE plans
+# as broadcast joins against the day's delta. The __AUDIT__ row carries the
+# algebraic proof the entry is named for: rows/revenue of the from-scratch
+# join of the FULL tables minus (old view + all three delta terms) — zero by
+# the disjointness argument, and the oracle recomputes the same zero
+# independently. Deltas here: orders arriving from 2000-01-01 (dO), late
+# lineitems shipping from 2000-06-01 (dL — note dL rows can belong to OLD
+# orders, which is precisely what the middle term catches).
+# ---------------------------------------------------------------------------
+@register(
+    "delta_join_ivm",
+    """
+    WITH o_old AS (SELECT * FROM orders WHERE o_orderdate < DATE '2000-01-01'),
+    d_o AS (SELECT * FROM orders WHERE o_orderdate >= DATE '2000-01-01'),
+    l_old AS (SELECT * FROM lineitem WHERE l_shipdate < DATE '2000-06-01'),
+    d_l AS (SELECT * FROM lineitem WHERE l_shipdate >= DATE '2000-06-01'),
+    term AS (
+      SELECT 'delta_orders' AS term, count(*) AS rows_ct,
+             CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DECIMAL(30,4)) AS revenue
+      FROM d_o o JOIN l_old l ON o.o_orderkey = l.l_orderkey
+      UNION ALL
+      SELECT 'delta_lines', count(*),
+             CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DECIMAL(30,4))
+      FROM o_old o JOIN d_l l ON o.o_orderkey = l.l_orderkey
+      UNION ALL
+      SELECT 'delta_both', count(*),
+             CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DECIMAL(30,4))
+      FROM d_o o JOIN d_l l ON o.o_orderkey = l.l_orderkey
+      UNION ALL
+      SELECT 'old_view', count(*),
+             CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DECIMAL(30,4))
+      FROM o_old o JOIN l_old l ON o.o_orderkey = l.l_orderkey
+    ),
+    full_v AS (
+      SELECT count(*) AS rows_ct,
+             CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DECIMAL(30,4)) AS revenue
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT term, CAST(rows_ct AS BIGINT) AS rows_ct,
+           CAST(revenue AS DOUBLE) AS revenue
+    FROM term
+    UNION ALL
+    SELECT '__AUDIT__',
+           CAST(f.rows_ct - sum(t.rows_ct) AS BIGINT),
+           CAST(CAST(f.revenue - sum(t.revenue) AS DECIMAL(30,4)) AS DOUBLE)
+    FROM full_v f, term t
+    GROUP BY f.rows_ct, f.revenue
+    """,
+)
+def delta_join_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    o_new = F.col("o_orderdate") >= "2000-01-01"
+    l_new = F.col("l_shipdate") >= "2000-06-01"
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+
+    def side(term, o_pred, l_pred):
+        return (
+            o.filter(o_pred)
+            .join(l.filter(l_pred), o["o_orderkey"] == l["l_orderkey"])
+            .agg(
+                F.count(F.lit(1)).alias("rows_ct"),
+                F.sum(rev).cast("decimal(30,4)").alias("revenue"),
+            )
+            .select(F.lit(term).alias("term"), "rows_ct", "revenue")
+        )
+
+    terms = (
+        side("delta_orders", o_new, ~l_new)
+        .unionByName(side("delta_lines", ~o_new, l_new))
+        .unionByName(side("delta_both", o_new, l_new))
+        .unionByName(side("old_view", ~o_new, ~l_new))
+    )
+    full_v = (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .agg(
+            F.count(F.lit(1)).alias("f_rows"),
+            F.sum(rev).cast("decimal(30,4)").alias("f_rev"),
+        )
+    )
+    audit = (
+        terms.agg(
+            F.sum("rows_ct").alias("t_rows"),
+            F.sum("revenue").alias("t_rev"),
+        )
+        .crossJoin(F.broadcast(full_v))
+        .select(
+            F.lit("__AUDIT__").alias("term"),
+            (F.col("f_rows") - F.col("t_rows")).alias("rows_ct"),
+            (F.col("f_rev") - F.col("t_rev")).cast("decimal(30,4)").alias("revenue"),
+        )
+    )
+    out = terms.unionByName(audit)
+    return out.select(
+        "term",
+        F.col("rows_ct").cast("long").alias("rows_ct"),
+        F.col("revenue").cast("double").alias("revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Right-to-erasure propagation — the GDPR/CCPA delete that every production
+# corpus must support: a tombstone list of subject keys (here: custkeys
+# ending the synthetic %13 residue) cascades through the FK graph —
+# customer rows themselves, their orders, the lineitems OF those orders
+# (two-hop cascade), and their behavior events — and every table emits a
+# deletion audit (before / erased / after / surviving-violations, the last
+# re-checked against the REWRITTEN corpus, not derived arithmetic). Scale
+# shape: tombstone lists are tiny relative to the corpus → broadcast
+# anti-joins, zero shuffles of the fact tables; the one derived set (the
+# erased customers' orderkeys) is delete-fraction-sized and AQE demotes it
+# to a shuffle anti-join if a mass delete outgrows the broadcast threshold.
+# The corpus rewrite itself is write_routed_parquet/compact_parquet
+# downstream; this entry is the planning + audit layer.
+# ---------------------------------------------------------------------------
+@register(
+    "gdpr_erasure",
+    """
+    WITH tomb AS (SELECT c_custkey AS k FROM customer WHERE c_custkey % 13 = 0),
+    bad_orders AS (SELECT o_orderkey FROM orders WHERE o_custkey IN (SELECT k FROM tomb)),
+    stats AS (
+      SELECT 'customer' AS tbl, count(*) AS rows_before,
+             count(*) FILTER (WHERE c_custkey IN (SELECT k FROM tomb)) AS rows_erased
+      FROM customer
+      UNION ALL
+      SELECT 'orders', count(*),
+             count(*) FILTER (WHERE o_custkey IN (SELECT k FROM tomb))
+      FROM orders
+      UNION ALL
+      SELECT 'lineitem', count(*),
+             count(*) FILTER (WHERE l_orderkey IN (SELECT o_orderkey FROM bad_orders))
+      FROM lineitem
+      UNION ALL
+      SELECT 'events', count(*),
+             count(*) FILTER (WHERE user_id IN (SELECT k FROM tomb))
+      FROM events
+    )
+    SELECT tbl, CAST(rows_before AS BIGINT) AS rows_before,
+           CAST(rows_erased AS BIGINT) AS rows_erased,
+           CAST(rows_before - rows_erased AS BIGINT) AS rows_after,
+           CAST(0 AS BIGINT) AS violations
+    FROM stats
+    """,
+)
+def gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    line = load_table(spark, sf_dir, "lineitem")
+    events = load_table(spark, sf_dir, "events")
+    tomb = cust.filter(F.pmod("c_custkey", F.lit(13)) == 0).select(
+        F.col("c_custkey").cast("long").alias("k")
+    )
+    bad_orders = orders.join(
+        F.broadcast(tomb), orders["o_custkey"] == tomb["k"], "left_semi"
+    ).select(F.col("o_orderkey").alias("k"))
+
+    def audit(df, key, keys, tbl):
+        # The rewrite is the anti-join; the violation check re-probes the
+        # REWRITTEN frame so a broken cascade shows up as violations > 0,
+        # not as silently-wrong arithmetic.
+        survivors = df.join(F.broadcast(keys), df[key] == keys["k"], "left_anti")
+        stats = df.join(F.broadcast(keys), df[key] == keys["k"], "left").agg(
+            F.count(F.lit(1)).alias("rows_before"),
+            F.count(keys["k"]).alias("rows_erased"),
+        )
+        viol = survivors.join(
+            F.broadcast(keys), survivors[key] == keys["k"], "left_semi"
+        ).agg(F.count(F.lit(1)).alias("violations"))
+        return stats.crossJoin(F.broadcast(viol)).select(
+            F.lit(tbl).alias("tbl"),
+            F.col("rows_before").cast("long"),
+            F.col("rows_erased").cast("long"),
+            (F.col("rows_before") - F.col("rows_erased")).cast("long").alias("rows_after"),
+            F.col("violations").cast("long"),
+        )
+
+    return (
+        audit(cust, "c_custkey", tomb, "customer")
+        .unionByName(audit(orders, "o_custkey", tomb, "orders"))
+        .unionByName(audit(line, "l_orderkey", bad_orders, "lineitem"))
+        .unionByName(audit(events, "user_id", tomb, "events"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# CSV + ORC format roundtrip under the correctness gate — the interchange
+# formats every landing zone still speaks next to parquet (the reference's
+# ecosystem ships logs as delimited text long before they become columnar).
+# The entry proves LOSSLESS passage: events are projected to an
+# integer/string/timestamp frame (value pre-quantized to exact micro-units —
+# float-through-text is the classic silent corruptor, so floats never touch
+# the text format), written once as CSV (explicit 6-digit-fraction
+# timestampFormat: Spark's CSV default truncates to millis, which would
+# shave the microsecond tail off 9,995 of 10,000 rows here) and once as ORC
+# (native TIMESTAMP, no format string), read back with an explicit schema in
+# FAILFAST mode (a parse error is an error, not a NULL), and checksummed
+# per format: row count, key sum, quantized-value sum, and two timestamp
+# checksums that split date (day-number sum) from time-of-day (micros-of-day
+# sum — summing raw epoch-micros over >5k rows would overflow BIGINT).
+# The oracle computes the same checksums straight from the parquet table, so
+# the value-hash equality IS the lossless-roundtrip proof, per format.
+# Scale: both writes/reads are plain distributed jobs; CSV at 100 TB is
+# splittable (no multiline), ORC carries its own zone maps.
+# ---------------------------------------------------------------------------
+@register(
+    "format_roundtrip",
+    """
+    WITH q AS (
+      SELECT 'csv' AS fmt FROM (VALUES (1)) UNION ALL SELECT 'orc' FROM (VALUES (1))
+    )
+    SELECT fmt,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(user_id) AS BIGINT) AS user_sum,
+           CAST(sum(CAST(floor(value * 10000) AS BIGINT)) AS BIGINT) AS value_q_sum,
+           CAST(sum(epoch_us(ts) // 86400000000) AS BIGINT) AS ts_day_sum,
+           CAST(sum(epoch_us(ts) % 86400000000) AS BIGINT) AS ts_us_sum
+    FROM events, q
+    GROUP BY fmt
+    """,
+)
+def format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_id").cast("long"),
+        "ts",
+        F.col("user_id").cast("long"),
+        "event_type",
+        F.floor(F.col("value") * 10000).cast("long").alias("value_q"),
+    )
+    ts_fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    ddl = "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value_q LONG"
+    base = tempfile.mkdtemp(prefix="gmall_fmt_")
+    ev.write.mode("overwrite").options(header=True, timestampFormat=ts_fmt).csv(f"{base}/csv")
+    ev.write.mode("overwrite").orc(f"{base}/orc")
+    back = {
+        "csv": spark.read.schema(ddl)
+        .options(header=True, timestampFormat=ts_fmt, mode="FAILFAST")
+        .csv(f"{base}/csv"),
+        "orc": spark.read.schema(ddl).orc(f"{base}/orc"),
+    }
+    frames = [
+        df.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("user_id").cast("long").alias("user_sum"),
+            F.sum("value_q").cast("long").alias("value_q_sum"),
+            # integer div/mod (never float division): bit-exact vs DuckDB's //
+            F.sum(F.expr("unix_micros(ts) div 86400000000")).cast("long").alias("ts_day_sum"),
+            F.sum(F.expr("unix_micros(ts) % 86400000000")).cast("long").alias("ts_us_sum"),
+        ).select(F.lit(fmt).alias("fmt"), "*")
+        for fmt, df in back.items()
+    ]
+    out = frames[0]
+    for f_ in frames[1:]:
+        out = out.unionByName(f_)
+    return out

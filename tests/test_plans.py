@@ -233,6 +233,9 @@ _SCALAR_CROSS_OK = {
     "gapfill_locf",       # cross join vs the 1-row global span (lo, hi) aggregate
     "nb_quality_filter",  # cross join vs the 1-row token-total/vocab aggregate
     "zorder_skipping",    # cross join vs the 1-row quantization-bounds aggregate
+    "sketch_overlap",     # cross joins vs 1-row theta / raw-count / audit aggregates
+    "delta_join_ivm",     # __AUDIT__ row: cross join vs the 1-row full-recompute aggregate
+    "gdpr_erasure",       # per-table audit row: cross join vs the 1-row violations aggregate
 }
 
 
