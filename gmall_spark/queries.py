@@ -3264,3 +3264,88 @@ def format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     for f_ in frames[1:]:
         out = out.unionByName(f_)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Ordered funnel conversion — the product-analytics staple the reference's
+# DWS layer feeds (visitor → detail → purchase): per user, the funnel
+# view ⟶ first click AT-OR-AFTER that view ⟶ first purchase at-or-after that
+# click, with strict stage sequencing (a click before the first view does
+# not count). Scale shape: all three stage timestamps are conditional-min
+# WINDOW passes over the SAME user partitioning — one shuffle, one sort,
+# three Window nodes, and the closing per-user aggregate reuses the same
+# hash partitioning (no second exchange). No collect_list of per-user event
+# arrays — state per row is three timestamps, so a power user with 10^6
+# events costs nothing extra. Conversion lag is integer microseconds
+# (unix_micros subtraction — DuckDB's epoch() is a fractional DOUBLE, so
+# seconds-granularity lags would round vs truncate differently), summed exactly.
+# ---------------------------------------------------------------------------
+@register(
+    "funnel_conversion",
+    """
+    WITH s1 AS (
+      SELECT user_id, ts, event_type,
+             min(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id) AS view_ts
+      FROM events
+    ),
+    s2 AS (
+      SELECT *, min(CASE WHEN event_type = 'click' AND ts >= view_ts THEN ts END)
+                  OVER (PARTITION BY user_id) AS click_ts
+      FROM s1
+    ),
+    s3 AS (
+      SELECT *, min(CASE WHEN event_type = 'purchase' AND ts >= click_ts THEN ts END)
+                  OVER (PARTITION BY user_id) AS buy_ts
+      FROM s2
+    ),
+    per_user AS (
+      SELECT user_id, min(view_ts) AS view_ts, min(click_ts) AS click_ts,
+             min(buy_ts) AS buy_ts
+      FROM s3 GROUP BY 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS users_total,
+           CAST(count(view_ts) AS BIGINT) AS users_viewed,
+           CAST(count(click_ts) AS BIGINT) AS users_clicked,
+           CAST(count(buy_ts) AS BIGINT) AS users_purchased,
+           CAST(sum(CASE WHEN buy_ts IS NOT NULL
+                         THEN epoch_us(buy_ts) - epoch_us(view_ts) END) AS BIGINT) AS conv_lag_sum_us
+    FROM per_user
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    s1 = ev.withColumn(
+        "view_ts", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    )
+    s2 = s1.withColumn(
+        "click_ts",
+        F.min(
+            F.when((F.col("event_type") == "click") & (F.col("ts") >= F.col("view_ts")), F.col("ts"))
+        ).over(w),
+    )
+    s3 = s2.withColumn(
+        "buy_ts",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") >= F.col("click_ts")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    per_user = s3.groupBy("user_id").agg(
+        F.min("view_ts").alias("view_ts"),
+        F.min("click_ts").alias("click_ts"),
+        F.min("buy_ts").alias("buy_ts"),
+    )
+    lag = F.unix_micros("buy_ts") - F.unix_micros("view_ts")
+    return per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("users_total"),
+        F.count("view_ts").cast("long").alias("users_viewed"),
+        F.count("click_ts").cast("long").alias("users_clicked"),
+        F.count("buy_ts").cast("long").alias("users_purchased"),
+        F.sum(F.when(F.col("buy_ts").isNotNull(), lag)).cast("long").alias("conv_lag_sum_us"),
+    )

@@ -41,6 +41,12 @@ class MetricsListener(StreamingQueryListener):
         for op in p.stateOperators:
             state_rows += op.numRowsTotal
             state_bytes += op.memoryUsedBytes
+        # observedMetrics: df.observe(...) aggregates that rode the batch's
+        # own job (no second scan) — keyed by observation name, one Row each
+        observed = {
+            name: row.asDict()
+            for name, row in (p.observedMetrics or {}).items()
+        }
         self.progress.append(
             {
                 "query": p.name or str(p.id),
@@ -51,6 +57,7 @@ class MetricsListener(StreamingQueryListener):
                 "state_rows": state_rows,
                 "state_bytes": state_bytes,
                 "watermark": (p.eventTime or {}).get("watermark"),
+                "observed": observed,
             }
         )
 

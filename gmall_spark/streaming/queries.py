@@ -1587,3 +1587,77 @@ def streaming_mb_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.col("l.ts"), TS_FMT).alias("view_ts"),
     )
     return run_collect_batches(j)
+
+
+@register(
+    "streaming_observed_metrics",
+    f"""
+    WITH {_mb_cte()}
+    SELECT CAST(chunk AS BIGINT) AS batch_id,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(value * 10000) AS BIGINT)) AS BIGINT) AS value_q_sum,
+           CAST(max(epoch_us(ts)) AS BIGINT) AS max_us
+    FROM placed
+    GROUP BY 1
+    """,
+)
+def streaming_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df.observe() under the correctness gate — in-plan metrics, the Spark
+    analog of Flink's operator metric groups: per-batch row count, exact
+    quantized value sum, and max event time computed as observations that
+    RIDE the batch's own job (no second scan of the source — contrast
+    streaming_dq_monitor, whose expectation rules are part of the query
+    result). The listener receives one observedMetrics row per named
+    observation per micro-batch (driver-side, O(batches), never O(rows));
+    the oracle replays each per-file batch's metrics from the deterministic
+    chunk split — so the value-hash proves the observation pipeline
+    (plan-embedded agg → progress event → telemetry frame) end to end.
+    The noop sink is the point: observability costs nothing extra even when
+    the batch's only consumer discards the rows."""
+    import time
+
+    from gmall_spark.streaming import monitor
+    from gmall_spark.streaming.multibatch import stream_event_chunks
+
+    src = stream_event_chunks(spark, sf_dir, 3)
+    observed = src.observe(
+        "intake",
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("value") * 10000).cast("long")).alias("value_q_sum"),
+        F.max(F.unix_micros("ts")).alias("max_us"),
+    )
+    qname = _name("observe")
+    lst = monitor.attach(spark)
+    try:
+        q = (
+            observed.writeStream.queryName(qname)
+            .format("noop")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # progress events are delivered asynchronously after termination
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            got = [
+                m
+                for m in lst.progress
+                if m["query"] == qname and m["observed"].get("intake", {}).get("n")
+            ]
+            if len(got) >= 3:
+                break
+            time.sleep(0.1)
+        rows = [
+            (
+                int(m["batch_id"]),
+                int(m["observed"]["intake"]["n"]),
+                int(m["observed"]["intake"]["value_q_sum"]),
+                int(m["observed"]["intake"]["max_us"]),
+            )
+            for m in got
+        ]
+    finally:
+        monitor.detach(spark, lst)
+    return spark.createDataFrame(
+        rows, "batch_id long, n long, value_q_sum long, max_us long"
+    )

@@ -286,3 +286,44 @@ def test_scalar_cross_allowlist_is_not_stale(spark):
         except AssertionError:
             pass
     assert not stale, f"allowlisted entries no longer plan a nested loop: {stale}"
+
+
+def test_runtime_bloom_filter_injects_on_selective_shuffle_join(spark):
+    """The 100 TB knob between 'dim fits broadcast' and 'shuffle everything':
+    when the build side is selective but too big to broadcast, Spark's
+    runtime row-level filtering derives a bloom filter from the build side's
+    join keys and applies it to the probe-side SCAN, so most fact rows die
+    before the exchange. Local data is far below the production thresholds,
+    so the test pins the MECHANISM by lowering them; on a cluster the
+    defaults (10 GB probe / 10 MB build) gate it to genuinely big scans."""
+    from pyspark.sql import functions as F
+
+    conf = spark.conf
+    saved = {
+        k: conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        l = spark.read.parquet(f"{SF}/lineitem.parquet")
+        o = spark.read.parquet(f"{SF}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = l.join(o, l["l_orderkey"] == o["o_orderkey"]).groupBy(
+            "o_orderpriority"
+        ).count()
+        optimized = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in optimized, optimized
+        assert "might_contain" in optimized, optimized
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
