@@ -3349,3 +3349,88 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("buy_ts").cast("long").alias("users_purchased"),
         F.sum(F.when(F.col("buy_ts").isNotNull(), lag)).cast("long").alias("conv_lag_sum_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# LATERAL correlated subquery (Spark 4 native) — the per-row dependent join
+# the reference writes as Flink SQL `LATERAL TABLE(...)`: for every nation,
+# the top-2 customers by account balance, expressed as a correlated LATERAL
+# subquery rather than the window-rank rewrite (top_n_per_group covers that
+# form). Catalyst DECORRELATES this into the same shuffle-once
+# rank-and-filter plan — the point of the entry is that the declarative
+# correlated form carries no per-row re-execution at scale (a naive engine
+# would re-run the subquery once per outer row). Ties broken by custkey so
+# the top-2 set is total-ordered.
+# ---------------------------------------------------------------------------
+_LATERAL_SQL = """
+    SELECT n.n_name AS nation, t.c_custkey AS custkey, t.acctbal
+    FROM nation n,
+    LATERAL (
+      SELECT c.c_custkey,
+             CAST(CAST(c.c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal
+      FROM customer c
+      WHERE c.c_nationkey = n.n_nationkey
+      ORDER BY c.c_acctbal DESC, c.c_custkey
+      LIMIT 2
+    ) t
+"""
+
+
+@register("lateral_topk", _LATERAL_SQL)
+def lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_spark.sources import register_views
+
+    register_views(spark, sf_dir, ("nation", "customer"))
+    return spark.sql(_LATERAL_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Native UNPIVOT (df.unpivot / SQL UNPIVOT, Spark 4) — wide→long reshape
+# without the UNION-ALL-of-N-projections rewrite (which scans the table once
+# per measure): ONE scan emits (measure, value) pairs via the Expand
+# operator, then a plain partial-agg rollup per measure. The long form is
+# what every metrics store / feature pipeline ingests. Values quantized to
+# exact integer basis points BEFORE the reshape so the unpivoted column is
+# a single exact type (UNPIVOT requires a common type; doubles would hash-
+# drift under reordered addition).
+# ---------------------------------------------------------------------------
+@register(
+    "unpivot_measures",
+    """
+    SELECT l_returnflag, measure,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(v_bp) AS BIGINT) AS sum_bp,
+           CAST(min(v_bp) AS BIGINT) AS min_bp,
+           CAST(max(v_bp) AS BIGINT) AS max_bp
+    FROM (
+      UNPIVOT (
+        SELECT l_returnflag,
+               CAST(floor(l_quantity * 10000) AS BIGINT) AS quantity,
+               CAST(floor(l_extendedprice * 10000) AS BIGINT) AS extendedprice,
+               CAST(floor(l_discount * 10000) AS BIGINT) AS discount,
+               CAST(floor(l_tax * 10000) AS BIGINT) AS tax
+        FROM lineitem
+      ) ON quantity, extendedprice, discount, tax
+      INTO NAME measure VALUE v_bp
+    )
+    GROUP BY 1, 2
+    """,
+)
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    bp = lambda c: F.floor(F.col(c) * 10000).cast("long").alias(c.removeprefix("l_"))  # noqa: E731
+    wide = l.select(
+        "l_returnflag", bp("l_quantity"), bp("l_extendedprice"), bp("l_discount"), bp("l_tax")
+    )
+    long = wide.unpivot(
+        ids=["l_returnflag"],
+        values=["quantity", "extendedprice", "discount", "tax"],
+        variableColumnName="measure",
+        valueColumnName="v_bp",
+    )
+    return long.groupBy("l_returnflag", "measure").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v_bp").cast("long").alias("sum_bp"),
+        F.min("v_bp").cast("long").alias("min_bp"),
+        F.max("v_bp").cast("long").alias("max_bp"),
+    )

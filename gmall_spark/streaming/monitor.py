@@ -38,9 +38,11 @@ class MetricsListener(StreamingQueryListener):
         p = event.progress
         state_rows = 0
         state_bytes = 0
+        dropped = 0
         for op in p.stateOperators:
             state_rows += op.numRowsTotal
             state_bytes += op.memoryUsedBytes
+            dropped += op.numRowsDroppedByWatermark
         # observedMetrics: df.observe(...) aggregates that rode the batch's
         # own job (no second scan) — keyed by observation name, one Row each
         observed = {
@@ -56,6 +58,7 @@ class MetricsListener(StreamingQueryListener):
                 "batch_ms": (p.durationMs or {}).get("triggerExecution", 0),
                 "state_rows": state_rows,
                 "state_bytes": state_bytes,
+                "dropped_by_watermark": dropped,
                 "watermark": (p.eventTime or {}).get("watermark"),
                 "observed": observed,
             }

@@ -1661,3 +1661,75 @@ def streaming_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "batch_id long, n long, value_q_sum long, max_us long"
     )
+
+
+@register(
+    "streaming_late_drop_audit",
+    f"""
+    WITH {_mb_cte(late_every=23)},
+    per AS (SELECT arrival AS batch_id, count(*) AS input_rows FROM placed GROUP BY 1),
+    drops AS (
+      SELECT count(*) FILTER (
+        WHERE is_late
+          AND epoch_us(time_bucket(INTERVAL '10 minutes', ts) + INTERVAL '10 minutes') // 1000
+              <= wm1
+      ) AS d2
+      FROM placed, wm
+    )
+    SELECT CAST(b.batch_id AS BIGINT) AS batch_id,
+           CAST(coalesce(p.input_rows, 0) AS BIGINT) AS input_rows,
+           CAST(CASE WHEN b.batch_id = 2 THEN d.d2 ELSE 0 END AS BIGINT) AS dropped
+    FROM (VALUES (0), (1), (2), (3)) b(batch_id)
+    LEFT JOIN per p USING (batch_id), drops d
+    """,
+)
+def streaming_late_drop_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST10 made OBSERVABLE: the per-batch numRowsDroppedByWatermark counter
+    — the ops signal that tells a production pipeline it is silently losing
+    late data (the thing Flink surfaces as a side-output metric). The source
+    relocates every 23rd chunk-0 row into the LAST file; when they arrive in
+    batch 2 the governing watermark (wm after batch 1) has passed their
+    10-minute windows' ends, so the stateful operator drops them pre-state
+    and reports the count in its progress. The oracle replays the drop count
+    from the chunk ladder: late rows whose window end <= wm1 — the same
+    closure model every mb entry's emission schedule is proven by, here
+    checked against the ENGINE'S OWN drop accounting rather than the output
+    rows. Telemetry path is driver-side O(batches)."""
+    import time
+
+    from gmall_spark.streaming import monitor
+    from gmall_spark.streaming.multibatch import WATERMARK, stream_event_chunks
+
+    src = stream_event_chunks(spark, sf_dir, 3, late_every=23)
+    agg = (
+        src.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", "10 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    qname = _name("late_drop")
+    lst = monitor.attach(spark)
+    try:
+        q = (
+            agg.writeStream.queryName(qname)
+            .format("noop")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        deadline = time.time() + 30
+        got: dict[int, tuple[int, int]] = {}
+        while time.time() < deadline:
+            for m in lst.progress:
+                if m["query"] == qname:
+                    got[int(m["batch_id"])] = (
+                        int(m["input_rows"]),
+                        int(m["dropped_by_watermark"]),
+                    )
+            if set(got) >= {0, 1, 2, 3}:
+                break
+            time.sleep(0.1)
+    finally:
+        monitor.detach(spark, lst)
+    rows = [(b, *got[b]) for b in sorted(got)]
+    return spark.createDataFrame(rows, "batch_id long, input_rows long, dropped long")

@@ -327,3 +327,20 @@ def test_runtime_bloom_filter_injects_on_selective_shuffle_join(spark):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+def test_lateral_topk_decorrelates_to_window_rank(spark):
+    """The correlated LATERAL subquery must decorrelate into one shuffle +
+    window rank — NOT a per-outer-row re-execution (nested loop)."""
+    df = QUERIES["lateral_topk"](spark, SF)
+    plan = physical_plan(df)
+    assert "Window" in plan, plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+
+
+def test_unpivot_single_scan_expand(spark):
+    """Native UNPIVOT must reshape via ONE scan + Expand, not a UNION ALL
+    that re-scans lineitem once per measure."""
+    df = QUERIES["unpivot_measures"](spark, SF)
+    assert "Expand" in physical_plan(df)
+    assert len(scan_info(df)) == 1, scan_info(df)
