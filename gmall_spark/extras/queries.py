@@ -4057,3 +4057,101 @@ def sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("exact_inter").cast("long"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss sign projection — dimensionality reduction for the
+# embedding column (64 → 16 dims) with a paired DISTORTION AUDIT, the step
+# between "store full vectors" and "ANN over cheap codes" (LSH keeps only
+# the sign bit per plane; JL keeps the full projected value, so downstream
+# cosine/dot math still works in the small space at 1/4 the bytes).
+# Everything is INTEGER-exact: vectors are quantized to 1e-4 units FIRST,
+# the ±1 signs come from md5 parity, so projections and dot products are
+# exact BIGINT sums (order-free — no float fold to pin). The audit reports,
+# per consecutive-id pair, the original-space dot vs the projected-space dot
+# against the JL identity E[<Pa,Pb>] = d'·<a,b> (err16 = the deviation).
+# Scale shape: one posexplode + a 1024-row broadcast sign table + two
+# key-partitioned partial aggs — no vector ever leaves the executor, the
+# driver holds only the constant sign matrix.
+# ---------------------------------------------------------------------------
+_JL_ORACLE = """
+WITH vq AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 10000) AS BIGINT)) AS q
+  FROM embeddings
+),
+signs AS (
+  SELECT j, i,
+         CASE WHEN substr(md5('jl' || j || ':' || i), 1, 1) >= '8'
+              THEN 1 ELSE -1 END AS s
+  FROM (SELECT unnest(range(0, 16)) AS j), (SELECT unnest(range(1, 65)) AS i)
+),
+proj AS (
+  SELECT v.vec_id, sg.j, CAST(sum(v.q[sg.i] * sg.s) AS BIGINT) AS p
+  FROM vq v, signs sg
+  GROUP BY 1, 2
+),
+od AS (
+  SELECT a.vec_id,
+         CAST(list_dot_product(a.q, b.q) AS BIGINT) AS orig_dot
+  FROM vq a JOIN vq b ON b.vec_id = a.vec_id + 1
+),
+pd AS (
+  SELECT a.vec_id, CAST(sum(a.p * b.p) AS BIGINT) AS proj_dot
+  FROM proj a JOIN proj b ON b.vec_id = a.vec_id + 1 AND a.j = b.j
+  GROUP BY 1
+)
+SELECT od.vec_id, od.orig_dot, pd.proj_dot,
+       CAST(pd.proj_dot - 16 * od.orig_dot AS BIGINT) AS err16
+FROM od JOIN pd ON od.vec_id = pd.vec_id
+"""
+
+
+@register("embed_jl_project", _JL_ORACLE)
+def embed_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vq = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.transform("embedding", lambda x: F.floor(x.cast("double") * 10000).cast("long"))
+        ).alias("pos", "q"),
+    ).select("vec_id", (F.col("pos") + 1).alias("i"), "q")
+    signs = spark.createDataFrame(
+        [
+            (j, i, 1 if hashlib.md5(f"jl{j}:{i}".encode()).hexdigest()[0] >= "8" else -1)
+            for j in range(16)
+            for i in range(1, 65)
+        ],
+        "j int, i int, s long",
+    )
+    proj = (
+        vq.join(F.broadcast(signs), "i")
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.col("q") * F.col("s")).alias("p"))
+    )
+    a_q, b_q = vq.alias("a"), vq.alias("b")
+    od = (
+        a_q.join(
+            b_q,
+            (F.col("b.vec_id") == F.col("a.vec_id") + 1) & (F.col("a.i") == F.col("b.i")),
+        )
+        .groupBy(F.col("a.vec_id").alias("vec_id"))
+        .agg(F.sum(F.col("a.q") * F.col("b.q")).cast("long").alias("orig_dot"))
+    )
+    a_p, b_p = proj.alias("pa"), proj.alias("pb")
+    pd_ = (
+        a_p.join(
+            b_p,
+            (F.col("pb.vec_id") == F.col("pa.vec_id") + 1) & (F.col("pa.j") == F.col("pb.j")),
+        )
+        .groupBy(F.col("pa.vec_id").alias("vec_id"))
+        .agg(F.sum(F.col("pa.p") * F.col("pb.p")).cast("long").alias("proj_dot"))
+    )
+    return od.join(pd_, "vec_id").select(
+        "vec_id",
+        "orig_dot",
+        "proj_dot",
+        (F.col("proj_dot") - F.lit(16) * F.col("orig_dot")).cast("long").alias("err16"),
+    )

@@ -3434,3 +3434,103 @@ def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("v_bp").cast("long").alias("min_bp"),
         F.max("v_bp").cast("long").alias("max_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bucketed table checksum diff — the anti-entropy / replication audit: two
+# replicas of a 100 TB table can't be compared row-by-row across clusters,
+# so each side independently folds its rows into per-bucket fingerprints
+# (row-hash XOR + count over hash(pk) % B buckets) and only the O(B)
+# fingerprint table travels; buckets whose fingerprints diverge are re-synced
+# selectively. XOR is the right fold: commutative/associative (partition-
+# order-free partial agg), self-inverting (an extra+missing row pair never
+# cancels the way sum can... a SINGLE flipped row always flips the xor), and
+# overflow-free. Replica B here is events with a deterministic fault
+# injection — every 997th row deleted, every 1009th row's value doubled —
+# so the entry demonstrates detection: changed buckets flag diverged=1 with
+# matching counts (corruption) or count drift (loss). 60-bit md5 row hashes
+# replay exactly in the oracle.
+# ---------------------------------------------------------------------------
+@register(
+    "table_checksum_diff",
+    """
+    WITH rowq AS (
+      SELECT event_id % 64 AS bucket, event_id,
+             md5(CAST(event_id AS VARCHAR) || ':' || CAST(user_id AS VARCHAR) || ':'
+                 || event_type || ':' || CAST(CAST(floor(value * 10000) AS BIGINT) AS VARCHAR)) AS m,
+             CAST(floor(value * 10000) AS BIGINT) AS value_q
+      FROM events
+    ),
+    h AS (
+      SELECT bucket, event_id,
+             CAST(concat('0x', substr(m, 1, 15)) AS BIGINT) AS h
+      FROM rowq
+    ),
+    a AS (SELECT bucket, count(*) AS a_ct, bit_xor(h) AS a_fp FROM h GROUP BY 1),
+    brow AS (
+      SELECT event_id % 64 AS bucket,
+             md5(CAST(event_id AS VARCHAR) || ':' || CAST(user_id AS VARCHAR) || ':'
+                 || event_type || ':'
+                 || CAST(CASE WHEN event_id % 1009 = 0
+                              THEN CAST(floor(value * 10000) AS BIGINT) * 2
+                              ELSE CAST(floor(value * 10000) AS BIGINT) END AS VARCHAR)) AS m
+      FROM events WHERE event_id % 997 <> 0
+    ),
+    b AS (
+      SELECT bucket, count(*) AS b_ct,
+             bit_xor(CAST(concat('0x', substr(m, 1, 15)) AS BIGINT)) AS b_fp
+      FROM brow GROUP BY 1
+    )
+    SELECT a.bucket AS bucket,
+           CAST(a.a_ct AS BIGINT) AS a_ct, CAST(coalesce(b.b_ct, 0) AS BIGINT) AS b_ct,
+           CAST(a.a_fp AS BIGINT) AS a_fp, CAST(coalesce(b.b_fp, 0) AS BIGINT) AS b_fp,
+           CAST(CASE WHEN a.a_ct <> coalesce(b.b_ct, 0)
+                       OR a.a_fp <> coalesce(b.b_fp, 0) THEN 1 ELSE 0 END AS INT) AS diverged
+    FROM a LEFT JOIN b ON a.bucket = b.bucket
+    """,
+)
+def table_checksum_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    value_q = F.floor(F.col("value") * 10000).cast("long")
+
+    def fingerprints(df, vq, alias):
+        m = F.md5(
+            F.concat_ws(
+                ":",
+                F.col("event_id").cast("string"),
+                F.col("user_id").cast("string"),
+                F.col("event_type"),
+                vq.cast("string"),
+            )
+        )
+        h = F.conv(F.substring(m, 1, 15), 16, 10).cast("long")
+        return (
+            df.select((F.col("event_id") % 64).alias("bucket"), h.alias("h"))
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias(f"{alias}_ct"),
+                F.expr("bit_xor(h)").cast("long").alias(f"{alias}_fp"),
+            )
+        )
+
+    a = fingerprints(ev, value_q, "a")
+    b = fingerprints(
+        ev.filter(F.col("event_id") % 997 != 0),
+        F.when(F.col("event_id") % 1009 == 0, value_q * 2).otherwise(value_q),
+        "b",
+    )
+    return a.join(b, "bucket", "left").select(
+        "bucket",
+        "a_ct",
+        F.coalesce("b_ct", F.lit(0)).cast("long").alias("b_ct"),
+        "a_fp",
+        F.coalesce("b_fp", F.lit(0)).cast("long").alias("b_fp"),
+        F.when(
+            (F.col("a_ct") != F.coalesce("b_ct", F.lit(0)))
+            | (F.col("a_fp") != F.coalesce("b_fp", F.lit(0))),
+            1,
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("diverged"),
+    )

@@ -1733,3 +1733,65 @@ def streaming_late_drop_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         monitor.detach(spark, lst)
     rows = [(b, *got[b]) for b in sorted(got)]
     return spark.createDataFrame(rows, "batch_id long, input_rows long, dropped long")
+
+
+@register(
+    "streaming_scd2_enrich",
+    """
+    WITH v AS (
+      SELECT user_id, ts AS vf,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS vt,
+             event_id % 3 AS tier
+      FROM events WHERE event_type = 'signup'
+    ),
+    s AS (SELECT * FROM events WHERE event_type <> 'signup')
+    SELECT s.event_id, s.user_id, s.event_type,
+           CAST(coalesce(v.tier, -1) AS BIGINT) AS tier
+    FROM s LEFT JOIN v
+      ON s.user_id = v.user_id AND s.ts >= v.vf AND (v.vt IS NULL OR s.ts < v.vt)
+    """,
+)
+def streaming_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension enrichment on a LIVE stream — the stream-
+    static join against an SCD2-versioned dim (scd2_dim's query side,
+    streaming): each in-flight event picks the dim version whose
+    [valid_from, valid_to) span covers its EVENT TIME, not the version
+    current at processing time — the difference between "what tier was this
+    user when they clicked" and the silently-wrong latest-version join.
+    Versions derive from the user's own signup events (valid_to = next
+    signup via lead()); events before the first signup keep tier -1 via the
+    left join. Scale shape: stream-static joins are STATELESS — each micro-
+    batch hash-joins against the (re-broadcast) dim with the range residual
+    as a post-join filter, no watermark, no state store; the dim is
+    dim-sized, the stream never shuffles. Oracle: the identical SQL join —
+    per-batch independence means the streaming result IS the batch result."""
+    from gmall_spark.sources import load_table
+    from pyspark.sql import Window
+
+    ev_static = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dim = (
+        ev_static.filter(F.col("event_type") == "signup")
+        .select(
+            "user_id",
+            "event_id",
+            F.col("ts").alias("vf"),
+            (F.col("event_id") % 3).alias("tier"),
+        )
+        .withColumn("vt", F.lead("vf").over(w.orderBy("vf", "event_id")))
+        .drop("event_id")
+    )
+    stream = stream_events(spark, sf_dir).filter(F.col("event_type") != "signup")
+    joined = stream.join(
+        F.broadcast(dim),
+        (stream["user_id"] == dim["user_id"])
+        & (stream["ts"] >= dim["vf"])
+        & (dim["vt"].isNull() | (stream["ts"] < dim["vt"])),
+        "left",
+    ).select(
+        stream["event_id"],
+        stream["user_id"],
+        stream["event_type"],
+        F.coalesce(dim["tier"], F.lit(-1)).cast("long").alias("tier"),
+    )
+    return run_to_memory(joined, _name("scd2_enrich"))
