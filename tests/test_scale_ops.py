@@ -90,6 +90,13 @@ def test_write_parquet_partitioned_roundtrip(spark, tmp_path):
     one_day = daily.select("dt").first()["dt"]
     pruned = back.filter(F.col("dt") == one_day)
     assert pruned.count() == daily.filter(F.col("dt") == one_day).count()
+    # not just equal counts: the dt predicate must land in PartitionFilters
+    # (directory-level pruning), NOT as a post-scan data filter
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "dt" in m.group(1), plan
 
 
 def test_read_json_logs_schema_pinned(spark, tmp_path):
