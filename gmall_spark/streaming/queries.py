@@ -1794,4 +1794,9 @@ def streaming_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream["event_type"],
         F.coalesce(dim["tier"], F.lit(-1)).cast("long").alias("tier"),
     )
-    return run_to_memory(joined, _name("scd2_enrich"))
+    # executor-side parquet spool, not the memory sink: the output is
+    # O(input) rows (every non-signup event), and the memory sink would haul
+    # all of them through the driver — 21.8s at sf10 vs 8.2s spooled
+    from gmall_spark.streaming.multibatch import run_collect_batches
+
+    return run_collect_batches(joined).drop("emit_batch")
