@@ -3534,3 +3534,59 @@ def table_checksum_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("diverged"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Native XML roundtrip (Spark 4 built-in, no spark-xml package) — the third
+# interchange format next to CSV/ORC (format_roundtrip): B2B feeds and
+# legacy enterprise handoffs still speak XML. Same discipline: only integers
+# and strings transit the text format (ts pre-converted to unix_micros
+# BIGINT, value to exact micro-units), explicit read schema, and the
+# checksum row must hash-match the parquet ground truth — so the rowTag
+# writer/parser path is proven lossless, not assumed. Scale: rowTag XML is
+# splittable on element boundaries; one distributed write, one read.
+# ---------------------------------------------------------------------------
+@register(
+    "xml_roundtrip",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(user_id) AS BIGINT) AS user_sum,
+           CAST(sum(CAST(floor(value * 10000) AS BIGINT)) AS BIGINT) AS value_q_sum,
+           CAST(sum(epoch_us(ts) // 86400000000) AS BIGINT) AS ts_day_sum,
+           CAST(sum(epoch_us(ts) % 86400000000) AS BIGINT) AS ts_us_sum
+    FROM events
+    """,
+)
+def xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_id").cast("long"),
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("user_id").cast("long"),
+        "event_type",
+        F.floor(F.col("value") * 10000).cast("long").alias("value_q"),
+    )
+    base = tempfile.mkdtemp(prefix="gmall_xml_")
+    (
+        ev.write.mode("overwrite")
+        .option("rootTag", "events")
+        .option("rowTag", "event")
+        .format("xml")
+        .save(f"{base}/xml")
+    )
+    back = (
+        spark.read.schema(
+            "event_id LONG, ts_us LONG, user_id LONG, event_type STRING, value_q LONG"
+        )
+        .option("rowTag", "event")
+        .format("xml")
+        .load(f"{base}/xml")
+    )
+    return back.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("user_id").cast("long").alias("user_sum"),
+        F.sum("value_q").cast("long").alias("value_q_sum"),
+        F.sum(F.expr("ts_us div 86400000000")).cast("long").alias("ts_day_sum"),
+        F.sum(F.expr("ts_us % 86400000000")).cast("long").alias("ts_us_sum"),
+    )

@@ -1800,3 +1800,124 @@ def streaming_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gmall_spark.streaming.multibatch import run_collect_batches
 
     return run_collect_batches(joined).drop("emit_batch")
+
+
+@register(
+    "streaming_chained_stateful",
+    f"""
+    WITH wm AS (
+      SELECT least(
+        (SELECT epoch_us(max(ts)) // 1000 FROM events WHERE event_type = 'view'),
+        (SELECT epoch_us(max(ts)) // 1000 FROM events WHERE event_type = 'purchase')
+      ) - 2000 AS wm_ms
+    ),
+    m AS (
+      SELECT v.ts AS vts
+      FROM events v JOIN events b
+        ON v.user_id = b.user_id
+       AND v.event_type = 'view' AND b.event_type = 'purchase'
+       AND b.ts >= v.ts AND b.ts <= v.ts + INTERVAL '120 minutes'
+    ),
+    w AS (
+      SELECT time_bucket(INTERVAL '10 minutes', vts) AS ws,
+             CAST(count(*) AS BIGINT) AS n
+      FROM m GROUP BY 1
+    )
+    SELECT strftime(ws, '{_DUCK_FMT}') AS stt,
+           strftime(ws + INTERVAL '10 minutes', '{_DUCK_FMT}') AS edt, n
+    FROM w, wm
+    WHERE epoch_us(ws + INTERVAL '10 minutes') // 1000 <= wm_ms - 7200000
+    """,
+)
+def streaming_chained_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO stateful operators in ONE streaming query — the stream-stream
+    interval join (view ⋈ purchase within 2h) feeding a tumbling windowed
+    count, the multi-stateful chaining Spark 3.x forbade and Spark 4 plans
+    with per-operator watermark simulation (SPARK-42376). The oracle pins
+    the part nobody guesses right: the window does NOT close at the plain
+    watermark — the join DELAYS its output watermark by the join's upper
+    bound (a matched view row can keep arriving in join output until the
+    purchase-side watermark passes vts + 2h), so closure is
+    min(view_wm, purchase_wm) − 2h, verified here against synthetic
+    boundary micro-probes (a window whose end lies between the delayed and
+    the plain watermark provably does NOT emit). State stays bounded at
+    both operators: join state evicts by the interval, window state by the
+    delayed watermark — the composed pipeline a DWM→DWS hop runs as one
+    query instead of two Kafka-separated jobs."""
+    views = stream_events(spark, sf_dir).filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("vts")
+    )
+    buys = stream_events(spark, sf_dir).filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("bts")
+    )
+    j = interval_join_stream(views, buys, "user_id", "vts", "bts", "0 seconds", "120 minutes")
+    agg = j.groupBy(F.window("vts", "10 minutes")).agg(F.count(F.lit(1)).alias("n"))
+    out = run_to_memory(agg, _name("chained"))
+    return out.select(
+        F.date_format("window.start", TS_FMT).alias("stt"),
+        F.date_format("window.end", TS_FMT).alias("edt"),
+        F.col("n").cast("long"),
+    )
+
+
+@register(
+    "streaming_dynamic_session",
+    f"""
+    WITH wm AS {_WM_MS},
+    g AS (
+      SELECT user_id, ts, event_id,
+             epoch_us(ts) + CASE WHEN event_type = 'purchase'
+                                 THEN 1800000000 ELSE 600000000 END AS end_us
+      FROM events
+    ),
+    m AS (
+      SELECT *, max(end_us) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      FROM g
+    ),
+    s AS (
+      SELECT *, sum(CASE WHEN prev_end IS NULL OR epoch_us(ts) >= prev_end
+                         THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS seq
+      FROM m
+    ),
+    agg AS (
+      SELECT user_id, seq, min(ts) AS s_start, max(end_us) AS s_end_us,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM s GROUP BY 1, 2
+    )
+    SELECT user_id, n_events,
+           strftime(s_start, '{_DUCK_FMT}') AS session_start,
+           strftime(make_timestamp(s_end_us), '{_DUCK_FMT}') AS session_end
+    FROM agg, wm
+    WHERE s_end_us // 1000 <= wm.wm_ms
+    """,
+)
+def streaming_dynamic_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC-gap session windows — the per-event gap expression
+    (purchases hold a session open 30 minutes, everything else 10) that
+    models 'intent-dependent idle timeout'; fixed-gap sessionization
+    (streaming_session_stats) can't express it. Semantics the oracle
+    replays: each event extends its session to max(end, ts + gap(event)) —
+    so a new session starts iff ts >= the running max end of everything
+    before it (cummax, NOT lag: a long-gap purchase can bridge over a
+    short-gap view that arrived after it). Emission: a session closes when
+    the watermark passes its (max ts+gap) end. State per open session is
+    one (start, end, count) triple regardless of gap rule complexity."""
+    src = stream_events(spark, sf_dir)
+    gap = F.when(F.col("event_type") == "purchase", F.lit("30 minutes")).otherwise(
+        F.lit("10 minutes")
+    )
+    out = (
+        src.withWatermark("ts", "2 seconds")
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    res = run_to_memory(out, _name("dyn_sess"))
+    return res.select(
+        "user_id",
+        "n_events",
+        F.date_format("session_window.start", TS_FMT).alias("session_start"),
+        F.date_format("session_window.end", TS_FMT).alias("session_end"),
+    )
