@@ -4153,3 +4153,164 @@ def embed_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("err16", (F.col("proj_dot") - F.lit(16) * F.col("orig_dot")).cast("long"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling WITH replacement — the training-mixture draw: pick K
+# documents with probability proportional to a weight column (n_chars here —
+# the "sample by token count" mixture rule). The naive global
+# `sum() OVER (ORDER BY ...)` cumulative-weight table is a single-partition
+# window — the 100 TB killer — so the CDF comes from the two-level
+# distributed prefix sum (operators/prefix.py): bucketed partials, broadcast
+# offsets, parallel within-bucket scans.
+#
+# Draw targets are md5-derived integers mod total-weight (deterministic,
+# oracle-reproducible — no RNG at the engine boundary); each draw lands on
+# the unique document whose [cum_lo, cum_lo + w) interval contains it. The
+# interval probe is a 64-row broadcast against the CDF — O(K·n) comparisons
+# streamed through the scan, never a materialized cross product (allowlisted
+# with the other constant-small nested loops in tests/test_plans.py).
+#
+# All arithmetic BIGINT-exact; the only join keys are integers.
+# ---------------------------------------------------------------------------
+_WS_DRAWS = 64
+
+_WS_ORACLE = f"""
+WITH cdf AS (
+  SELECT doc_id, n_chars,
+         COALESCE(sum(n_chars) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_lo
+  FROM documents
+),
+tot AS (SELECT sum(n_chars) AS w FROM documents),
+draws AS (
+  SELECT j AS draw_id,
+         {_hex_val_sql("md5('ws:' || CAST(j AS VARCHAR))", 1, 12)} % (SELECT w FROM tot) AS target
+  FROM (SELECT unnest(generate_series(0, {_WS_DRAWS - 1})) AS j)
+)
+SELECT CAST(d.draw_id AS BIGINT) AS draw_id,
+       CAST(d.target AS BIGINT) AS target,
+       CAST(c.doc_id AS BIGINT) AS doc_id,
+       CAST(c.n_chars AS BIGINT) AS weight
+FROM draws d JOIN cdf c
+  ON d.target >= c.cum_lo AND d.target < c.cum_lo + c.n_chars
+"""
+
+
+@register("weighted_sample", _WS_ORACLE)
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_spark.operators.prefix import prefix_sum
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    # exclusive scan over doc_id order; bucket = doc_id >> 8 keeps the
+    # bucket table ~n/256 rows (order-aligned because doc_id is the order)
+    cdf = prefix_sum(
+        docs,
+        ["doc_id"],
+        "n_chars",
+        (F.col("doc_id") / 256).cast("long"),
+        out_col="cum_lo",
+        inclusive=False,
+    )
+    total = docs.agg(F.sum("n_chars").cast("long").alias("w"))
+    draws = (
+        spark.range(_WS_DRAWS)
+        .select(F.col("id").alias("draw_id"))
+        .join(F.broadcast(total))  # 1-row scalar cross (allowlisted)
+        .select(
+            "draw_id",
+            F.pmod(
+                F.conv(
+                    F.substring(F.md5(F.concat(F.lit("ws:"), F.col("draw_id").cast("string"))), 1, 12),
+                    16,
+                    10,
+                ).cast("long"),
+                F.col("w"),
+            ).alias("target"),
+        )
+    )
+    return (
+        cdf.join(
+            F.broadcast(draws),
+            (F.col("target") >= F.col("cum_lo"))
+            & (F.col("target") < F.col("cum_lo") + F.col("n_chars")),
+        )
+        .select(
+            F.col("draw_id").cast("long"),
+            F.col("target").cast("long"),
+            F.col("doc_id").cast("long"),
+            F.col("n_chars").cast("long").alias("weight"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# AUC — the rank-statistic (Mann-Whitney) form of ROC area, the model-quality
+# gate an LLM quality-filter pipeline runs over its classifier scores: score
+# = events.value predicting label = (event_type == 'purchase').
+#
+# AUC = P(score_pos > score_neg) + P(tie)/2. One groupBy collapses the data
+# to per-distinct-score (pos_ct, neg_ct); the exclusive cumulative negative
+# count over score order comes from the distributed prefix sum (never a
+# single-partition window); then
+#   num2 = Σ_scores pos_ct · (2·cum_neg_below + neg_ct)   (ties count half)
+#   AUC  = num2 / (2 · n_pos · n_neg)
+# — all BIGINT-exact until the single final IEEE division, so the value
+# hash-matches the oracle bit-for-bit. Beyond ~1e9 positives×negatives the
+# BIGINT products need DECIMAL(38,0); noted, not needed at any test SF.
+# ---------------------------------------------------------------------------
+_AUC_ORACLE = """
+WITH per AS (
+  SELECT value AS score,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS pos_ct,
+         sum(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END) AS neg_ct
+  FROM events GROUP BY 1
+),
+scanned AS (
+  SELECT pos_ct, neg_ct,
+         COALESCE(sum(neg_ct) OVER (ORDER BY score
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_neg
+  FROM per
+)
+SELECT CAST(sum(pos_ct) AS BIGINT) AS n_pos,
+       CAST(sum(neg_ct) AS BIGINT) AS n_neg,
+       CAST(sum(pos_ct * (2 * cum_neg + neg_ct)) AS BIGINT) AS num2,
+       CAST(sum(pos_ct * (2 * cum_neg + neg_ct)) AS DOUBLE)
+         / CAST(2 * sum(pos_ct) * sum(neg_ct) AS DOUBLE) AS auc
+FROM scanned
+"""
+
+
+@register("auc_score", _AUC_ORACLE)
+def auc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_spark.operators.prefix import prefix_sum
+
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy(F.col("value").alias("score")).agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("pos_ct"),
+        F.sum(F.when(F.col("event_type") != "purchase", 1).otherwise(0)).alias("neg_ct"),
+    )
+    scanned = prefix_sum(
+        per,
+        ["score"],
+        "neg_ct",
+        F.floor(F.col("score")).cast("long"),
+        out_col="cum_neg",
+        inclusive=False,
+    )
+    row = scanned.agg(
+        F.sum("pos_ct").cast("long").alias("n_pos"),
+        F.sum("neg_ct").cast("long").alias("n_neg"),
+        F.sum(F.col("pos_ct") * (2 * F.col("cum_neg") + F.col("neg_ct")))
+        .cast("long")
+        .alias("num2"),
+    )
+    return row.select(
+        "n_pos",
+        "n_neg",
+        "num2",
+        (
+            F.col("num2").cast("double")
+            / (F.lit(2) * F.col("n_pos") * F.col("n_neg")).cast("double")
+        ).alias("auc"),
+    )

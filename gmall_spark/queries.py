@@ -3590,3 +3590,164 @@ def xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("ts_us div 86400000000")).cast("long").alias("ts_day_sum"),
         F.sum(F.expr("ts_us % 86400000000")).cast("long").alias("ts_us_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouped OLS — closed-form per-brand linear fit (price-vs-quantity) from
+# sufficient statistics: one partial-aggregated groupBy collects
+# (n, Σx, Σy, Σxy, Σx²) and the slope/intercept are pure column arithmetic.
+# This is how regression runs at 100 TB — never an iterative solver, never a
+# driver-side matrix; the shuffle carries 5 numbers per brand.
+#
+# Engine parity: x = quantity (integral in this data), y = price in CENTS
+# (BIGINT) — sums aggregate as DECIMAL(38,0) so num/den are EXACT on both
+# engines (Spark decimal×decimal at scale 0 never rounds; DuckDB runs
+# HUGEINT); the only float ops are the final IEEE divisions, bit-identical
+# from identical exact operands. Slope is cents-per-unit.
+# ---------------------------------------------------------------------------
+@register(
+    "ols_brand",
+    """
+    WITH s AS (
+      SELECT p.p_brand,
+             count(*) AS n,
+             sum(CAST(l.l_quantity AS BIGINT)) AS sx,
+             sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS sy,
+             sum(CAST(l.l_quantity AS BIGINT)
+                 * CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS sxy,
+             sum(CAST(l.l_quantity AS BIGINT) * CAST(l.l_quantity AS BIGINT)) AS sxx
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1
+    )
+    SELECT p_brand,
+           CAST(n AS BIGINT) AS n,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_cents,
+           (CAST(sy AS DOUBLE)
+              - (CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE) AS intercept_cents
+    FROM s
+    """,
+)
+def ols_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    x = F.col("l_quantity").cast("long")
+    y = F.round(F.col("l_extendedprice") * 100).cast("long")
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s = (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(d38(x)).alias("sx"),
+            F.sum(d38(y)).alias("sy"),
+            F.sum(d38(x * y)).alias("sxy"),
+            F.sum(d38(x * x)).alias("sxx"),
+        )
+    )
+    nd = F.col("n").cast("decimal(38,0)")
+    num = (nd * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (nd * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = num / den
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+    ) / F.col("n").cast("double")
+    return s.select(
+        "p_brand",
+        F.col("n").cast("long"),
+        slope.alias("slope_cents"),
+        intercept.alias("intercept_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit — the privacy gate a dataset release runs: group by the
+# quasi-identifier tuple (nation, market segment, account-balance band) and
+# surface every group smaller than k=5 — each is a re-identification risk.
+# One partial-aggregated groupBy; the listing is the violating tail, so the
+# result stays small even at 100 TB (bounded by |QID domain|, not |rows|).
+# ---------------------------------------------------------------------------
+@register(
+    "k_anonymity",
+    """
+    SELECT c_nationkey, c_mktsegment,
+           CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+           CAST(count(*) AS BIGINT) AS k
+    FROM customer
+    GROUP BY 1, 2, 3
+    HAVING count(*) < 5
+    """,
+)
+def k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.groupBy(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_band"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("k"))
+        .filter(F.col("k") < 5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling active users — DAU/WAU/MAU per day with EXACT rolling distincts.
+# `count(DISTINCT user) OVER (RANGE 30 days)` doesn't exist in Spark and the
+# per-day self-join rescans the fact 30×; instead each (user, day) presence
+# row CONTRIBUTES to the w following days (explode of a 7-/30-day date
+# sequence), dedup (user, day) per horizon, count per day. Cost is a bounded
+# 37× row expansion of the (already distinct-collapsed) presence set — two
+# shuffles per horizon, no self-joins, no windows over the fact table.
+# Trailing days beyond the data span are clipped by the observed-day join.
+# ---------------------------------------------------------------------------
+@register(
+    "rolling_active_users",
+    """
+    WITH presence AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+    days AS (SELECT DISTINCT d FROM presence),
+    dau AS (SELECT d, count(*) AS dau FROM presence GROUP BY 1),
+    wau AS (
+      SELECT dy.d, count(DISTINCT p.user_id) AS wau
+      FROM days dy JOIN presence p ON p.d BETWEEN dy.d - 6 AND dy.d GROUP BY 1
+    ),
+    mau AS (
+      SELECT dy.d, count(DISTINCT p.user_id) AS mau
+      FROM days dy JOIN presence p ON p.d BETWEEN dy.d - 29 AND dy.d GROUP BY 1
+    )
+    SELECT strftime(dy.d, '%Y-%m-%d') AS day,
+           CAST(dau.dau AS BIGINT) AS dau,
+           CAST(wau.wau AS BIGINT) AS wau,
+           CAST(mau.mau AS BIGINT) AS mau
+    FROM days dy
+    JOIN dau ON dau.d = dy.d JOIN wau ON wau.d = dy.d JOIN mau ON mau.d = dy.d
+    """,
+)
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    presence = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    days = presence.select("d").distinct()
+
+    def horizon(w: int, name: str) -> DataFrame:
+        contrib = (
+            presence.select(
+                "user_id",
+                F.explode(F.sequence(F.col("d"), F.date_add(F.col("d"), w - 1))).alias("day"),
+            )
+            .distinct()
+            .groupBy("day")
+            .agg(F.count(F.lit(1)).cast("long").alias(name))
+        )
+        return contrib.join(days, contrib["day"] == days["d"]).drop("d")
+
+    dau = presence.groupBy(F.col("d").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("dau")
+    )
+    out = (
+        dau.join(horizon(7, "wau"), "day")
+        .join(horizon(30, "mau"), "day")
+        .select(F.date_format("day", "yyyy-MM-dd").alias("day"), "dau", "wau", "mau")
+    )
+    return out

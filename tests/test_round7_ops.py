@@ -1,0 +1,142 @@
+"""Round-7 entry semantics pinned against independent models (the oracle
+suite hash-compares the same entries against DuckDB; these assert the
+invariants a hash match alone would not explain): the distributed prefix
+sum vs the single-partition window it replaces, weighted-draw interval
+membership, AUC vs the O(n²) pairwise definition, OLS vs numpy's least
+squares, k-anonymity completeness, and rolling-active-user monotonicity."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import functions as F
+
+import gmall_spark.extras.queries  # noqa: F401  (registers extras entries)
+from gmall_spark.operators.prefix import prefix_sum
+from gmall_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+SF01 = "/root/testdata/sf0.01"
+
+
+def _scan_frame(spark, n=5000):
+    # deterministic values + a non-trivial bucket layout (buckets of ~37 rows)
+    return spark.range(n).select(
+        F.col("id").alias("k"),
+        (F.pmod(F.col("id") * 2654435761, F.lit(1000)) + 1).alias("v"),
+    )
+
+
+def test_prefix_sum_matches_single_partition_window(spark):
+    df = _scan_frame(spark)
+    got = (
+        prefix_sum(df, ["k"], "v", (F.col("k") / 37).cast("long"), out_col="cum")
+        .orderBy("k")
+        .toPandas()
+    )
+    expect = got["v"].cumsum()
+    assert (got["cum"] == expect).all()
+
+
+def test_prefix_sum_exclusive_is_shifted_inclusive(spark):
+    df = _scan_frame(spark, n=999)
+    pdf = (
+        prefix_sum(
+            df, ["k"], "v", (F.col("k") / 64).cast("long"), out_col="lo", inclusive=False
+        )
+        .orderBy("k")
+        .toPandas()
+    )
+    assert pdf["lo"].iloc[0] == 0
+    assert (pdf["lo"] == pdf["v"].cumsum() - pdf["v"]).all()
+
+
+def test_prefix_sum_windows_are_bucket_partitioned(spark):
+    """The data-sized window must be PARTITIONED (by the bucket); only the
+    |buckets|-row offset table may use the global window. A regression to a
+    single-partition scan over the data is the exact failure this operator
+    exists to prevent."""
+    df = _scan_frame(spark)
+    plan = (
+        prefix_sum(df, ["k"], "v", (F.col("k") / 37).cast("long"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the within-bucket window keys its partitioning on __bucket
+    assert "__bucket" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_weighted_sample_draws_land_in_their_interval(spark):
+    out = QUERIES["weighted_sample"](spark, SF01).toPandas().sort_values("draw_id")
+    docs = duckdb.sql(
+        f"SELECT doc_id, n_chars FROM '{SF01}/documents.parquet' ORDER BY doc_id"
+    ).df()
+    lo = docs["n_chars"].cumsum() - docs["n_chars"]
+    intervals = dict(zip(docs["doc_id"], zip(lo, lo + docs["n_chars"])))
+    total = int(docs["n_chars"].sum())
+    assert len(out) == 64 and out["draw_id"].tolist() == list(range(64))
+    for _, r in out.iterrows():
+        a, b = intervals[r["doc_id"]]
+        assert 0 <= r["target"] < total
+        assert a <= r["target"] < b
+
+
+def test_auc_matches_pairwise_definition(spark):
+    row = QUERIES["auc_score"](spark, SF).first()
+    ev = duckdb.sql(
+        f"SELECT value, event_type = 'purchase' AS y FROM '{SF}/events.parquet'"
+    ).df()
+    pos = ev.loc[ev["y"], "value"].to_numpy()
+    neg = ev.loc[~ev["y"], "value"].to_numpy()
+    wins = (pos[:, None] > neg[None, :]).sum()
+    ties = (pos[:, None] == neg[None, :]).sum()
+    assert row["n_pos"] == len(pos) and row["n_neg"] == len(neg)
+    assert row["num2"] == 2 * int(wins) + int(ties)
+    assert abs(row["auc"] - (wins + ties / 2) / (len(pos) * len(neg))) < 1e-12
+
+
+def test_ols_brand_matches_numpy_lstsq(spark):
+    out = QUERIES["ols_brand"](spark, SF).toPandas().set_index("p_brand")
+    raw = duckdb.sql(
+        f"""SELECT p.p_brand, l.l_quantity AS x,
+                   round(l.l_extendedprice * 100) AS y
+            FROM '{SF}/lineitem.parquet' l JOIN '{SF}/part.parquet' p
+              ON l.l_partkey = p.p_partkey"""
+    ).df()
+    for brand, g in raw.groupby("p_brand"):
+        slope, intercept = np.polyfit(g["x"], g["y"], 1)
+        r = out.loc[brand]
+        assert r["n"] == len(g)
+        assert abs(r["slope_cents"] - slope) < 1e-6 * max(1, abs(slope))
+        assert abs(r["intercept_cents"] - intercept) < 1e-6 * max(1, abs(intercept))
+
+
+def test_k_anonymity_is_exactly_the_small_groups(spark):
+    out = QUERIES["k_anonymity"](spark, SF01).toPandas()
+    truth = duckdb.sql(
+        f"""SELECT c_nationkey, c_mktsegment,
+                   CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+                   count(*) AS k
+            FROM '{SF01}/customer.parquet' GROUP BY 1, 2, 3"""
+    ).df()
+    assert (out["k"] < 5).all()
+    small = truth[truth["k"] < 5]
+    assert len(out) == len(small)
+    merged = out.merge(
+        small, on=["c_nationkey", "c_mktsegment", "bal_band"], suffixes=("", "_t")
+    )
+    assert len(merged) == len(small) and (merged["k"] == merged["k_t"]).all()
+
+
+def test_rolling_active_users_monotone_horizons(spark):
+    out = QUERIES["rolling_active_users"](spark, SF).toPandas()
+    assert len(out) > 0
+    assert (out["dau"] <= out["wau"]).all()
+    assert (out["wau"] <= out["mau"]).all()
+    # on the first observed day all three horizons see the same single day
+    first = out.sort_values("day").iloc[0]
+    assert first["dau"] == first["wau"] == first["mau"]
