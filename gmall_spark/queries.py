@@ -3751,3 +3751,125 @@ def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.date_format("day", "yyyy-MM-dd").alias("day"), "dau", "wau", "mau")
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Parallel JDBC ingest roundtrip — the missing half of the K3 connector
+# story (sinks/batch.py writes JDBC; this entry READS back in parallel).
+# The read uses partitionColumn/lowerBound/upperBound/numPartitions — Spark
+# issues one ranged query per partition concurrently, which is how a
+# 100 TB-side pipeline drains an RDBMS dimension without funneling through
+# a single connection. Embedded Derby (on Spark's classpath) stands in for
+# the warehouse RDBMS; the aggregate proves the roundtrip byte-preserved
+# every value (doubles through Derby DOUBLE are IEEE-exact).
+#
+# The parallel-read contract (result has exactly numPartitions input
+# splits) is asserted in tests/test_round7_ops.py.
+# ---------------------------------------------------------------------------
+@register(
+    "jdbc_partitioned_roundtrip",
+    """
+    SELECT c_nationkey,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents,
+           CAST(sum(length(c_name)) AS BIGINT) AS name_len_sum
+    FROM customer
+    GROUP BY 1
+    """,
+)
+def jdbc_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    url = f"jdbc:derby:{tempfile.mkdtemp(prefix='gmall_jdbc_')}/db;create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    c = load_table(spark, sf_dir, "customer")
+    (
+        c.write.mode("overwrite")
+        .format("jdbc")
+        .option("url", url)
+        .option("dbtable", "customer_dim")
+        .option("driver", driver)
+        .save()
+    )
+    lo, hi = c.agg(F.min("c_custkey"), F.max("c_custkey")).first()  # 1 row
+    back = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "customer_dim")
+        .option("driver", driver)
+        .option("partitionColumn", "c_custkey")
+        .option("lowerBound", str(lo))
+        .option("upperBound", str(hi + 1))
+        .option("numPartitions", "8")
+        .load()
+    )
+    return back.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.round(F.col("c_acctbal") * 100).cast("long")).cast("long").alias("acctbal_cents"),
+        F.sum(F.length("c_name")).cast("long").alias("name_len_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal forecast backtest — day-of-week seasonal mean with a holdout:
+# train on all but the last 7 observed days, predict each holdout day's
+# revenue as the train-mean for its ISO weekday, and report exact
+# numerator/denominator plus the IEEE prediction and absolute error. The
+# forecast an ops dashboard actually runs — and the shape regression runs
+# at scale: the model is an AGGREGATE (7 rows), never a per-row fit.
+#
+# Engine parity: revenue in cents (BIGINT), weekday via Spark weekday()+1 ==
+# DuckDB isodow() (Monday=1); predictions divide exact integers once.
+# ---------------------------------------------------------------------------
+@register(
+    "seasonal_forecast",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             isodow(CAST(ts AS DATE)) AS dow,
+             sum(CAST(round(value * 100) AS BIGINT)) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    split AS (SELECT max(d) - 6 AS test_lo FROM daily),
+    train AS (
+      SELECT dow, sum(cents) AS num, count(*) AS den
+      FROM daily, split WHERE d < test_lo GROUP BY 1
+    )
+    SELECT strftime(t.d, '%Y-%m-%d') AS day,
+           CAST(t.dow AS BIGINT) AS dow,
+           CAST(t.cents AS BIGINT) AS actual_cents,
+           CAST(tr.num AS BIGINT) AS pred_num,
+           CAST(tr.den AS BIGINT) AS pred_den,
+           CAST(tr.num AS DOUBLE) / tr.den AS pred_cents,
+           abs(t.cents - CAST(tr.num AS DOUBLE) / tr.den) AS abs_err
+    FROM daily t, split
+    JOIN train tr ON tr.dow = t.dow
+    WHERE t.d >= test_lo
+    """,
+)
+def seasonal_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+    ).withColumn("dow", F.expr("weekday(d) + 1").cast("long"))
+    split = daily.agg(F.date_sub(F.max("d"), 6).alias("test_lo"))  # 1-row scalar
+    marked = daily.join(F.broadcast(split))
+    train = (
+        marked.filter(F.col("d") < F.col("test_lo"))
+        .groupBy("dow")
+        .agg(F.sum("cents").alias("num"), F.count(F.lit(1)).alias("den"))
+    )
+    pred = F.col("num").cast("double") / F.col("den")
+    return (
+        marked.filter(F.col("d") >= F.col("test_lo"))
+        .join(train, "dow")
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.col("dow").cast("long"),
+            F.col("cents").cast("long").alias("actual_cents"),
+            F.col("num").cast("long").alias("pred_num"),
+            F.col("den").cast("long").alias("pred_den"),
+            pred.alias("pred_cents"),
+            F.abs(F.col("cents") - pred).alias("abs_err"),
+        )
+    )

@@ -140,3 +140,38 @@ def test_rolling_active_users_monotone_horizons(spark):
     # on the first observed day all three horizons see the same single day
     first = out.sort_values("day").iloc[0]
     assert first["dau"] == first["wau"] == first["mau"]
+
+
+def test_jdbc_roundtrip_reads_in_parallel(spark):
+    """The registry entry must produce the PARTITIONED jdbc read — eight
+    ranged queries, not one connection draining the table."""
+    import tempfile
+
+    url = f"jdbc:derby:{tempfile.mkdtemp(prefix='gmall_jdbct_')}/db;create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    c = spark.read.parquet(f"{SF}/customer.parquet")
+    (
+        c.write.format("jdbc").option("url", url).option("dbtable", "t")
+        .option("driver", driver).save()
+    )
+    lo, hi = c.agg(F.min("c_custkey"), F.max("c_custkey")).first()
+    back = (
+        spark.read.format("jdbc").option("url", url).option("dbtable", "t")
+        .option("driver", driver).option("partitionColumn", "c_custkey")
+        .option("lowerBound", str(lo)).option("upperBound", str(hi + 1))
+        .option("numPartitions", "8").load()
+    )
+    assert back.rdd.getNumPartitions() == 8
+    assert back.count() == c.count()
+
+
+def test_seasonal_forecast_holdout_shape(spark):
+    out = QUERIES["seasonal_forecast"](spark, SF01).toPandas()
+    # exactly the last 7 observed days, one row each
+    assert len(out) == 7 and out["day"].is_unique
+    assert (out["dow"].between(1, 7)).all()
+    # the error column is literally |actual - num/den|
+    err = (out["actual_cents"] - out["pred_num"] / out["pred_den"]).abs()
+    assert np.allclose(out["abs_err"], err)
+    # same weekday -> same model row
+    assert (out.groupby("dow")["pred_num"].nunique() == 1).all()
