@@ -848,37 +848,61 @@ def pq_ann(
         ).sort_values(id_col)
         ids = codes_pdf[id_col].to_numpy()
         codes = codes_pdf[[f"code_{s}" for s in range(m)]].to_numpy().astype("int64")
+        # Every index vector with the SAME code tuple has the SAME ADC
+        # distance to every query, so ranking needs only the ≤ n_codes^m
+        # distinct tuples (256 here), not the full index: the per-batch
+        # distance matrix shrinks from |Q|×N to |Q|×G and the sort from
+        # N·log N to G·log G per query. Equal-distance groups merge by id,
+        # which reproduces the old full stable argsort (ids_ is sorted)
+        # bit-for-bit — the group distance is accumulated over the identical
+        # s-ascending fp schedule.
+        gcodes, ginv = np.unique(codes, axis=0, return_inverse=True)
+        group_ids = [ids[ginv == g] for g in range(len(gcodes))]  # each ascending
         sc = df.sparkSession.sparkContext
-        bc = sc.broadcast((ids, codes, books))
+        bc = sc.broadcast((group_ids, gcodes, books))
 
         out_schema = f"{id_col} long, neighbor_id long, rnk long"
 
         def scan(batches):
-            ids_, codes_, books_ = bc.value
+            group_ids_, gcodes_, books_ = bc.value
+            n_groups = len(gcodes_)
             for pdf in batches:
                 if not len(pdf):
                     continue
                 X = np.stack(pdf[vec_col].to_numpy()).astype("float64")
                 qids = pdf[id_col].to_numpy()
-                # approx dist accumulated subspace-by-subspace (s ascending)
-                dist = np.zeros((len(X), len(ids_)))
+                # per-GROUP approx dist, subspace-by-subspace (s ascending)
+                gdist = np.zeros((len(X), n_groups))
                 for s in range(m):
                     q = X[:, s * sub_dim : (s + 1) * sub_dim]
                     lut = _cell_dists(q, books_[s])  # |Q| × n_codes, exact
-                    dist += lut[:, codes_[:, s]]
-                order = np.argsort(dist, axis=1, kind="stable")  # ties → lower id
+                    gdist += lut[:, gcodes_[:, s]]
+                order = np.argsort(gdist, axis=1, kind="stable")
                 rows = {id_col: [], "neighbor_id": [], "rnk": []}
                 for qi in range(len(X)):
-                    rnk = 0
-                    for j in order[qi]:
-                        if ids_[j] == qids[qi]:
-                            continue
-                        rnk += 1
-                        rows[id_col].append(qids[qi])
-                        rows["neighbor_id"].append(ids_[j])
-                        rows["rnk"].append(rnk)
-                        if rnk == k:
-                            break
+                    row, og = gdist[qi], order[qi]
+                    rnk, gi = 0, 0
+                    while gi < n_groups and rnk < k:
+                        # run of groups tied on distance → merge their ids
+                        j = gi + 1
+                        while j < n_groups and row[og[j]] == row[og[gi]]:
+                            j += 1
+                        if j == gi + 1:
+                            cand = group_ids_[og[gi]]
+                        else:
+                            cand = np.sort(
+                                np.concatenate([group_ids_[g] for g in og[gi:j]])
+                            )
+                        for nid in cand:
+                            if nid == qids[qi]:
+                                continue
+                            rnk += 1
+                            rows[id_col].append(qids[qi])
+                            rows["neighbor_id"].append(nid)
+                            rows["rnk"].append(rnk)
+                            if rnk == k:
+                                break
+                        gi = j
                 yield pd.DataFrame(rows)
 
         return spread_to_parallelism(base).mapInPandas(scan, out_schema)
