@@ -4314,3 +4314,53 @@ def auc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.lit(2) * F.col("n_pos") * F.col("n_neg")).cast("double")
         ).alias("auc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup recall/precision audit — the quality gate a production near-dup
+# pipeline runs before swapping its exact O(pairs) verifier for the sketch
+# path: MinHash-LSH candidates (match_ct >= n_hashes/2 ≈ Jaccard >= 50%)
+# scored against the exact-Jaccard ground truth, pairwise TP/FP/FN plus the
+# derived precision/recall. Composes the two registered pipelines verbatim
+# (same parameters), so the audit measures exactly what the registry ships.
+# One full-outer join of two pair sets; integer counts, two final IEEE
+# divisions. At 100 TB you run this on a sampled shard — the audit's cost
+# is the exact side, which is the thing it exists to retire.
+# ---------------------------------------------------------------------------
+_DEDUP_RECALL_ORACLE = f"""
+SELECT CAST(count(*) FILTER (WHERE t.doc_a IS NOT NULL AND a.doc_a IS NOT NULL) AS BIGINT) AS tp,
+       CAST(count(*) FILTER (WHERE t.doc_a IS NULL) AS BIGINT) AS fp,
+       CAST(count(*) FILTER (WHERE a.doc_a IS NULL) AS BIGINT) AS fn,
+       CAST(count(*) FILTER (WHERE t.doc_a IS NOT NULL AND a.doc_a IS NOT NULL) AS DOUBLE)
+         / nullif(count(*) FILTER (WHERE a.doc_a IS NOT NULL), 0) AS precision,
+       CAST(count(*) FILTER (WHERE t.doc_a IS NOT NULL AND a.doc_a IS NOT NULL) AS DOUBLE)
+         / nullif(count(*) FILTER (WHERE t.doc_a IS NOT NULL), 0) AS recall
+FROM ({_JACCARD_ORACLE}) t
+FULL JOIN (SELECT doc_a, doc_b FROM ({_MINHASH_ORACLE}) WHERE match_ct >= 4) a
+  ON t.doc_a = a.doc_a AND t.doc_b = a.doc_b
+"""
+
+
+@register("dedup_recall_audit", _DEDUP_RECALL_ORACLE)
+def dedup_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    truth = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    approx = (
+        dedup_minhash(spark, sf_dir)
+        .filter(F.col("match_ct") >= 4)
+        .select(F.col("doc_a").alias("pa"), F.col("doc_b").alias("pb"))
+    )
+    j = truth.join(
+        approx, (truth["doc_a"] == approx["pa"]) & (truth["doc_b"] == approx["pb"]), "full"
+    )
+    tp = F.sum(
+        F.when(F.col("doc_a").isNotNull() & F.col("pa").isNotNull(), 1).otherwise(0)
+    ).cast("long")
+    fp = F.sum(F.when(F.col("doc_a").isNull(), 1).otherwise(0)).cast("long")
+    fn = F.sum(F.when(F.col("pa").isNull(), 1).otherwise(0)).cast("long")
+    return j.agg(tp.alias("tp"), fp.alias("fp"), fn.alias("fn")).select(
+        "tp",
+        "fp",
+        "fn",
+        (F.col("tp").cast("double") / F.nullif((F.col("tp") + F.col("fp")).cast("double"), F.lit(0.0))).alias("precision"),
+        (F.col("tp").cast("double") / F.nullif((F.col("tp") + F.col("fn")).cast("double"), F.lit(0.0))).alias("recall"),
+    )

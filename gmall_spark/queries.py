@@ -3873,3 +3873,81 @@ def seasonal_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("cents") - pred).alias("abs_err"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Backfill via dynamic partition overwrite — the maintenance op every
+# partitioned warehouse runs weekly: re-derive ONE day's partition and land
+# it with spark.sql.sources.partitionOverwriteMode=dynamic, which replaces
+# exactly the partitions present in the incoming frame and leaves every
+# other directory untouched (static overwrite mode would TRUNCATE the whole
+# table first — the classic backfill footgun). The entry seeds a
+# dt-partitioned copy of events, re-writes the busiest day with corrected
+# values (value rounded up to whole cents), and returns the per-day audit —
+# proving the repaired day changed and the other days' bytes survived.
+# ---------------------------------------------------------------------------
+@register(
+    "backfill_partition_overwrite",
+    """
+    WITH daily AS (
+      SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS dt,
+             count(*) AS n,
+             sum(CAST(round(value * 100) AS BIGINT)) AS cents
+      FROM events GROUP BY 1
+    ),
+    busiest AS (SELECT dt FROM daily ORDER BY n DESC, dt LIMIT 1)
+    SELECT d.dt, CAST(d.n AS BIGINT) AS n,
+           CAST(d.cents + CASE WHEN d.dt = b.dt THEN d.n ELSE 0 END AS BIGINT) AS cents,
+           d.dt = b.dt AS repaired
+    FROM daily d, busiest b
+    """,
+)
+def backfill_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="gmall_backfill_") + "/events_by_dt"
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("dt"),
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    ev.write.mode("overwrite").partitionBy("dt").parquet(base)
+    busiest = (
+        ev.groupBy("dt")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "dt")
+        .limit(1)
+    )
+    # the "corrected" recomputation of that one day: +1 cent per event.
+    # Derived from the SOURCE, not from `base` — Spark (rightly) refuses to
+    # overwrite a path that is also an input of the same plan.
+    repaired = ev.join(F.broadcast(busiest.select("dt")), "dt").withColumn(
+        "cents", F.col("cents") + 1
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        # overwrite mode + dynamic: ONLY the dt partitions present in
+        # `repaired` (exactly one) are replaced
+        repaired.select("dt", "event_id", "cents").write.mode("overwrite").partitionBy(
+            "dt"
+        ).parquet(base)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    back = spark.read.parquet(base)
+    return (
+        back.groupBy("dt")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+        .join(F.broadcast(busiest.select(F.col("dt").alias("rdt"))))
+        # partition-column type inference turns the dt directory values back
+        # into DATEs on read; re-format so the contract stays the string key
+        .select(
+            F.date_format("dt", "yyyy-MM-dd").alias("dt"),
+            "n",
+            "cents",
+            (F.date_format("dt", "yyyy-MM-dd") == F.col("rdt")).alias("repaired"),
+        )
+    )

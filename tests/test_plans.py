@@ -238,6 +238,7 @@ _SCALAR_CROSS_OK = {
     "gdpr_erasure",       # per-table audit row: cross join vs the 1-row violations aggregate
     "weighted_sample",    # 1-row total-weight scalar + constant 64-row draw probe vs the CDF
     "seasonal_forecast",  # cross join vs the 1-row holdout-boundary aggregate
+    "backfill_partition_overwrite",  # cross join vs the 1-row busiest-day aggregate
 }
 
 

@@ -175,3 +175,76 @@ def test_seasonal_forecast_holdout_shape(spark):
     assert np.allclose(out["abs_err"], err)
     # same weekday -> same model row
     assert (out.groupby("dow")["pred_num"].nunique() == 1).all()
+
+
+def test_dedup_recall_audit_counts_are_consistent(spark):
+    r = QUERIES["dedup_recall_audit"](spark, SF01).first()
+    # the exact-truth pair count and the sketch pair count reconstruct from
+    # the confusion counts; recall/precision are their exact ratios
+    assert r["tp"] + r["fn"] > 0  # corpus has real near-dup pairs
+    assert abs(r["recall"] - r["tp"] / (r["tp"] + r["fn"])) < 1e-12
+    if r["tp"] + r["fp"]:
+        assert abs(r["precision"] - r["tp"] / (r["tp"] + r["fp"])) < 1e-12
+
+
+def test_dynamic_partition_pruning_fires_on_dim_filtered_join(spark, tmp_path):
+    """A dt-partitioned fact joined to a FILTERED dim must plan a dynamic
+    pruning subquery on the fact scan — at 100 TB this is the difference
+    between scanning 2 partitions and scanning 3 years of them. Static
+    pruning (literal predicates) is covered in test_scale_ops; this pins
+    the runtime variant Spark derives from the dim side."""
+    ev = spark.read.parquet(f"{SF01}/events.parquet")
+    fact = ev.select(F.date_format("ts", "yyyy-MM-dd").alias("dt"), "event_id", "value")
+    fact.write.mode("overwrite").partitionBy("dt").parquet(str(tmp_path / "fact"))
+    back = spark.read.parquet(str(tmp_path / "fact"))
+    dim = fact.select("dt").distinct().limit(2).withColumn("open", F.lit(1))
+    dim.write.mode("overwrite").parquet(str(tmp_path / "dim"))
+    dimb = spark.read.parquet(str(tmp_path / "dim")).filter(F.col("open") == 1)
+    joined = back.join(dimb, "dt").groupBy("dt").count()
+    plan = joined._jdf.queryExecution().executedPlan().toString().lower()
+    assert "dynamicpruning" in plan, plan
+
+
+def test_dynamic_partition_overwrite_touches_only_its_partitions(spark, tmp_path):
+    """The backfill mechanism: overwrite-with-dynamic replaces exactly the
+    partitions present in the incoming frame; every other directory's files
+    are byte-identical afterwards (static mode would truncate them all)."""
+    import os
+
+    base = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("c", 3)], "p string, v long"
+    )
+    df.write.mode("overwrite").partitionBy("p").parquet(base)
+
+    def listing(part):
+        d = f"{base}/p={part}"
+        return sorted(
+            (f, os.path.getsize(f"{d}/{f}"), os.path.getmtime(f"{d}/{f}"))
+            for f in os.listdir(d) if f.endswith(".parquet")
+        )
+
+    before_a, before_b = listing("a"), listing("b")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        spark.createDataFrame([("c", 30)], "p string, v long").write.mode(
+            "overwrite"
+        ).partitionBy("p").parquet(base)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    assert listing("a") == before_a and listing("b") == before_b
+    back = {r["p"]: r["v"] for r in spark.read.parquet(base).collect()}
+    assert back == {"a": 1, "b": 2, "c": 30}
+
+
+def test_backfill_entry_repairs_exactly_one_day(spark):
+    out = QUERIES["backfill_partition_overwrite"](spark, SF01).toPandas()
+    assert out["repaired"].sum() == 1
+    rep = out[out["repaired"]].iloc[0]
+    # repaired day gained exactly +1 cent per event
+    truth = duckdb.sql(
+        f"""SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS dt, count(*) AS n,
+                   sum(CAST(round(value*100) AS BIGINT)) AS cents
+            FROM '{SF01}/events.parquet' GROUP BY 1"""
+    ).df().set_index("dt")
+    assert rep["cents"] == truth.loc[rep["dt"], "cents"] + truth.loc[rep["dt"], "n"]
