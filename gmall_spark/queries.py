@@ -3951,3 +3951,60 @@ def backfill_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.date_format("dt", "yyyy-MM-dd") == F.col("rdt")).alias("repaired"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Pareto frontier (skyline) — "cheapest part at every size class": a part is
+# on the frontier iff NO strictly cheaper part has a strictly larger size.
+# The naive formulation is the O(n²) dominance self-join; the scan
+# formulation collapses price levels (one partial-agg groupBy), takes the
+# EXCLUSIVE running max of size over ascending price — via the two-level
+# distributed prefix scan, never a single-partition window — and keeps
+# parts whose size is not beaten by that cheaper-prefix max. Oracle replays
+# the same per-price-level scan with a ROWS window (one row per level, so
+# ROWS == strictly-cheaper semantics).
+# ---------------------------------------------------------------------------
+@register(
+    "pareto_frontier",
+    """
+    WITH lvl AS (
+      SELECT CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+             max(p_size) AS lvl_max
+      FROM part GROUP BY 1
+    ),
+    scanned AS (
+      SELECT price_cents,
+             max(lvl_max) OVER (ORDER BY price_cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cheaper_max
+      FROM lvl
+    )
+    SELECT p.p_partkey,
+           CAST(round(p.p_retailprice * 100) AS BIGINT) AS price_cents,
+           CAST(p.p_size AS BIGINT) AS size
+    FROM part p JOIN scanned s
+      ON CAST(round(p.p_retailprice * 100) AS BIGINT) = s.price_cents
+    WHERE s.cheaper_max IS NULL OR p.p_size >= s.cheaper_max
+    """,
+)
+def pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_spark.operators.prefix import prefix_max
+
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("price_cents"),
+        F.col("p_size").cast("long").alias("size"),
+    )
+    lvl = p.groupBy("price_cents").agg(F.max("size").alias("lvl_max"))
+    scanned = prefix_max(
+        lvl,
+        ["price_cents"],
+        "lvl_max",
+        (F.col("price_cents") / 100000).cast("long"),
+        out_col="cheaper_max",
+        inclusive=False,
+    ).select("price_cents", "cheaper_max")
+    return (
+        p.join(scanned, "price_cents")
+        .filter(F.col("cheaper_max").isNull() | (F.col("size") >= F.col("cheaper_max")))
+        .select("p_partkey", "price_cents", "size")
+    )

@@ -248,3 +248,40 @@ def test_backfill_entry_repairs_exactly_one_day(spark):
             FROM '{SF01}/events.parquet' GROUP BY 1"""
     ).df().set_index("dt")
     assert rep["cents"] == truth.loc[rep["dt"], "cents"] + truth.loc[rep["dt"], "n"]
+
+
+def test_prefix_max_matches_cummax(spark):
+    df = _scan_frame(spark)
+    from gmall_spark.operators.prefix import prefix_max
+
+    got = (
+        prefix_max(df, ["k"], "v", (F.col("k") / 37).cast("long"), out_col="m")
+        .orderBy("k")
+        .toPandas()
+    )
+    assert (got["m"] == got["v"].cummax()).all()
+    excl = (
+        prefix_max(
+            df, ["k"], "v", (F.col("k") / 37).cast("long"), out_col="m", inclusive=False
+        )
+        .orderBy("k")
+        .toPandas()
+    )
+    assert pd.isna(excl["m"].iloc[0])  # empty prefix stays NULL
+    assert (excl["m"].iloc[1:].to_numpy() == got["m"].iloc[:-1].to_numpy()).all()
+
+
+def test_pareto_frontier_is_exactly_the_undominated_set(spark):
+    out = QUERIES["pareto_frontier"](spark, SF01).toPandas()
+    parts = duckdb.sql(
+        f"""SELECT p_partkey, CAST(round(p_retailprice*100) AS BIGINT) AS price,
+                   p_size AS size FROM '{SF01}/part.parquet'"""
+    ).df()
+    price = parts["price"].to_numpy()
+    size = parts["size"].to_numpy()
+    dominated = set()
+    for i in range(len(parts)):
+        if ((price < price[i]) & (size > size[i])).any():
+            dominated.add(parts["p_partkey"].iloc[i])
+    expect = set(parts["p_partkey"]) - dominated
+    assert set(out["p_partkey"]) == expect
