@@ -285,3 +285,48 @@ def test_pareto_frontier_is_exactly_the_undominated_set(spark):
             dominated.add(parts["p_partkey"].iloc[i])
     expect = set(parts["p_partkey"]) - dominated
     assert set(out["p_partkey"]) == expect
+
+
+def test_task_retry_survives_transient_executor_failure(tmp_path):
+    """The 1000-executor contract: a task that dies once (OOM-kill, spot
+    preemption, flaky node) must not fail the job — Spark reschedules it.
+    local[N] defaults to maxFailures=1 (any task failure kills the job), so
+    this drives a separate local[4,3] session in a subprocess where a
+    mapInPandas kernel hard-fails every partition's FIRST attempt and
+    succeeds on retry; the job must still produce complete, correct output."""
+    import subprocess
+    import sys
+    import textwrap
+
+    marker = tmp_path / "attempts"
+    marker.mkdir()
+    script = textwrap.dedent(f"""
+        import os
+        from pyspark.sql import SparkSession
+        spark = (SparkSession.builder.master("local[4,3]")
+                 .config("spark.ui.enabled", "false").getOrCreate())
+
+        def flaky(batches):
+            from pyspark import TaskContext
+            ctx = TaskContext.get()
+            flag = os.path.join({str(marker)!r}, f"p{{ctx.partitionId()}}")
+            if not os.path.exists(flag):
+                open(flag, "w").close()
+                raise RuntimeError("simulated transient executor failure")
+            for pdf in batches:
+                yield pdf
+
+        df = spark.range(0, 1000, 1, 4).mapInPandas(flaky, "id long")
+        assert df.count() == 1000
+        total = df.groupBy().sum("id").first()[0]
+        assert total == 499500, total
+        print("RETRY_OK")
+    """)
+    out = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True, timeout=300
+    )
+    assert "RETRY_OK" in out.stdout, out.stderr[-2000:]
+    # every partition recorded its failed first attempt
+    import os
+
+    assert len(os.listdir(marker)) == 4
