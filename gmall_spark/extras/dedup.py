@@ -77,8 +77,21 @@ def _verify_pairs(
     same counts. Arrays are per-doc bounded (shingles ≈ tokens), so row
     width is bounded too; at scale both joins key on doc ids with AQE
     picking broadcast when the set table is small."""
-    sets = sh.groupBy(id_col).agg(
-        F.collect_list("shingle").alias("_set"), F.count(F.lit(1)).alias("n")
+    # Intersect INT64-encoded sets, not string sets: array_intersect on two
+    # ~n-string arrays hashes every string per pair — at sf10 that is ~5e9
+    # string hashes for 4.6M candidates and dominates the whole PPJoin
+    # (45s of 83s). xxhash64 encoding makes each intersection integer-cheap.
+    # Exactness is NOT assumed: one aggregate proves the encoding is
+    # injective ON THIS CORPUS (distinct shingles == distinct hashes); on a
+    # collision (P ≈ |shingles|²/2⁶⁵) it falls back to the string path, so
+    # the result is provably identical to string intersection either way.
+    enc = sh.withColumn("_sid", F.xxhash64("shingle"))
+    chk = enc.agg(
+        F.countDistinct("shingle").alias("s"), F.countDistinct("_sid").alias("h")
+    ).first()
+    key = "_sid" if chk["s"] == chk["h"] else "shingle"
+    sets = enc.groupBy(id_col).agg(
+        F.collect_list(key).alias("_set"), F.count(F.lit(1)).alias("n")
     )
     sa = sets.select(
         F.col(id_col).alias("doc_a"), F.col("_set").alias("_sa"), F.col("n").alias("na")
