@@ -4008,3 +4008,47 @@ def pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cheaper_max").isNull() | (F.col("size") >= F.col("cheaper_max")))
         .select("p_partkey", "price_cents", "size")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bucketed co-located join — the "pay the shuffle once at write time"
+# contract under the correctness gate: both fact tables land bucketed+sorted
+# on the join key (operators/joins.py::bucket_table), and the recurring join
+# then plans ZERO exchanges (co-located sort-merge reads matching buckets
+# directly — asserted in tests/test_plans.py). This is how an hourly 100 TB
+# join against a stable key amortizes: the write-side shuffle happens once,
+# every subsequent join is shuffle-free. The entry materializes the two
+# bucketed tables, joins them, and aggregates — values must match the plain
+# parquet join bit-for-bit.
+# ---------------------------------------------------------------------------
+@register(
+    "bucketed_cojoin",
+    """
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS line_ct,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+)
+def bucketed_cojoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_spark.operators.joins import bucket_table
+
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_cents")
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    bucket_table(l, "bkt_lineitem", "l_orderkey", n_buckets=8)
+    bucket_table(
+        o.withColumnRenamed("o_orderkey", "l_orderkey"), "bkt_orders", "l_orderkey", n_buckets=8
+    )
+    lb = spark.table("bkt_lineitem")
+    ob = spark.table("bkt_orders")
+    return (
+        lb.join(ob, "l_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("line_ct"),
+            F.sum("price_cents").cast("long").alias("price_cents"),
+        )
+    )

@@ -330,3 +330,15 @@ def test_task_retry_survives_transient_executor_failure(tmp_path):
     import os
 
     assert len(os.listdir(marker)) == 4
+
+
+def test_bucketed_cojoin_plans_no_exchange(spark):
+    """The entry's join must read co-located buckets: zero shuffle
+    exchanges between the two bucketed scans and the join (the write-side
+    shuffle already happened at bucket_table time)."""
+    df = QUERIES["bucketed_cojoin"](spark, SF01)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    join_part = plan.split("HashAggregate")[-1]  # below the final agg
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+    # no ShuffleExchange may feed the join inputs (bucketed scan replaces it)
+    assert "Exchange hashpartitioning" not in join_part, join_part
