@@ -27,6 +27,15 @@ HEADLINE = [
     ("delta_join_ivm", [], ["CartesianProduct"]),
     ("funnel_conversion", ["Window"], ["CartesianProduct"]),
     ("table_checksum_diff", ["HashAggregate"], ["CartesianProduct"]),
+    # round-7: the prefix scan must keep its data-sized window bucketed
+    # (a bare "Window" with no partitioning would be the regression); the
+    # draw probe is the reviewed 64-row broadcast nested loop, so only
+    # CartesianProduct is banned
+    ("weighted_sample", ["BroadcastHashJoin"], ["CartesianProduct"]),
+    ("auc_score", ["HashAggregate", "BroadcastHashJoin"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    ("pareto_frontier", ["BroadcastHashJoin"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    ("rolling_active_users", ["HashAggregate"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    ("dedup_recall_audit", [], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
 ]
 
 
