@@ -42,4 +42,14 @@ def ensure_protobuf() -> bool:
 
         return True
     except Exception:
-        return False
+        # a 'google' namespace package cached BEFORE the path insert (any
+        # earlier failed import in the same process) can shadow the vendored
+        # tree; drop the stale cache entries and retry once
+        for mod in [m for m in list(sys.modules) if m == "google" or m.startswith("google.")]:
+            del sys.modules[mod]
+        try:
+            import google.protobuf  # noqa: F401
+
+            return True
+        except Exception:
+            return False
