@@ -634,3 +634,90 @@ def bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         frontier = iter_checkpoint(nxt)
         visited = iter_checkpoint(visited.unionByName(frontier))
     return visited
+
+
+# ---------------------------------------------------------------------------
+# Weighted single-source shortest paths — Bellman-Ford as Pregel rounds.
+# Completes the graph family (pagerank / triangles / k-core / LPA / BFS) with
+# the weighted-distance variant the reference's trade graph would need for
+# cheapest-route questions. Edge weights are integers (quantity mod 7 + 1,
+# min over contributing lineitems), so distances are BIGINT-exact and the
+# DuckDB recursive CTE replays the ≤R-edge relaxation bit-for-bit.
+#
+# Scale shape: per round = one equi-join of the FRONTIER (only nodes whose
+# distance improved last round, not the full distance table) with the
+# persisted edge list + one min-groupBy on dst + one full-outer merge into
+# the running distances — 3 shuffles/round, no driver-side graph. Frontier
+# propagation is exact for Bellman-Ford: a node re-propagates exactly when
+# its distance improves, so after R rounds every ≤R-edge path has been
+# relaxed (induction on path prefix length). At 100 TB the edge list is
+# bucketed on src so the per-round join is co-located; lineage is truncated
+# per round (iter_checkpoint) exactly like bfs_hops/label_communities.
+# ---------------------------------------------------------------------------
+_SSSP_HOPS = 4
+_SSSP_SRC = 2  # customer #1's node id (custkey * 2), same seed as bfs_hops
+
+_SSSP_ORACLE = f"""
+WITH RECURSIVE pairs AS (
+  SELECT o.o_custkey * 2 AS c_node, l.l_suppkey * 2 + 1 AS s_node,
+         MIN(CAST(l.l_quantity AS BIGINT) % 7 + 1) AS w
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  GROUP BY 1, 2
+), edges AS (
+  SELECT c_node AS src, s_node AS dst, w FROM pairs
+  UNION ALL
+  SELECT s_node AS src, c_node AS dst, w FROM pairs
+), walk(node, dist, hops) AS (
+  SELECT {_SSSP_SRC} AS node, CAST(0 AS BIGINT) AS dist, 0 AS hops
+  UNION
+  SELECT e.dst, walk.dist + e.w, walk.hops + 1
+  FROM walk JOIN edges e ON walk.node = e.src
+  WHERE walk.hops < {_SSSP_HOPS}
+)
+SELECT node, CAST(min(dist) AS BIGINT) AS dist
+FROM walk GROUP BY 1
+"""
+
+
+@register("sssp_weighted", _SSSP_ORACLE)
+def sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_spark.session import iter_checkpoint
+
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy(
+            (F.col("o_custkey") * 2).alias("c_node"),
+            (F.col("l_suppkey") * 2 + 1).alias("s_node"),
+        )
+        .agg(F.min(F.col("l_quantity").cast("long") % 7 + 1).alias("w"))
+    )
+    edges = iter_checkpoint(
+        pairs.select(F.col("c_node").alias("src"), F.col("s_node").alias("dst"), "w").unionByName(
+            pairs.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst"), "w")
+        )
+    )
+    seed = spark.range(1).select(
+        F.lit(_SSSP_SRC).cast("long").alias("node"), F.lit(0).cast("long").alias("dist")
+    )
+    dists, frontier = seed, seed
+    for _ in range(_SSSP_HOPS):
+        cand = (
+            frontier.join(edges, frontier.node == edges.src)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min(F.col("dist") + F.col("w")).alias("cand_dist"))
+        )
+        merged = dists.join(cand, "node", "full_outer")
+        # least() skips NULLs, so a node seen on only one side keeps that
+        # side's distance; improved ⇔ cand strictly beats the old value
+        frontier = iter_checkpoint(
+            merged.filter(
+                F.col("cand_dist").isNotNull()
+                & (F.col("dist").isNull() | (F.col("cand_dist") < F.col("dist")))
+            ).select("node", F.col("cand_dist").alias("dist"))
+        )
+        dists = iter_checkpoint(
+            merged.select("node", F.least("dist", "cand_dist").alias("dist"))
+        )
+    return dists
