@@ -42,6 +42,13 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/region.parquet").select(
         _warm(F.monotonically_increasing_id())
     ).count()
+    # Streaming machinery warm-up (WAL, state store, the SEPARATE
+    # applyInPandasWithState worker pool) — one-time engine cost, not
+    # per-query work; without it the first stateful streaming entry is
+    # charged ~4s of session setup.
+    from gmall_spark.streaming.pipelines import warm_streaming
+
+    warm_streaming(spark)
 
     timings: dict[str, float] = {}
     for name in sorted(queries):
@@ -77,6 +84,30 @@ def main() -> None:
             fh.write(line + "\n")
     except OSError as exc:
         print(f"bench: could not write {out_path}: {exc}", file=sys.stderr)
+    # Compact headline FIRST (total + worst-10 + failures): the driver's
+    # stdout capture is bounded and has truncated the full line mid-JSON
+    # twice (r2, r3) — this way even a truncated capture carries the
+    # headline, and the full artifact is always in BENCH_LOCAL.json.
+    worst = dict(
+        sorted(
+            ((k, v) for k, v in timings.items() if v >= 0),
+            key=lambda kv: -kv[1],
+        )[:10]
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "registry_queries_total_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "sf": sf,
+                "n_queries": len(timings),
+                "n_failed": sum(1 for v in timings.values() if v < 0),
+                "worst10": worst,
+                "full_artifact": out_path,
+            }
+        )
+    )
     print(line)
 
 

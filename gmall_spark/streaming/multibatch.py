@@ -67,11 +67,12 @@ def chunk_events(
     strictly increasing mtimes (the file source's ordering key) and return
     the directory. Idempotent per (sf_dir, n_batches, late_every); atomic
     rename so a crashed writer never leaves a half-directory behind."""
+    from gmall_spark.session import scratch_dir
     from gmall_spark.sources import load_table
 
     tag = f"b{n_batches}_l{late_every or 0}"
     d = os.path.join(
-        "/tmp/gmall_stream_mb", sf_dir.strip("/").replace("/", "_"), tag
+        scratch_dir("stream_mb", sf_dir.strip("/").replace("/", "_")), tag
     )
     if os.path.isdir(d) and len(os.listdir(d)) == n_batches:
         return d
@@ -139,7 +140,7 @@ def stream_event_chunks(
 def run_collect_batches(
     df: DataFrame,
     output_mode: str = "append",
-    shuffle_partitions: int | None = 32,  # see run_to_memory: width 32 beats 8 at every scale measured
+    shuffle_partitions: int | None = None,  # default: session.stream_shuffle_width()
 ) -> DataFrame:
     """Drive a streaming frame with availableNow through foreachBatch,
     stamping every output row with the micro-batch id it emitted in. The
@@ -154,10 +155,12 @@ def run_collect_batches(
     output through the driver twice)."""
     import tempfile
 
+    from gmall_spark.session import scratch_dir, stream_shuffle_width
+
     spark = df.sparkSession
     fields = list(df.schema.fields) + [T.StructField("emit_batch", T.IntegerType())]
     out_schema = T.StructType(fields)
-    spool = tempfile.mkdtemp(prefix="gmall_mb_spool_")
+    spool = tempfile.mkdtemp(prefix="mb_spool_", dir=scratch_dir("spool"))
 
     def sink(bdf: DataFrame, bid: int) -> None:
         (
@@ -167,8 +170,10 @@ def run_collect_batches(
         )
 
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    if shuffle_partitions:
-        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(shuffle_partitions or stream_shuffle_width()),
+    )
     try:
         q = (
             df.writeStream.foreachBatch(sink)

@@ -1523,8 +1523,10 @@ def streaming_manifest_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gmall_spark.sinks.manifest_sink import read_manifested, register_manifest_sink
 
     register_manifest_sink(spark)
-    out = tempfile.mkdtemp(prefix="gmall_manifest_rt_")
-    ckpt = tempfile.mkdtemp(prefix="gmall_manifest_ck_")
+    from gmall_spark.session import scratch_dir
+
+    out = tempfile.mkdtemp(prefix="manifest_rt_", dir=scratch_dir("spool"))
+    ckpt = tempfile.mkdtemp(prefix="manifest_ck_", dir=scratch_dir("ckpt"))
     ev = (
         stream_events(spark, sf_dir)
         .filter(F.col("event_type").isin("purchase", "signup"))
