@@ -44,8 +44,16 @@ def ensure_protobuf() -> bool:
     except Exception:
         # a 'google' namespace package cached BEFORE the path insert (any
         # earlier failed import in the same process) can shadow the vendored
-        # tree; drop the stale cache entries and retry once
-        for mod in [m for m in list(sys.modules) if m == "google" or m.startswith("google.")]:
+        # tree; drop ONLY the stale namespace root and the protobuf subtree
+        # and retry once. Unrelated google.* subpackages (google.cloud etc.)
+        # stay cached — evicting them would leave any module already holding
+        # a reference on the old objects while later imports build fresh
+        # ones (split-brain module state).
+        for mod in [
+            m
+            for m in list(sys.modules)
+            if m in ("google", "google.protobuf") or m.startswith("google.protobuf.")
+        ]:
             del sys.modules[mod]
         try:
             import google.protobuf  # noqa: F401

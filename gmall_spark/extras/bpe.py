@@ -69,12 +69,19 @@ def char_rep(words: DataFrame) -> DataFrame:
 def _pair_counts(rep: DataFrame) -> DataFrame:
     """Adjacent-symbol pair counts weighted by word frequency. The explode is
     over vocab rows × symbols-per-word — vocab-sized, not corpus-sized."""
+    # The size>=2 filter guards fully-merged words (rep collapsed to ONE
+    # symbol, e.g. 'a</w>' once (a,</w>) merges): sequence(0, -1) is a
+    # DESCENDING sequence [0,-1] in Spark, and the transform then indexed
+    # out of bounds — found by the learn_sampled equality property test on
+    # a corpus small enough for a whole word to merge within the round
+    # budget. A one-symbol word contributes no pairs by definition.
     pairs = F.expr(
         "transform(sequence(0, size(split(trim(rep), ' ')) - 2), "
         "i -> struct(split(trim(rep), ' ')[i] AS lt, split(trim(rep), ' ')[i+1] AS rt))"
     )
     return (
-        rep.select("freq", F.explode(pairs).alias("p"))
+        rep.filter(F.size(F.split(F.trim("rep"), " ")) >= 2)
+        .select("freq", F.explode(pairs).alias("p"))
         .groupBy(F.col("p.lt").alias("lt"), F.col("p.rt").alias("rt"))
         .agg(F.sum("freq").alias("ct"))
     )
@@ -86,7 +93,19 @@ def learn(docs: DataFrame, text_col: str, n_merges: int) -> tuple[list[tuple], D
     collect (the argmax — loop control, not data movement) + one broadcast
     literal rewrite of the vocab. At 10M-word scale each round is a shuffle of
     ~10M narrow rows; lineage stays shallow because the rewrite is a single
-    projected column per round."""
+    projected column per round.
+
+    SCALE BOUND — this loop is one Spark job per merge. Fine at the registry's
+    merge counts (tens); fatal at production vocab sizes (a 30k-merge run is
+    30k scheduler round-trips). The production recipe is `learn_sampled`:
+    ONE corpus pass builds the word-frequency table, its top `max_vocab` rows
+    (the frequency mass that decides every merge) collect driver-side —
+    ~60 MB at 1M words — and the merge loop runs in-process with incremental
+    pair counts, zero Spark jobs per merge; the learned table is then applied
+    distributed (encode_counts / apply_merges). Same semantics: the property
+    test pins merges(learn_sampled) == merges(learn) whenever max_vocab
+    covers the vocab, which is how every production word-frequency trainer
+    (Sennrich reference impl, HF tokenizers) structures the computation."""
     # the ONLY corpus-sized pass — persist it: every merge round re-derives
     # its pair counts from this frame, and without the persist round k would
     # replay the corpus word-count shuffle k times (at 100 TB, fatal; the
@@ -112,6 +131,73 @@ def learn(docs: DataFrame, text_col: str, n_merges: int) -> tuple[list[tuple], D
     from gmall_spark.session import unpersist_with
 
     return merges, unpersist_with(rep, base)
+
+
+def learn_sampled(
+    docs: DataFrame, text_col: str, n_merges: int, max_vocab: int = 1_000_000
+) -> list[tuple]:
+    """Driver-side BPE training over the top-`max_vocab` word-frequency rows —
+    the production path for large merge counts (see the scale bound on
+    `learn`). One corpus-sized Spark pass (word_freqs), one bounded collect,
+    then a pure in-process merge loop with an incremental pair index (only
+    words containing the merged pair are rewritten per round) — the classic
+    Sennrich structure. Rewrite semantics are IDENTICAL to the distributed
+    path: the same two-pass leftmost-restart string replace (python
+    str.replace shares Spark replace's non-overlapping continue-after
+    behavior), and the same (count DESC, left, right) tie-break (UTF-8 byte
+    order equals code-point order, so the comparisons agree cross-engine).
+    Returns [(rank, left, right, count)]; equality with `learn` whenever
+    max_vocab covers the vocab is pinned by a property test.
+
+    Truncating to max_vocab drops only the frequency tail; merges whose
+    counts rest on mass above the cutoff are unaffected — the standard
+    trade every sampled tokenizer run makes."""
+    from collections import defaultdict
+
+    rows = (
+        word_freqs(docs, text_col)
+        .orderBy(F.col("freq").desc(), "word")
+        .limit(max_vocab)
+        .collect()
+    )
+    freqs = {r["word"]: r["freq"] for r in rows}
+    reps = {w: " " + " ".join(list(w)) + f" {END_MARK} " for w in freqs}
+
+    def pairs_of(rep: str) -> list[tuple[str, str]]:
+        syms = rep.split()
+        return [(syms[i], syms[i + 1]) for i in range(len(syms) - 1)]
+
+    pair_ct: dict[tuple[str, str], int] = defaultdict(int)
+    pair_words: dict[tuple[str, str], set] = defaultdict(set)
+    for w, rep in reps.items():
+        for p in pairs_of(rep):
+            pair_ct[p] += freqs[w]
+            pair_words[p].add(w)
+
+    merges: list[tuple] = []
+    for rank in range(1, n_merges + 1):
+        if not pair_ct:
+            break
+        (lt, rt), ct = min(
+            pair_ct.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((rank, lt, rt, int(ct)))
+        pat, sub = f" {lt} {rt} ", f" {lt}{rt} "
+        for w in list(pair_words[(lt, rt)]):
+            old = reps[w]
+            new = old.replace(pat, sub).replace(pat, sub)
+            if new == old:
+                continue
+            for p in pairs_of(old):
+                pair_ct[p] -= freqs[w]
+                if pair_ct[p] <= 0:
+                    del pair_ct[p]
+                pair_words[p].discard(w)
+            reps[w] = new
+            for p in pairs_of(new):
+                pair_ct[p] += freqs[w]
+                pair_words[p].add(w)
+    return merges
 
 
 def train_table(spark: SparkSession, docs: DataFrame, text_col: str, n_merges: int) -> DataFrame:

@@ -4185,7 +4185,7 @@ WITH cdf AS (
 tot AS (SELECT sum(n_chars) AS w FROM documents),
 draws AS (
   SELECT j AS draw_id,
-         {_hex_val_sql("md5('ws:' || CAST(j AS VARCHAR))", 1, 12)} % (SELECT w FROM tot) AS target
+         {_hex_val_sql("md5('ws:' || CAST(j AS VARCHAR))", 1, 15)} % (SELECT w FROM tot) AS target
   FROM (SELECT unnest(generate_series(0, {_WS_DRAWS - 1})) AS j)
 )
 SELECT CAST(d.draw_id AS BIGINT) AS draw_id,
@@ -4219,9 +4219,13 @@ def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(total))  # 1-row scalar cross (allowlisted)
         .select(
             "draw_id",
+            # 15 hex digits = 60 draw bits (the kmv/theta convention): 12
+            # digits (48 bits) would stop reaching documents past a total
+            # weight of 2^48 chars (~2.8e14 — plausible at 100 TB), silently
+            # biasing every draw into a prefix of the corpus.
             F.pmod(
                 F.conv(
-                    F.substring(F.md5(F.concat(F.lit("ws:"), F.col("draw_id").cast("string"))), 1, 12),
+                    F.substring(F.md5(F.concat(F.lit("ws:"), F.col("draw_id").cast("string"))), 1, 15),
                     16,
                     10,
                 ).cast("long"),
@@ -4290,11 +4294,29 @@ def auc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("pos_ct"),
         F.sum(F.when(F.col("event_type") != "purchase", 1).otherwise(0)).alias("neg_ct"),
     )
+    # Equi-depth bucketing for the distributed scan: floor(score) made the
+    # bucket count data-DEPENDENT — a score distribution concentrated in a
+    # narrow numeric range collapsed every distinct score into one bucket
+    # and the within-bucket window degenerated back to the single-partition
+    # scan this operator exists to avoid. Instead take ~255 approximate
+    # quantile cutpoints of the DISTINCT-score frame (driver-side: 255
+    # doubles, scalar plan control like the fixpoint signatures) and bucket
+    # by how many cutpoints lie at/below the score — monotone in score (a
+    # prefix_sum requirement) with occupancy ~n_distinct/256 REGARDLESS of
+    # the numeric distribution. Bucket ids only route the scan; the scanned
+    # values are exact, so the oracle is unaffected by the bucket rule.
+    probs = [i / 256 for i in range(1, 256)]
+    cuts = sorted(set(per.approxQuantile("score", probs, 0.001)))
+    if cuts:
+        cut_arr = F.array(*[F.lit(float(c)) for c in cuts])
+        bucket = F.size(F.filter(cut_arr, lambda c: c <= F.col("score"))).cast("long")
+    else:  # empty input: any constant bucket is vacuously fine
+        bucket = F.lit(0).cast("long")
     scanned = prefix_sum(
         per,
         ["score"],
         "neg_ct",
-        F.floor(F.col("score")).cast("long"),
+        bucket,
         out_col="cum_neg",
         inclusive=False,
     )

@@ -72,9 +72,13 @@ def _two_level_scan(
     w_in = Window.partitionBy("__bucket").orderBy(*order_cols).rowsBetween(*frame)
     local = agg(value_col).over(w_in)
     if kind == "sum":
-        combined = (
-            F.coalesce(F.col("__bucket_off"), F.lit(0)) + F.coalesce(local, F.lit(0))
-        ).cast("long")
+        # No output cast: Spark's sum() already picks the right widened
+        # type per input (integral → BIGINT, DECIMAL(p,s) → DECIMAL(p+10,s),
+        # floating → DOUBLE), and the + of two partials stays in it. A
+        # fixed cast here would silently truncate DECIMAL/DOUBLE callers.
+        combined = F.coalesce(F.col("__bucket_off"), F.lit(0)) + F.coalesce(
+            local, F.lit(0)
+        )
     else:
         # max identity is NULL: greatest() ignores nulls only via coalesce
         # gymnastics — an all-null prefix must stay NULL

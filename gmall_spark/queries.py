@@ -4010,6 +4010,12 @@ def pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# bucketed_cojoin invocations' table pairs, newest last — dropped by the
+# NEXT invocation (results are lazy, so the current pair must survive this
+# call; see the in-function comment)
+_BUCKET_TABLES: list[str] = []
+
+
 # ---------------------------------------------------------------------------
 # Bucketed co-located join — the "pay the shuffle once at write time"
 # contract under the correctness gate: both fact tables land bucketed+sorted
@@ -4038,12 +4044,27 @@ def bucketed_cojoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_cents")
     )
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
-    bucket_table(l, "bkt_lineitem", "l_orderkey", n_buckets=8)
+    # Per-invocation table names: fixed global names raced when two
+    # sessions / concurrent bench runs shared a warehouse (each drop +
+    # rmtree could corrupt the other's in-flight read). The result is lazy,
+    # so the tables must outlive this call — previous invocations' tables
+    # are dropped once a newer pair exists (bounded FIFO, same discipline
+    # as session.unpersist_with).
+    import os
+    import uuid
+
+    tag = f"{os.getpid():x}_{uuid.uuid4().hex[:8]}"
+    lt, ot = f"bkt_lineitem_{tag}", f"bkt_orders_{tag}"
+    bucket_table(l, lt, "l_orderkey", n_buckets=8)
     bucket_table(
-        o.withColumnRenamed("o_orderkey", "l_orderkey"), "bkt_orders", "l_orderkey", n_buckets=8
+        o.withColumnRenamed("o_orderkey", "l_orderkey"), ot, "l_orderkey", n_buckets=8
     )
-    lb = spark.table("bkt_lineitem")
-    ob = spark.table("bkt_orders")
+    for old in list(_BUCKET_TABLES):
+        spark.sql(f"DROP TABLE IF EXISTS `{old}`")
+    _BUCKET_TABLES.clear()
+    _BUCKET_TABLES.extend([lt, ot])
+    lb = spark.table(lt)
+    ob = spark.table(ot)
     return (
         lb.join(ob, "l_orderkey")
         .groupBy("o_orderpriority")

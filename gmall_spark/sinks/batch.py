@@ -78,11 +78,57 @@ def swap_parquet_dirs(spark, path: str, tmp: str, old: str) -> None:
     shutil.rmtree(old)
 
 
+def swap_parquet_dirs_copy(spark, path: str, tmp: str, old: str) -> None:
+    """Object-store-safe directory replacement — the copy-then-verify-then-
+    delete variant: S3/GCS-style stores have no rename (a 'rename' there is
+    a non-atomic copy+delete per object), so this uses only the object-store
+    primitive ops — list, copy, delete — never os.rename/shutil.move:
+
+      1. copy path → old          (backup BEFORE the destination is touched)
+      2. delete path contents, copy tmp → path
+      3. read path back           (verify BEFORE any delete of a source)
+      4. delete old + tmp
+
+    A failure at/after step 2 restores from `old` when possible; if the
+    restore itself fails, `old` survives as the authoritative copy and the
+    caller's re-entrancy guard refuses the next run until resolved — the
+    same recovery contract as the posix rename variant, minus atomicity of
+    the final swap (the unavoidable object-store trade; compaction runs in
+    a maintenance window with writers quiesced by definition)."""
+    import os
+    import shutil
+
+    shutil.copytree(path, old)
+    try:
+        for entry in os.listdir(path):
+            p = os.path.join(path, entry)
+            shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
+        for entry in os.listdir(tmp):
+            src, dst = os.path.join(tmp, entry), os.path.join(path, entry)
+            shutil.copytree(src, dst) if os.path.isdir(src) else shutil.copyfile(src, dst)
+        spark.read.parquet(path).head(1)
+    except BaseException:
+        try:  # restore the original contents from the backup
+            for entry in os.listdir(path):
+                p = os.path.join(path, entry)
+                shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
+            for entry in os.listdir(old):
+                src, dst = os.path.join(old, entry), os.path.join(path, entry)
+                shutil.copytree(src, dst) if os.path.isdir(src) else shutil.copyfile(src, dst)
+            shutil.rmtree(old)
+        except BaseException:
+            pass  # leave `old` in place — the re-entrancy guard takes over
+        raise
+    shutil.rmtree(old)
+    shutil.rmtree(tmp)
+
+
 def compact_parquet(
     spark,
     path: str,
     target_mb: int = 256,
     partition_by: Sequence[str] = (),
+    swap: str = "rename",
 ) -> int:
     """Small-files compaction — the maintenance op every long-running
     partitioned sink needs at scale: streaming micro-batches and routed
@@ -91,9 +137,11 @@ def compact_parquet(
 
     Rewrites ``path`` so files are ~``target_mb``: sizes the shuffle from
     the ACTUAL byte size on disk (not row counts), writes to a sibling
-    temp dir, then atomically swaps directories. Returns the output file
-    count. Local/posix rename semantics; object stores need a
-    copy-then-delete variant.
+    temp dir, then swaps directories. Returns the output file count.
+    ``swap="rename"`` (default) is the atomic posix path
+    (swap_parquet_dirs); ``swap="copy"`` is the object-store-safe
+    copy-then-verify-then-delete path (swap_parquet_dirs_copy) for
+    filesystems without rename.
 
     repartition (not coalesce): coalesce collapses upstream parallelism
     into the merged tasks; a shuffle-repartition keeps the read parallel
@@ -152,7 +200,12 @@ def compact_parquet(
     else:
         w = df.repartition(n_files).write.mode("overwrite")
     w.parquet(tmp)
-    swap_parquet_dirs(spark, path, tmp, old)
+    if swap == "copy":
+        swap_parquet_dirs_copy(spark, path, tmp, old)
+    elif swap == "rename":
+        swap_parquet_dirs(spark, path, tmp, old)
+    else:
+        raise ValueError(f"swap must be 'rename' or 'copy', got {swap!r}")
     return sum(
         1
         for _, _, files in os.walk(path)

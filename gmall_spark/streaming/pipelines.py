@@ -257,6 +257,27 @@ def warm_streaming(spark: SparkSession) -> None:
         )
         q.awaitTermination()
         spark.catalog.dropTempView(name)
+        # Second warm target: the stream-stream join machinery (symmetric
+        # hash join state stores + the join codegen paths) — a different
+        # physical operator family than keyed pandas state; the first join
+        # entry was otherwise paying its JIT/init (~5s observed as a
+        # first-entry transient under load).
+        l = spark.readStream.schema("event_id long, ts timestamp, user_id long").parquet(src_dir)
+        r = spark.readStream.schema("event_id long, ts timestamp, user_id long").parquet(src_dir)
+        jname = f"warm_join_{time.time_ns()}"
+        j = interval_join_stream(
+            l, r, "user_id", "ts", "ts", "0 seconds", "10 seconds", how="left_outer"
+        )
+        q = (
+            j.select("l.event_id")
+            .writeStream.format("memory")
+            .queryName(jname)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        spark.catalog.dropTempView(jname)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 

@@ -44,3 +44,32 @@ def test_encode_counts_invariants(spark):
     assert out[3]["n_words"] == 0 and out[3]["n_tokens_bpe"] == 0
     for r in out.values():
         assert r["n_tokens_bpe"] <= r["n_tokens_char"]
+
+
+def test_learn_sampled_equals_full_train(spark):
+    """The production sample-then-train path (learn_sampled: driver-side
+    incremental merge loop over the collected word-frequency table) must
+    produce EXACTLY the merges of the distributed per-round loop whenever
+    max_vocab covers the vocabulary — same argmax, same tie-break, same
+    two-pass rewrite semantics. Run at registry scale (sf0.001 documents,
+    registry merge count) plus the toy corpora with adversarial runs."""
+    from gmall_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    full, _ = bpe.learn(docs, "text", 8)
+    sampled = bpe.learn_sampled(docs, "text", 8, max_vocab=10**6)
+    assert sampled == full
+
+    toy = _docs(spark, ["aaaaa aaaa aaa", "low low lower", "a b a b a"])
+    full_t, _ = bpe.learn(toy, "text", 6)
+    assert bpe.learn_sampled(toy, "text", 6, max_vocab=10**6) == full_t
+
+
+def test_learn_sampled_truncation_keeps_head_merges(spark):
+    """Truncating to max_vocab drops only tail mass: on a corpus where one
+    word dominates, the first merges are decided by the head and survive
+    truncation."""
+    docs = _docs(spark, ["zzz zzz zzz zzz zzz zzz zzz zzz", "qx"])
+    head = bpe.learn_sampled(docs, "text", 2, max_vocab=1)
+    full = bpe.learn_sampled(docs, "text", 2, max_vocab=10)
+    assert head[0][1:3] == full[0][1:3] == ("z", "z")

@@ -471,3 +471,71 @@ def test_asof_enrich_stream_rejects_invalid_contracts(spark, monkeypatch):
     )
     with _pytest.raises(ValueError, match="range-partition"):
         asof_enrich_stream(stream, ref_big, on="k", left_ts="ts", right_ts="rt")
+
+
+def test_compact_parquet_copy_swap_never_renames(spark, tmp_path, monkeypatch):
+    """swap='copy' is the object-store path: it must use only list/copy/
+    delete primitives — an os.rename/shutil.move anywhere in the swap is a
+    bug (object stores have no rename). The shim makes rename raise, so the
+    test fails loudly if the copy path ever regresses to it."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from gmall_spark.sinks.batch import compact_parquet
+
+    path = str(tmp_path / "objstore")
+    spark.range(5_000).withColumn("v", F.col("id") * 3).repartition(32).write.parquet(path)
+
+    def no_rename(*a, **kw):
+        raise AssertionError("rename-less filesystem: os.rename called in copy swap")
+
+    monkeypatch.setattr(os, "rename", no_rename)
+    monkeypatch.setattr(os, "renames", no_rename)
+    monkeypatch.setattr(shutil, "move", no_rename)
+
+    n_after = compact_parquet(spark, path, target_mb=256, swap="copy")
+    assert n_after == 1
+    out = spark.read.parquet(path)
+    assert out.count() == 5_000
+    assert out.agg(F.sum("v")).collect()[0][0] == 3 * sum(range(5_000))
+    # no leftovers: backup and tmp dirs were cleaned after the verify
+    assert not os.path.exists(path + "__old")
+    assert not os.path.exists(path + "__compacting")
+
+
+def test_compact_parquet_copy_swap_failure_leaves_backup(spark, tmp_path):
+    """If verification fails mid-swap, the backup survives as the
+    authoritative copy and the re-entrancy guard refuses the next run —
+    the documented recovery contract."""
+    import os
+
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    import gmall_spark.sinks.batch as B
+
+    path = str(tmp_path / "objstore_fail")
+    spark.range(1_000).withColumn("v", F.col("id")).repartition(4).write.parquet(path)
+
+    class Boom(RuntimeError):
+        pass
+
+    # fail the step-3 verify only (the copies themselves succeed)
+    class FakeSpark:
+        class read:  # noqa: N801 — mimic spark.read.parquet
+            @staticmethod
+            def parquet(p):
+                raise Boom("verification read fails")
+
+    tmp = path + "__compacting"
+    old = path + "__old"
+    spark.read.parquet(path).repartition(1).write.parquet(tmp)
+    with pytest.raises(Boom):
+        B.swap_parquet_dirs_copy(FakeSpark, path, tmp, old)
+    # original data restored (or backup left); either way rows are intact
+    restored = spark.read.parquet(path)
+    assert restored.count() == 1_000
+    assert not os.path.exists(old)  # clean restore succeeded here

@@ -9,6 +9,13 @@ in round 1).
 Usage:
     python tools/driver_check.py [sf_dir] [name ...]
     python tools/driver_check.py --json OUT.json [sf_dir] [name ...]
+    python tools/driver_check.py --rocksdb [--json OUT.json] [sf_dir] [name ...]
+
+--rocksdb switches Structured Streaming state to the RocksDB provider for
+the run (the big-state production deployment; see session.enable_rocksdb_state)
+— used each round to re-verify the state-heaviest streaming entries under the
+provider a 100 TB job would actually run, not just the HDFS-backed default.
+With --rocksdb and no explicit names, runs ROCKSDB_DEFAULT_ENTRIES.
 
 --json additionally writes a per-entry artifact (the full-registry analog of
 the driver's sampled CORRECTNESS_r{N}.json): for every entry, rows/schema/
@@ -38,14 +45,34 @@ def value_hash(df: pd.DataFrame) -> int:
     return int(pd.util.hash_pandas_object(df, index=False).sum())
 
 
+#: the state-heaviest streaming entries (multiple stateful operators, keyed
+#: pandas state over the full key universe, or multi-batch state evolution)
+ROCKSDB_DEFAULT_ENTRIES = [
+    "streaming_chained_stateful",
+    "streaming_mb_unique_visit",
+    "streaming_mb_bounce",
+    "streaming_full_outer_join",
+    "streaming_ewma_user",
+]
+
+
 def main() -> int:
     args = sys.argv[1:]
     json_out = None
-    if args and args[0] == "--json":
-        json_out = args[1]
-        args = args[2:]
+    rocksdb = False
+    while args and args[0].startswith("--"):
+        if args[0] == "--json":
+            json_out = args[1]
+            args = args[2:]
+        elif args[0] == "--rocksdb":
+            rocksdb = True
+            args = args[1:]
+        else:
+            raise SystemExit(f"unknown flag {args[0]}")
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
+    if rocksdb and not only:
+        only = set(ROCKSDB_DEFAULT_ENTRIES)
 
     sys.path.insert(0, ".")
     import __spark_entry__ as e
@@ -53,6 +80,10 @@ def main() -> int:
     from tests.oracle import duck_connection
 
     spark = get_spark("driver_check")
+    if rocksdb:
+        from gmall_spark.session import enable_rocksdb_state
+
+        enable_rocksdb_state(spark)
     con = duck_connection(sf_dir)
     qs, os_ = e.queries(), e.oracle_sql()
     fails = []
@@ -125,6 +156,7 @@ def main() -> int:
             json.dump(
                 {
                     "sf_dir": sf_dir,
+                    "state_store": "rocksdb" if rocksdb else "hdfs-backed (default)",
                     "total": checked,
                     "pass": checked - len(fails),
                     "fails": fails,
