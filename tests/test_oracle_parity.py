@@ -34,11 +34,12 @@ def test_query_matches_oracle(spark, duck, name):
     assert ok, f"{name}: {msg}"
 
 
-@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
-def test_rows_only_queries_run(spark, name):
-    df = QUERIES[name](spark, SF)
-    assert df.count() >= 0
-    assert len(df.schema.fields) > 0
+def test_every_query_has_an_oracle():
+    """The registry carries zero rows-only entries: every queries() name has
+    an oracle_sql() twin, so the driver's value-hash gate covers 100% of the
+    surface. (This replaced a parametrized rows-only runner that reported an
+    'empty parameter set' skip once the last oracle-less entry got one.)"""
+    assert set(QUERIES) == set(ORACLES)
 
 
 def test_entry_smoke(spark):
