@@ -4386,3 +4386,85 @@ def dedup_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("tp").cast("double") / F.nullif((F.col("tp") + F.col("fp")).cast("double"), F.lit(0.0))).alias("precision"),
         (F.col("tp").cast("double") / F.nullif((F.col("tp") + F.col("fn")).cast("double"), F.lit(0.0))).alias("recall"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (concat-and-chop) — how LLM pretraining actually batches a
+# corpus: documents are concatenated in a fixed order and chopped into
+# fixed-capacity context windows ("bins" of PACK_CAP tokens), so every
+# window is exactly full and a document can straddle a boundary. The
+# deterministic rule (doc_id order, capacity C) makes the layout a pure
+# function of the corpus: doc d with exclusive token offset `off` and token
+# count `tok` occupies bins floor(off/C) .. floor((off+tok-1)/C), with
+# min(off+tok, (b+1)C) − max(off, bC) tokens in bin b.
+#
+# Scale shape: token counts are one narrow projection; the global exclusive
+# offset comes from the distributed prefix scan (operators/prefix.py — never
+# a single-partition window); the bin explode is ≤ tok/C + 1 rows per doc.
+# One shuffle for the scan, everything else codegen — at 100 TB this is the
+# same plan, just wider. Tokens = non-empty whitespace splits (the same
+# deterministic count token_fertility uses); zero-token docs pack nowhere.
+# ---------------------------------------------------------------------------
+PACK_CAP = 256
+
+_PACK_CHOP_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         len(list_filter(string_split(trim(text), ' '), w -> w <> '')) AS tok
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, tok,
+         CAST(COALESCE(sum(tok) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+  FROM toks WHERE tok > 0
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(b AS BIGINT) AS bin,
+       CAST(least(off + tok, (b + 1) * {PACK_CAP})
+            - greatest(off, b * {PACK_CAP}) AS BIGINT) AS n_tok
+FROM cum, UNNEST(generate_series(off // {PACK_CAP}, (off + tok - 1) // {PACK_CAP})) AS u(b)
+"""
+
+
+@register("pack_concat_chop", _PACK_CHOP_ORACLE)
+def pack_concat_chop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_spark.operators.prefix import prefix_sum
+
+    C = PACK_CAP
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.size(F.filter(F.split(F.trim("text"), " "), lambda w: w != ""))
+            .cast("long")
+            .alias("tok"),
+        )
+        .filter(F.col("tok") > 0)
+    )
+    cum = prefix_sum(
+        toks,
+        ["doc_id"],
+        "tok",
+        (F.col("doc_id") / 256).cast("long"),
+        out_col="off",
+        inclusive=False,
+    )
+    spans = cum.select(
+        "doc_id",
+        "tok",
+        "off",
+        F.explode(
+            F.sequence(F.expr(f"off DIV {C}"), F.expr(f"(off + tok - 1) DIV {C}"))
+        ).alias("bin"),
+    )
+    return spans.select(
+        F.col("doc_id").cast("long"),
+        F.col("bin").cast("long"),
+        (
+            F.least(F.col("off") + F.col("tok"), (F.col("bin") + 1) * C)
+            - F.greatest(F.col("off"), F.col("bin") * C)
+        )
+        .cast("long")
+        .alias("n_tok"),
+    )

@@ -539,3 +539,33 @@ def test_compact_parquet_copy_swap_failure_leaves_backup(spark, tmp_path):
     restored = spark.read.parquet(path)
     assert restored.count() == 1_000
     assert not os.path.exists(old)  # clean restore succeeded here
+
+
+def test_pack_concat_chop_invariants(spark):
+    """Concat-and-chop packing: (a) per-doc emitted tokens equal the doc's
+    token count (nothing lost or duplicated at boundaries), (b) every bin
+    except the last holds exactly PACK_CAP tokens (windows are FULL — the
+    property pretraining packing exists for), (c) bins are contiguous."""
+    from gmall_spark.extras.queries import PACK_CAP, pack_concat_chop
+
+    out = pack_concat_chop(spark, SF).collect()
+    per_doc: dict[int, int] = {}
+    per_bin: dict[int, int] = {}
+    for r in out:
+        per_doc[r.doc_id] = per_doc.get(r.doc_id, 0) + r.n_tok
+        per_bin[r.bin] = per_bin.get(r.bin, 0) + r.n_tok
+
+    docs = load_table(spark, SF, "documents")
+    toks = {
+        r.doc_id: r.tok
+        for r in docs.selectExpr(
+            "doc_id", "size(filter(split(trim(text), ' '), w -> w != '')) AS tok"
+        ).collect()
+        if r.tok > 0
+    }
+    assert per_doc == toks
+    bins = sorted(per_bin)
+    assert bins == list(range(len(bins)))  # contiguous from 0
+    for b in bins[:-1]:
+        assert per_bin[b] == PACK_CAP, (b, per_bin[b])
+    assert 0 < per_bin[bins[-1]] <= PACK_CAP
