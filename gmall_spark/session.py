@@ -101,6 +101,22 @@ def stream_shuffle_width() -> int:
     )
 
 
+def stream_join_shuffle_width() -> int:
+    """Shuffle/state width for STREAM-STREAM JOIN queries, narrower than the
+    keyed-pandas-state default. Each join partition carries FOUR state-store
+    instances (per side: keyToNumValues + keyWithIndexToValue), each paying
+    an open+commit per micro-batch and a full scan in every
+    watermark-eviction batch — so at bench state volumes the per-partition
+    fixed cost dominates parallelism: measured at sf0.1 the chained-join
+    entry runs 16.6s at width 32 vs 4.3s at width 8 (3.8×), while
+    applyInPandasWithState entries mildly PREFER width=cores (their cost is
+    the parallel Python work). Production sizes this knob to buffered-state
+    volume, exactly like shuffle width generally — billions of buffered
+    rows want hundreds of partitions; the default tracks the bench corpus.
+    SPARK_GRAFT_STREAM_JOIN_SHUFFLE overrides."""
+    return int(os.environ.get("SPARK_GRAFT_STREAM_JOIN_SHUFFLE", "8"))
+
+
 def get_spark(app_name: str = "gmall_spark", master: str | None = None) -> SparkSession:
     """Build (or get) the tuned session.
 

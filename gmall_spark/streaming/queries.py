@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gmall_spark.queries import TS_FMT, register
+from gmall_spark.session import stream_join_shuffle_width
 from gmall_spark.streaming.pipelines import (
     interval_join_stream,
     run_to_memory,
@@ -303,7 +304,7 @@ def streaming_payment_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r.event_id").alias("purchase_id"),
         F.col("l.user_id").alias("user_id"),
     )
-    return run_to_memory(joined, _name("s_paywide"))
+    return run_to_memory(joined, _name("s_paywide"), shuffle_partitions=stream_join_shuffle_width())
 
 
 @register(
@@ -508,7 +509,7 @@ def streaming_order_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey")).select(
         "o_orderkey", "l_linenumber", "o_custkey", "c_name", "revenue"
     )
-    return run_to_memory(wide, _name("s_ow"))
+    return run_to_memory(wide, _name("s_ow"), shuffle_partitions=stream_join_shuffle_width())
 
 
 @register(
@@ -1105,7 +1106,7 @@ def streaming_outer_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("l.user_id").alias("user_id"),
         F.date_format(F.col("l.ts"), TS_FMT).alias("view_ts"),
     )
-    return run_to_memory(j, _name("s_louter"))
+    return run_to_memory(j, _name("s_louter"), shuffle_partitions=stream_join_shuffle_width())
 
 
 @register(
@@ -1168,7 +1169,7 @@ def streaming_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.col("l.ts"), TS_FMT).alias("view_ts"),
         F.date_format(F.col("r.ts"), TS_FMT).alias("purchase_ts"),
     )
-    return run_to_memory(j, _name("s_fouter"))
+    return run_to_memory(j, _name("s_fouter"), shuffle_partitions=stream_join_shuffle_width())
 
 
 @register(
@@ -1446,7 +1447,7 @@ def streaming_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").alias("user_id"),
         F.date_format(F.col("ts"), TS_FMT).alias("view_ts"),
     )
-    return run_to_memory(j, _name("s_semi"))
+    return run_to_memory(j, _name("s_semi"), shuffle_partitions=stream_join_shuffle_width())
 
 
 @register(
@@ -1493,7 +1494,7 @@ def streaming_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format(F.col("l.ts"), TS_FMT).alias("view_ts"),
         )
     )
-    return run_to_memory(j, _name("s_anti"))
+    return run_to_memory(j, _name("s_anti"), shuffle_partitions=stream_join_shuffle_width())
 
 
 @register(
@@ -1588,7 +1589,7 @@ def streaming_mb_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l.user_id").alias("user_id"),
         F.date_format(F.col("l.ts"), TS_FMT).alias("view_ts"),
     )
-    return run_collect_batches(j)
+    return run_collect_batches(j, shuffle_partitions=stream_join_shuffle_width())
 
 
 @register(
@@ -1854,7 +1855,7 @@ def streaming_chained_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     j = interval_join_stream(views, buys, "user_id", "vts", "bts", "0 seconds", "120 minutes")
     agg = j.groupBy(F.window("vts", "10 minutes")).agg(F.count(F.lit(1)).alias("n"))
-    out = run_to_memory(agg, _name("chained"))
+    out = run_to_memory(agg, _name("chained"), shuffle_partitions=stream_join_shuffle_width())
     return out.select(
         F.date_format("window.start", TS_FMT).alias("stt"),
         F.date_format("window.end", TS_FMT).alias("edt"),
