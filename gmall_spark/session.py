@@ -88,12 +88,13 @@ def scratch_dir(*sub: str) -> str:
 
 
 def stream_shuffle_width() -> int:
-    """Shuffle/state-store width pinned by the streaming drivers
-    (run_to_memory / run_collect_batches). Stateful cost is (per-partition
-    store open+commit per micro-batch) vs (parallelism of the keyed work);
-    32 beats 8 on every stateful entry measured solo on this 32-core box
-    (daily-UV dedup 6.1s → 2.0s). Env-tunable so a contended host can trade
-    parallelism for fixed per-partition machinery without a code change."""
+    """Shuffle/state-store width for KEYED-PANDAS-STATE streaming queries
+    (applyInPandasWithState / transformWithStateInPandas). Their per-batch
+    cost is the parallel Python work, so width should track cores: measured
+    solo on this 32-core box, 32 beats 8 on every pandas-state entry
+    (daily-UV dedup 6.1s → 2.0s). Env-tunable (SPARK_GRAFT_STREAM_SHUFFLE)
+    so a contended host can trade parallelism for fixed per-partition
+    machinery without a code change."""
     return int(
         os.environ.get(
             "SPARK_GRAFT_STREAM_SHUFFLE", os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -101,20 +102,22 @@ def stream_shuffle_width() -> int:
     )
 
 
-def stream_join_shuffle_width() -> int:
-    """Shuffle/state width for STREAM-STREAM JOIN queries, narrower than the
-    keyed-pandas-state default. Each join partition carries FOUR state-store
-    instances (per side: keyToNumValues + keyWithIndexToValue), each paying
-    an open+commit per micro-batch and a full scan in every
-    watermark-eviction batch — so at bench state volumes the per-partition
-    fixed cost dominates parallelism: measured at sf0.1 the chained-join
-    entry runs 16.6s at width 32 vs 4.3s at width 8 (3.8×), while
-    applyInPandasWithState entries mildly PREFER width=cores (their cost is
-    the parallel Python work). Production sizes this knob to buffered-state
-    volume, exactly like shuffle width generally — billions of buffered
-    rows want hundreds of partitions; the default tracks the bench corpus.
-    SPARK_GRAFT_STREAM_JOIN_SHUFFLE overrides."""
-    return int(os.environ.get("SPARK_GRAFT_STREAM_JOIN_SHUFFLE", "8"))
+def stream_jvm_state_width() -> int:
+    """Shuffle/state width for JVM-STATE streaming queries (windowed aggs,
+    dropDuplicates, session windows, stream-stream joins) — the
+    run_to_memory/run_collect_batches DEFAULT. Their per-batch cost is
+    dominated by per-partition state-store machinery, not task parallelism:
+    every partition's store pays open+commit per micro-batch plus a full
+    scan in the watermark-eviction batch, and a stream-stream join carries
+    FOUR store instances per partition (per side: keyToNumValues +
+    keyWithIndexToValue). Measured at sf0.1: the chained-join entry runs
+    16.6s at width 32 vs 4.3s at width 8, and an 8-entry window-agg block
+    drops 24-33s → 17-18s. The keyed-pandas entries measured the OPPOSITE
+    preference (stream_shuffle_width). Production sizes this to buffered
+    state volume like any shuffle width — billions of buffered rows want
+    hundreds of partitions; the default tracks the bench corpus.
+    SPARK_GRAFT_STREAM_JVM_SHUFFLE overrides."""
+    return int(os.environ.get("SPARK_GRAFT_STREAM_JVM_SHUFFLE", "8"))
 
 
 def get_spark(app_name: str = "gmall_spark", master: str | None = None) -> SparkSession:

@@ -140,7 +140,7 @@ def stream_event_chunks(
 def run_collect_batches(
     df: DataFrame,
     output_mode: str = "append",
-    shuffle_partitions: int | None = None,  # default: session.stream_shuffle_width()
+    shuffle_partitions: int | None = None,  # default: session.stream_jvm_state_width()
 ) -> DataFrame:
     """Drive a streaming frame with availableNow through foreachBatch,
     stamping every output row with the micro-batch id it emitted in. The
@@ -155,7 +155,7 @@ def run_collect_batches(
     output through the driver twice)."""
     import tempfile
 
-    from gmall_spark.session import scratch_dir, stream_shuffle_width
+    from gmall_spark.session import scratch_dir, stream_jvm_state_width
 
     spark = df.sparkSession
     fields = list(df.schema.fields) + [T.StructField("emit_batch", T.IntegerType())]
@@ -172,7 +172,7 @@ def run_collect_batches(
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(
         "spark.sql.shuffle.partitions",
-        str(shuffle_partitions or stream_shuffle_width()),
+        str(shuffle_partitions or stream_jvm_state_width()),
     )
     try:
         q = (

@@ -300,15 +300,17 @@ def run_to_memory(
     sf0.1: width 32 beats 8 on every stateful entry (daily-UV dedup 6.1s →
     2.0s) — the store overhead is far smaller than the core starvation.
     Pinned at query start; the session conf is restored afterwards.
-    Default width comes from session.stream_shuffle_width() (env-tunable).
+    Default width is session.stream_jvm_state_width() — right for JVM-state
+    queries (window aggs, dedup, joins); keyed-PANDAS-state callers pass
+    shuffle_partitions=stream_shuffle_width() (see both docstrings).
     """
-    from gmall_spark.session import stream_shuffle_width
+    from gmall_spark.session import stream_jvm_state_width
 
     spark = df.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(
         "spark.sql.shuffle.partitions",
-        str(shuffle_partitions or stream_shuffle_width()),
+        str(shuffle_partitions or stream_jvm_state_width()),
     )
     try:
         q = (

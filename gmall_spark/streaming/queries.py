@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gmall_spark.queries import TS_FMT, register
-from gmall_spark.session import stream_join_shuffle_width
+from gmall_spark.session import stream_shuffle_width
 from gmall_spark.streaming.pipelines import (
     interval_join_stream,
     run_to_memory,
@@ -102,7 +102,7 @@ def streaming_visitor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def streaming_unique_visit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST2 as keyed streaming state (applyInPandasWithState). NoTimeout state
     emits in-batch, so the single-batch run equals the batch dedup exactly."""
-    out = run_to_memory(dedup_daily_stream(stream_events(spark, sf_dir)), _name("s_uv"))
+    out = run_to_memory(dedup_daily_stream(stream_events(spark, sf_dir)), _name("s_uv"), shuffle_partitions=stream_shuffle_width())
     return out.select(
         "user_id", "dt", "first_event_id", F.date_format("first_ts", TS_FMT).alias("first_ts")
     )
@@ -119,7 +119,7 @@ def streaming_unique_visit(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def streaming_is_new_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST1 as keyed streaming state."""
-    return run_to_memory(fix_is_new_stream(stream_events(spark, sf_dir)), _name("s_isnew"))
+    return run_to_memory(fix_is_new_stream(stream_events(spark, sf_dir)), _name("s_isnew"), shuffle_partitions=stream_shuffle_width())
 
 
 @register(
@@ -138,7 +138,7 @@ def streaming_ewma_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     value each micro-batch a key appears in; with the source pinned to one
     batch that is exactly one row per user, bit-identical to the batch fold
     (see ewma_stream on why the fp order is pinned)."""
-    return run_to_memory(ewma_stream(stream_events(spark, sf_dir)), _name("s_ewma"))
+    return run_to_memory(ewma_stream(stream_events(spark, sf_dir)), _name("s_ewma"), shuffle_partitions=stream_shuffle_width())
 
 
 @register(
@@ -204,7 +204,7 @@ def streaming_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrived). Emission closure replayed by the oracle: per key, every
     hourly bucket from its first observation through the last bucket whose
     end lies at or below the final watermark."""
-    out = run_to_memory(gapfill_stream(stream_events(spark, sf_dir)), _name("s_gapfill"))
+    out = run_to_memory(gapfill_stream(stream_events(spark, sf_dir)), _name("s_gapfill"), shuffle_partitions=stream_shuffle_width())
     return out.select(
         "event_type",
         F.date_format("bucket", TS_FMT).alias("bucket_hour"),
@@ -273,7 +273,9 @@ def streaming_bounce_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     timeout decisions emit immediately; trailing entries emit from the timer
     only if the final watermark passes ts+600s."""
     out = run_to_memory(
-        detect_bounce_stream(stream_events(spark, sf_dir)), _name("s_bounce")
+        detect_bounce_stream(stream_events(spark, sf_dir)),
+        _name("s_bounce"),
+        shuffle_partitions=stream_shuffle_width(),
     )
     return out.select(
         "event_id", "user_id", F.date_format("ts", TS_FMT).alias("ts"), "bounce_reason"
@@ -304,7 +306,7 @@ def streaming_payment_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r.event_id").alias("purchase_id"),
         F.col("l.user_id").alias("user_id"),
     )
-    return run_to_memory(joined, _name("s_paywide"), shuffle_partitions=stream_join_shuffle_width())
+    return run_to_memory(joined, _name("s_paywide"))
 
 
 @register(
@@ -509,7 +511,7 @@ def streaming_order_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey")).select(
         "o_orderkey", "l_linenumber", "o_custkey", "c_name", "revenue"
     )
-    return run_to_memory(wide, _name("s_ow"), shuffle_partitions=stream_join_shuffle_width())
+    return run_to_memory(wide, _name("s_ow"))
 
 
 @register(
@@ -920,7 +922,7 @@ def streaming_mb_is_new(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_event_chunks,
     )
 
-    return run_collect_batches(fix_is_new_stream(stream_event_chunks(spark, sf_dir, 3)))
+    return run_collect_batches(fix_is_new_stream(stream_event_chunks(spark, sf_dir, 3)), shuffle_partitions=stream_shuffle_width())
 
 
 @register(
@@ -948,7 +950,7 @@ def streaming_mb_unique_visit(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_event_chunks,
     )
 
-    out = run_collect_batches(dedup_daily_stream(stream_event_chunks(spark, sf_dir, 3)))
+    out = run_collect_batches(dedup_daily_stream(stream_event_chunks(spark, sf_dir, 3)), shuffle_partitions=stream_shuffle_width())
     return out.select(
         "user_id",
         "dt",
@@ -988,7 +990,7 @@ def streaming_mb_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_event_chunks,
     )
 
-    return run_collect_batches(ewma_stream(stream_event_chunks(spark, sf_dir, 3)))
+    return run_collect_batches(ewma_stream(stream_event_chunks(spark, sf_dir, 3)), shuffle_partitions=stream_shuffle_width())
 
 
 @register(
@@ -1046,7 +1048,7 @@ def streaming_mb_bounce(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_event_chunks,
     )
 
-    out = run_collect_batches(detect_bounce_stream(stream_event_chunks(spark, sf_dir, 3)))
+    out = run_collect_batches(detect_bounce_stream(stream_event_chunks(spark, sf_dir, 3)), shuffle_partitions=stream_shuffle_width())
     return out.select(
         "event_id",
         "user_id",
@@ -1106,7 +1108,7 @@ def streaming_outer_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("l.user_id").alias("user_id"),
         F.date_format(F.col("l.ts"), TS_FMT).alias("view_ts"),
     )
-    return run_to_memory(j, _name("s_louter"), shuffle_partitions=stream_join_shuffle_width())
+    return run_to_memory(j, _name("s_louter"))
 
 
 @register(
@@ -1169,7 +1171,7 @@ def streaming_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.col("l.ts"), TS_FMT).alias("view_ts"),
         F.date_format(F.col("r.ts"), TS_FMT).alias("purchase_ts"),
     )
-    return run_to_memory(j, _name("s_fouter"), shuffle_partitions=stream_join_shuffle_width())
+    return run_to_memory(j, _name("s_fouter"))
 
 
 @register(
@@ -1243,7 +1245,9 @@ def streaming_tws_is_new(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
     try:
         return run_to_memory(
-            fix_is_new_tws(stream_events(spark, sf_dir)), _name("s_tws_isnew")
+            fix_is_new_tws(stream_events(spark, sf_dir)),
+            _name("s_tws_isnew"),
+            shuffle_partitions=stream_shuffle_width(),
         )
     finally:
         if prev is None:
@@ -1447,7 +1451,7 @@ def streaming_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").alias("user_id"),
         F.date_format(F.col("ts"), TS_FMT).alias("view_ts"),
     )
-    return run_to_memory(j, _name("s_semi"), shuffle_partitions=stream_join_shuffle_width())
+    return run_to_memory(j, _name("s_semi"))
 
 
 @register(
@@ -1494,7 +1498,7 @@ def streaming_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format(F.col("l.ts"), TS_FMT).alias("view_ts"),
         )
     )
-    return run_to_memory(j, _name("s_anti"), shuffle_partitions=stream_join_shuffle_width())
+    return run_to_memory(j, _name("s_anti"))
 
 
 @register(
@@ -1589,7 +1593,7 @@ def streaming_mb_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l.user_id").alias("user_id"),
         F.date_format(F.col("l.ts"), TS_FMT).alias("view_ts"),
     )
-    return run_collect_batches(j, shuffle_partitions=stream_join_shuffle_width())
+    return run_collect_batches(j)
 
 
 @register(
@@ -1855,7 +1859,7 @@ def streaming_chained_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     j = interval_join_stream(views, buys, "user_id", "vts", "bts", "0 seconds", "120 minutes")
     agg = j.groupBy(F.window("vts", "10 minutes")).agg(F.count(F.lit(1)).alias("n"))
-    out = run_to_memory(agg, _name("chained"), shuffle_partitions=stream_join_shuffle_width())
+    out = run_to_memory(agg, _name("chained"))
     return out.select(
         F.date_format("window.start", TS_FMT).alias("stt"),
         F.date_format("window.end", TS_FMT).alias("edt"),
