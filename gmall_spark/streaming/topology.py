@@ -146,6 +146,14 @@ def warehouse_e2e(
                 F.sum(F.when(F.col("src") == "uj", 1).otherwise(0)).cast("long").alias("uj_ct"),
             )
         )
+        # a query captures the shuffle conf at START: the pandas-state
+        # layers above run wide (parallel Python work), while this JVM
+        # window agg takes the narrow JVM-state width — in complete mode it
+        # re-commits every window's store each trigger, so per-partition
+        # store machinery dominates (see session.stream_jvm_state_width)
+        from gmall_spark.session import stream_jvm_state_width
+
+        spark.conf.set("spark.sql.shuffle.partitions", str(stream_jvm_state_width()))
         q3 = (
             stats.writeStream.format("memory")
             .queryName(sink_name)
