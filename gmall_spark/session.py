@@ -84,7 +84,36 @@ def scratch_dir(*sub: str) -> str:
         )
     path = os.path.join(root, *sub)
     os.makedirs(path, exist_ok=True)
+    _gc_scratch_spool(os.path.join(root, "spool"))
     return path
+
+
+_SPOOL_TTL_SECS = 6 * 3600
+_last_spool_gc = 0.0
+
+
+def _gc_scratch_spool(spool_root: str) -> None:
+    """Best-effort bound on spool accumulation: memory-sink spools are
+    written once, read once, and then only needed while their lazy result
+    frame is alive — hours-old ones are garbage. Deletes spool entries older
+    than _SPOOL_TTL_SECS by mtime, at most once a minute per process;
+    failures (concurrent deleters, live readers on another session) are
+    ignored — worst case the entry survives to the next sweep."""
+    import shutil
+    import time
+
+    global _last_spool_gc
+    now = time.time()
+    if now - _last_spool_gc < 60 or not os.path.isdir(spool_root):
+        return
+    _last_spool_gc = now
+    for entry in os.listdir(spool_root):
+        p = os.path.join(spool_root, entry)
+        try:
+            if now - os.path.getmtime(p) > _SPOOL_TTL_SECS:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass
 
 
 def stream_shuffle_width() -> int:
