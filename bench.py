@@ -84,16 +84,19 @@ def main() -> None:
             fh.write(line + "\n")
     except OSError as exc:
         print(f"bench: could not write {out_path}: {exc}", file=sys.stderr)
-    # Compact headline FIRST (total + worst-10 + failures): the driver's
-    # stdout capture is bounded and has truncated the full line mid-JSON
-    # twice (r2, r3) — this way even a truncated capture carries the
-    # headline, and the full artifact is always in BENCH_LOCAL.json.
+    # The driver's stdout capture keeps a bounded TAIL — three rounds of
+    # BENCH_r{N}.json came back `parsed: null` because the compact headline
+    # printed FIRST and the 220-entry full line after it overflowed the
+    # window, cutting the headline and the full line's head.  Order matters:
+    # full line first (recoverable from BENCH_LOCAL.json regardless), compact
+    # single-line summary LAST so whatever tail survives is valid JSON.
     worst = dict(
         sorted(
             ((k, v) for k, v in timings.items() if v >= 0),
             key=lambda kv: -kv[1],
         )[:10]
     )
+    print(line)
     print(
         json.dumps(
             {
@@ -108,7 +111,6 @@ def main() -> None:
             }
         )
     )
-    print(line)
 
 
 if __name__ == "__main__":
