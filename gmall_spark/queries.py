@@ -37,6 +37,7 @@ from gmall_spark.operators.stateful import dedup_daily, detect_bounce, first_tou
 from gmall_spark.operators.windows import tumbling_stats
 from gmall_spark.schemas import TABLE_PROCESS_SCHEMA
 from gmall_spark.session import scratch_dir as _scratch
+from gmall_spark.session import spool_dir as _spool_dir
 from gmall_spark.sources import load_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -2921,7 +2922,7 @@ def logsource_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gmall_spark.sources.logsource import register_log_source
 
     ev = load_table(spark, sf_dir, "events")
-    land = tempfile.mkdtemp(prefix="landing_", dir=_scratch("spool"))
+    land = _spool_dir("landing_")
     (
         ev.select(
             F.date_format("ts", "yyyy-MM-dd").alias("day"),
@@ -3241,7 +3242,7 @@ def format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ts_fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
     ddl = "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value_q LONG"
-    base = tempfile.mkdtemp(prefix="fmt_", dir=_scratch("spool"))
+    base = _spool_dir("fmt_")
     ev.write.mode("overwrite").options(header=True, timestampFormat=ts_fmt).csv(f"{base}/csv")
     ev.write.mode("overwrite").orc(f"{base}/orc")
     back = {
@@ -3568,7 +3569,7 @@ def xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.floor(F.col("value") * 10000).cast("long").alias("value_q"),
     )
-    base = tempfile.mkdtemp(prefix="xml_", dir=_scratch("spool"))
+    base = _spool_dir("xml_")
     (
         ev.write.mode("overwrite")
         .option("rootTag", "events")
@@ -3781,7 +3782,7 @@ def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 def jdbc_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
-    url = f"jdbc:derby:{tempfile.mkdtemp(prefix='jdbc_', dir=_scratch('spool'))}/db;create=true"
+    url = f"jdbc:derby:{_spool_dir('jdbc_')}/db;create=true"
     driver = "org.apache.derby.jdbc.EmbeddedDriver"
     c = load_table(spark, sf_dir, "customer")
     (
@@ -3906,7 +3907,7 @@ def seasonal_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 def backfill_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
-    base = tempfile.mkdtemp(prefix="backfill_", dir=_scratch("spool")) + "/events_by_dt"
+    base = _spool_dir("backfill_") + "/events_by_dt"
     ev = load_table(spark, sf_dir, "events").select(
         F.date_format("ts", "yyyy-MM-dd").alias("dt"),
         "event_id",

@@ -90,28 +90,64 @@ def scratch_dir(*sub: str) -> str:
 
 _SPOOL_TTL_SECS = 6 * 3600
 _last_spool_gc = 0.0
+_SPOOL_PID_RE = None  # compiled lazily; regex import kept off the hot path
+
+
+def spool_dir(prefix: str) -> str:
+    """mkdtemp under the scratch spool, tagged with the creating pid so the
+    GC can tell live spools from abandoned ones. run_to_memory & friends
+    return LAZY frames whose only backing data is this directory — an
+    mtime-only TTL would delete it out from under a session alive longer
+    than the TTL. The pid tag makes liveness checkable from the dirname."""
+    import tempfile as _tempfile
+
+    return _tempfile.mkdtemp(
+        prefix=f"{prefix}p{os.getpid()}_", dir=scratch_dir("spool")
+    )
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except (OSError, PermissionError):
+        pass  # exists but not ours — treat as alive (errs toward keeping)
+    return True
 
 
 def _gc_scratch_spool(spool_root: str) -> None:
-    """Best-effort bound on spool accumulation: memory-sink spools are
-    written once, read once, and then only needed while their lazy result
-    frame is alive — hours-old ones are garbage. Deletes spool entries older
-    than _SPOOL_TTL_SECS by mtime, at most once a minute per process;
-    failures (concurrent deleters, live readers on another session) are
-    ignored — worst case the entry survives to the next sweep."""
+    """Best-effort bound on spool accumulation, at most once a minute per
+    process. An entry is deleted only when BOTH hold: (a) it is older than
+    _SPOOL_TTL_SECS by mtime, and (b) its creating process — parsed from the
+    ``p<pid>_`` tag spool_dir() embeds in the name — is dead. (b) is what
+    keeps a >TTL-old but still-referenced spool alive: lazy result frames
+    read their spool on every action, and rmtree would succeed on Linux even
+    with readers attached. Untagged entries (pre-tag layout, foreign
+    writers) fall back to TTL-only, pid-reuse makes a dead entry look alive
+    at worst until the recycled pid exits — both err toward keeping.
+    Failures (concurrent deleters) are ignored — worst case the entry
+    survives to the next sweep."""
+    import re
     import shutil
     import time
 
-    global _last_spool_gc
+    global _last_spool_gc, _SPOOL_PID_RE
     now = time.time()
     if now - _last_spool_gc < 60 or not os.path.isdir(spool_root):
         return
     _last_spool_gc = now
+    if _SPOOL_PID_RE is None:
+        _SPOOL_PID_RE = re.compile(r"p(\d+)_")
     for entry in os.listdir(spool_root):
         p = os.path.join(spool_root, entry)
         try:
-            if now - os.path.getmtime(p) > _SPOOL_TTL_SECS:
-                shutil.rmtree(p, ignore_errors=True)
+            if now - os.path.getmtime(p) <= _SPOOL_TTL_SECS:
+                continue
+            m = _SPOOL_PID_RE.search(entry)
+            if m and _pid_alive(int(m.group(1))):
+                continue
+            shutil.rmtree(p, ignore_errors=True)
         except OSError:
             pass
 

@@ -116,8 +116,12 @@ def swap_parquet_dirs_copy(spark, path: str, tmp: str, old: str) -> None:
                 src, dst = os.path.join(old, entry), os.path.join(path, entry)
                 shutil.copytree(src, dst) if os.path.isdir(src) else shutil.copyfile(src, dst)
             shutil.rmtree(old)
+            # a CLEAN restore must also clear `tmp`, or the re-entrancy
+            # guard refuses every later compaction run for a failure that
+            # was already recovered; only a failed restore leaves both
+            shutil.rmtree(tmp, ignore_errors=True)
         except BaseException:
-            pass  # leave `old` in place — the re-entrancy guard takes over
+            pass  # leave `old` (and `tmp`) in place — the guard takes over
         raise
     shutil.rmtree(old)
     shutil.rmtree(tmp)

@@ -155,12 +155,12 @@ def run_collect_batches(
     output through the driver twice)."""
     import tempfile
 
-    from gmall_spark.session import scratch_dir, stream_jvm_state_width
+    from gmall_spark.session import spool_dir, stream_jvm_state_width
 
     spark = df.sparkSession
     fields = list(df.schema.fields) + [T.StructField("emit_batch", T.IntegerType())]
     out_schema = T.StructType(fields)
-    spool = tempfile.mkdtemp(prefix="mb_spool_", dir=scratch_dir("spool"))
+    spool = spool_dir("mb_spool_")
 
     def sink(bdf: DataFrame, bid: int) -> None:
         (

@@ -333,11 +333,11 @@ def run_to_memory(
     # once, immediately — exactly the IO worth keeping off a shared disk.
     import tempfile
 
-    from gmall_spark.session import scratch_dir
+    from gmall_spark.session import spool_dir
 
     tbl = spark.table(name)
     schema = tbl.schema
-    spool = tempfile.mkdtemp(prefix=f"memsink_{name}_", dir=scratch_dir("spool"))
+    spool = spool_dir(f"memsink_{name}_")
     tbl.write.mode("overwrite").parquet(spool)
     spark.catalog.dropTempView(name)
     return spark.read.schema(schema).parquet(spool)

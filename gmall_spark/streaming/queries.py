@@ -1528,9 +1528,9 @@ def streaming_manifest_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gmall_spark.sinks.manifest_sink import read_manifested, register_manifest_sink
 
     register_manifest_sink(spark)
-    from gmall_spark.session import scratch_dir
+    from gmall_spark.session import scratch_dir, spool_dir
 
-    out = tempfile.mkdtemp(prefix="manifest_rt_", dir=scratch_dir("spool"))
+    out = spool_dir("manifest_rt_")
     ckpt = tempfile.mkdtemp(prefix="manifest_ck_", dir=scratch_dir("ckpt"))
     ev = (
         stream_events(spark, sf_dir)

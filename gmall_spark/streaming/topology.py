@@ -58,9 +58,9 @@ def warehouse_e2e(
 ) -> DataFrame:
     """Run the four-query topology to quiescence; returns the DWS result:
     one row per 10-minute window with pv_ct / uv_ct / uj_ct."""
-    from gmall_spark.session import scratch_dir
+    from gmall_spark.session import spool_dir
 
-    base = tempfile.mkdtemp(prefix="e2e_", dir=scratch_dir("spool"))
+    base = spool_dir("e2e_")
     dwd_page = _dir(base, "dwd_page")
     dwm_uv = _dir(base, "dwm_uv")
     dwm_uj = _dir(base, "dwm_uj")

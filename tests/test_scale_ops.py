@@ -539,6 +539,11 @@ def test_compact_parquet_copy_swap_failure_leaves_backup(spark, tmp_path):
     restored = spark.read.parquet(path)
     assert restored.count() == 1_000
     assert not os.path.exists(old)  # clean restore succeeded here
+    # a clean restore must also clear tmp — a leftover __compacting dir
+    # would trip the re-entrancy guard and refuse every later run
+    assert not os.path.exists(tmp)
+    n = B.compact_parquet(spark, path, target_mb=256, swap="copy")
+    assert n >= 1  # the next compaction run is accepted after recovery
 
 
 def test_pack_concat_chop_invariants(spark):
