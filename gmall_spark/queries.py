@@ -4016,6 +4016,53 @@ def pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # NEXT invocation (results are lazy, so the current pair must survive this
 # call; see the in-function comment)
 _BUCKET_TABLES: list[str] = []
+_BUCKET_ATEXIT_ARMED = False
+
+
+def _sweep_dead_bucket_tables(spark: SparkSession) -> None:
+    """Reclaim orphaned bucketed-table directories left by DEAD processes.
+
+    Table names embed the creating pid in hex (``bkt_<name>_<pidhex>_<uuid8>``)
+    and the in-process FIFO only drops PREVIOUS pairs — each process's final
+    pair outlives it as bare directories under the shared warehouse (the
+    default catalog is in-memory, so a later process has no catalog entry to
+    DROP). Filesystem sweep: any bkt_* dir whose embedded pid is dead is
+    garbage. Live pids (including recycled ones) are skipped — errs toward
+    keeping, the same discipline as session._gc_scratch_spool."""
+    import os
+    import re
+    import shutil
+    from urllib.parse import urlparse
+
+    from gmall_spark.session import _pid_alive
+
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    if not os.path.isdir(warehouse):
+        return
+    pat = re.compile(r"^bkt_\w+_([0-9a-f]+)_[0-9a-f]{8}$")
+    for entry in os.listdir(warehouse):
+        m = pat.match(entry)
+        if m and not _pid_alive(int(m.group(1), 16)):
+            shutil.rmtree(os.path.join(warehouse, entry), ignore_errors=True)
+
+
+def _arm_bucket_atexit(warehouse: str) -> None:
+    """Remove THIS process's final bucketed pair at interpreter exit — the
+    FIFO can't (nothing comes after the last invocation). Filesystem rmtree,
+    not DROP TABLE: the SparkSession may already be stopped at atexit time."""
+    global _BUCKET_ATEXIT_ARMED
+    if _BUCKET_ATEXIT_ARMED:
+        return
+    _BUCKET_ATEXIT_ARMED = True
+    import atexit
+    import os
+    import shutil
+
+    def _drop_final_pair() -> None:
+        for tbl in _BUCKET_TABLES:
+            shutil.rmtree(os.path.join(warehouse, tbl), ignore_errors=True)
+
+    atexit.register(_drop_final_pair)
 
 
 # ---------------------------------------------------------------------------
@@ -4054,7 +4101,10 @@ def bucketed_cojoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     # as session.unpersist_with).
     import os
     import uuid
+    from urllib.parse import urlparse
 
+    _sweep_dead_bucket_tables(spark)
+    _arm_bucket_atexit(urlparse(spark.conf.get("spark.sql.warehouse.dir")).path)
     tag = f"{os.getpid():x}_{uuid.uuid4().hex[:8]}"
     lt, ot = f"bkt_lineitem_{tag}", f"bkt_orders_{tag}"
     bucket_table(l, lt, "l_orderkey", n_buckets=8)

@@ -344,6 +344,32 @@ def test_bucketed_cojoin_plans_no_exchange(spark):
     assert "Exchange hashpartitioning" not in join_part, join_part
 
 
+def test_bucketed_cojoin_sweeps_dead_pid_orphans(spark):
+    """Dead processes' final bucketed pairs are bare warehouse dirs (no
+    catalog entry to DROP); the invocation-time sweep must reclaim them by
+    the pid embedded in the name, and must NOT touch a live pid's pair."""
+    import os
+    from urllib.parse import urlparse
+
+    from gmall_spark.queries import _sweep_dead_bucket_tables
+
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    os.makedirs(warehouse, exist_ok=True)
+    dead = os.path.join(warehouse, "bkt_lineitem_3fffff_deadbeef")  # pid 4194303
+    live = os.path.join(warehouse, f"bkt_orders_{os.getpid():x}_cafebabe")
+    os.makedirs(dead, exist_ok=True)
+    os.makedirs(live, exist_ok=True)
+    try:
+        _sweep_dead_bucket_tables(spark)
+        assert not os.path.exists(dead), "dead-pid orphan must be reclaimed"
+        assert os.path.exists(live), "live-pid pair must survive"
+    finally:
+        import shutil
+
+        shutil.rmtree(live, ignore_errors=True)
+        shutil.rmtree(dead, ignore_errors=True)
+
+
 def test_sssp_weighted_matches_python_bellman_ford(spark):
     """Distances from the frontier Bellman-Ford entry must equal a plain
     single-machine Bellman-Ford limited to the same round budget, and the
