@@ -278,6 +278,32 @@ def warm_streaming(spark: SparkSession) -> None:
         )
         q.awaitTermination()
         spark.catalog.dropTempView(jname)
+        # Third warm target: the Python DataSource STREAM writer machinery
+        # (gmall_manifest) — a third distinct Python worker family plus the
+        # per-sink streaming commit runner, none of it shared with the
+        # pandas-state pool or the memory sink. Without this the manifest-
+        # sink entry pays ~2.6s of one-time init on its single in-sweep run
+        # while its solo-median baseline row is warm (measured 5.8s cold vs
+        # 1.5s warm — the r4 'unreproducible baseline row' was this gap).
+        # Must be a STREAMING write: warming the batch writer pool alone
+        # measurably did not pre-pay it.
+        from gmall_spark.session import scratch_dir
+        from gmall_spark.sinks.manifest_sink import register_manifest_sink
+
+        register_manifest_sink(spark)
+        warm_sink = os.path.join(scratch_dir("warm_sink"), f"m{time.time_ns()}")
+        w = spark.readStream.schema("event_id long, ts timestamp, user_id long").parquet(
+            src_dir
+        )
+        q = (
+            w.select("event_id", "user_id")
+            .writeStream.format("gmall_manifest")
+            .option("path", warm_sink)
+            .option("checkpointLocation", warm_sink + "_ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
