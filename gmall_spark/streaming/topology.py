@@ -67,8 +67,13 @@ def warehouse_e2e(
     sink_name = f"e2e_{os.path.basename(base)}"
     trig = {"processingTime": f"{trigger_secs} seconds"}
 
+    from gmall_spark.session import stream_shuffle_width
+
     prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    # wide (cores-tracking) width for the DWD/DWM stages: chunked file
+    # passthrough + keyed-pandas state, both parallel-work-bound; the DWS
+    # window agg below re-pins to the narrow JVM-state width at its start
+    spark.conf.set("spark.sql.shuffle.partitions", str(stream_shuffle_width()))
     queries = []
     try:
         # q1 — DWD: chunked event source (one file per trigger), cleaned
