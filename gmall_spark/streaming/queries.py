@@ -1226,6 +1226,61 @@ def streaming_warehouse_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_warehouse_e2e_append",
+    f"""
+    -- FULL-FLUSH oracle: the append topology's sentinel A fires every
+    -- pending bounce timer (so trailing entries ARE bounces, unlike the
+    -- complete-mode oracle's wm-gated last branch) and sentinel B closes
+    -- every real window (so there is no closure filter).
+    WITH uv AS (
+      SELECT ts FROM (
+        SELECT ts, row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                      ORDER BY ts, event_id) AS rn
+        FROM events
+      ) WHERE rn = 1
+    ),
+    o AS (
+      SELECT user_id, ts, event_type,
+             lead(ts) OVER w AS nxt_ts,
+             lead(event_type = 'view') OVER w AS nxt_entry
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    uj AS (
+      SELECT ts FROM o
+      WHERE event_type = 'view'
+        AND (   nxt_ts IS NULL
+             OR epoch_us(nxt_ts) - epoch_us(ts) > 600000000
+             OR (epoch_us(nxt_ts) - epoch_us(ts) <= 600000000 AND nxt_entry))
+    ),
+    u AS (
+      SELECT 'pv' AS src, ts FROM events
+      UNION ALL SELECT 'uv', ts FROM uv
+      UNION ALL SELECT 'uj', ts FROM uj
+    )
+    SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '{_DUCK_FMT}') AS stt,
+           strftime(time_bucket(INTERVAL '10 minutes', ts) + INTERVAL '10 minutes', '{_DUCK_FMT}') AS edt,
+           CAST(sum(CASE WHEN src = 'pv' THEN 1 ELSE 0 END) AS BIGINT) AS pv_ct,
+           CAST(sum(CASE WHEN src = 'uv' THEN 1 ELSE 0 END) AS BIGINT) AS uv_ct,
+           CAST(sum(CASE WHEN src = 'uj' THEN 1 ELSE 0 END) AS BIGINT) AS uj_ct
+    FROM u GROUP BY 1, 2
+    """,
+)
+def streaming_warehouse_e2e_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The four-query topology in its PRODUCTION output configuration: DWS
+    append mode with the watermark delay widened by the DWM timeout budget
+    (topology.warehouse_e2e_append — the exact alternative the complete-mode
+    entry's design note documents). Two-stage sentinel flush makes the
+    compressed replay deterministic: A fires every bounce timer, B closes
+    every real window; each window emits exactly once into the append sink.
+    Any duplicate emission, lateness-dropped row, or missed timer flush
+    breaks the counts against the full-flush oracle."""
+    from gmall_spark.streaming.topology import warehouse_e2e_append
+
+    return warehouse_e2e_append(spark, sf_dir)
+
+
+@register(
     "streaming_tws_is_new",
     """
     SELECT event_id, user_id,

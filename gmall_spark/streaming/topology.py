@@ -50,6 +50,26 @@ def _dir(base: str, name: str) -> str:
     return d
 
 
+def _drain(queries, trigger_secs: float, timeout_secs: float) -> None:
+    """Block until every query has been idle (no input rows) for several
+    consecutive polls — the window in which stage-2 timers flush (the engine
+    runs one extra batch after a watermark advance) and their output drains
+    through stage 3."""
+    deadline = time.monotonic() + timeout_secs
+    idle = 0
+    while idle < 6:
+        if time.monotonic() > deadline:
+            raise TimeoutError(
+                f"warehouse topology not quiescent within {timeout_secs}s"
+            )
+        time.sleep(max(trigger_secs, 0.25))
+        progs = [q.lastProgress for q in queries]
+        if all(p is not None and p["numInputRows"] == 0 for p in progs):
+            idle += 1
+        else:
+            idle = 0
+
+
 def warehouse_e2e(
     spark: SparkSession,
     sf_dir: str,
@@ -168,20 +188,7 @@ def warehouse_e2e(
         )
         queries.append(q3)
 
-        # drive to quiescence: every query idle for several consecutive polls
-        deadline = time.monotonic() + timeout_secs
-        idle = 0
-        while idle < 6:
-            if time.monotonic() > deadline:
-                raise TimeoutError(
-                    f"warehouse_e2e: topology not quiescent within {timeout_secs}s"
-                )
-            time.sleep(max(trigger_secs, 0.25))
-            progs = [q.lastProgress for q in queries]
-            if all(p is not None and p["numInputRows"] == 0 for p in progs):
-                idle += 1
-            else:
-                idle = 0
+        _drain(queries, trigger_secs, timeout_secs)
         for q in queries:
             q.stop()
         queries = []
@@ -197,6 +204,204 @@ def warehouse_e2e(
 
     # spool + drop the memory sink (same reasoning as run_to_memory: don't
     # pin the result in the JVM for the rest of the session)
+    tbl = spark.table(sink_name)
+    schema = tbl.schema
+    spool = os.path.join(base, "dws_out")
+    tbl.write.mode("overwrite").parquet(spool)
+    spark.catalog.dropTempView(sink_name)
+    out = spark.read.schema(schema).parquet(spool)
+    stt, edt = window_bounds(F.col("w"))
+    return (
+        out.withColumn("stt", stt)
+        .withColumn("edt", edt)
+        .drop("w")
+        .select("stt", "edt", "pv_ct", "uv_ct", "uj_ct")
+    )
+
+def warehouse_e2e_append(
+    spark: SparkSession,
+    sf_dir: str,
+    trigger_secs: float = 0.3,
+    timeout_secs: float = 600.0,
+) -> DataFrame:
+    """The PRODUCTION configuration of the four-query topology: the DWS
+    window aggregate runs in APPEND mode with its watermark delay widened by
+    the DWM timeout budget — the alternative the complete-mode docstring
+    (above) documents. Each window emits exactly once, on closure.
+
+    In production, event time tracks wall clock, so "widen by the timeout
+    budget" is literally ``bounce_timeout + base_delay``. This replay
+    compresses the whole event-time range into seconds of wall clock, which
+    breaks that bound (the pv branch jumps the union watermark to max(ts)
+    while timer-flushed uj rows still carry early timestamps), so the replay
+    makes the lateness budget explicit instead:
+
+    - DWS delay = (event-time range) + 700 s — no real row can EVER be late,
+      making the append output independent of how the four queries'
+      micro-batches interleave (the nondeterminism complete mode ducked);
+    - sentinel A (ts = max + 610 s, filtered out of every aggregate) pushes
+      the DWM watermark past every bounce timer, flushing ALL pending
+      entries' timeout bounces — the full-flush twin of the complete-mode
+      oracle's `pending.ts + 600 s < wm` closure condition;
+    - after the uj flush drains, sentinel B (ts = max + delay + 1200 s)
+      pushes the DWS watermark past every real window's end, closing them.
+
+    The sentinels never reach any aggregate: the DWS branches filter
+    ``ts <= max(real ts)`` AFTER the watermark column is marked, and the
+    sentinel's synthetic user (-1) rows from the uv layer carry first_ts >
+    max as well. Emission schedule: nothing closes before sentinel B (the
+    delay exceeds the range), so the memory sink holds each real window
+    exactly once — duplicate emission, a window lost to lateness, or a
+    missed timer flush all break the oracle counts."""
+    from datetime import timedelta
+
+    import pandas as pd
+
+    from gmall_spark.session import spool_dir, stream_jvm_state_width, stream_shuffle_width
+    from gmall_spark.sources import load_table
+    from gmall_spark.streaming.multibatch import chunk_events
+
+    lo, hi = load_table(spark, sf_dir, "events").agg(F.min("ts"), F.max("ts")).first()
+    range_secs = int((hi - lo).total_seconds()) + 1
+    delay_secs = range_secs + 700
+
+    base = spool_dir("e2ea_")
+    src = _dir(base, "src")
+    # private copy of the chunk files: sentinels must not pollute the shared
+    # chunk cache other entries stream from
+    shared = chunk_events(spark, sf_dir, 3)
+    mtime = 1_600_000_000
+    for i, f in enumerate(sorted(os.listdir(shared))):
+        dst = os.path.join(src, f)
+        with open(os.path.join(shared, f), "rb") as a, open(dst, "wb") as b:
+            b.write(a.read())
+        os.utime(dst, (mtime + i * 10, mtime + i * 10))
+
+    def _sentinel(tag: str, ts, order: int) -> None:
+        pdf = pd.DataFrame(
+            {
+                "event_id": [-(order + 1)],
+                "ts": pd.Series([ts], dtype="datetime64[us]"),
+                "user_id": [-1],
+                "event_type": ["__flush__"],
+                "value": [0.0],
+                "props": [None],
+            }
+        )
+        p = os.path.join(src, f"zz_sentinel_{tag}.parquet")
+        pdf.to_parquet(p, index=False)
+        os.utime(p, (mtime + 100 + order * 10, mtime + 100 + order * 10))
+
+    dwd_page = _dir(base, "dwd_page")
+    dwm_uv = _dir(base, "dwm_uv")
+    dwm_uj = _dir(base, "dwm_uj")
+    sink_name = f"e2ea_{os.path.basename(base)}"
+    trig = {"processingTime": f"{trigger_secs} seconds"}
+    page_schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(stream_shuffle_width()))
+    queries = []
+    try:
+        ev = (
+            spark.readStream.schema(page_schema + ", props string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q1 = (
+            ev.select("event_id", "ts", "user_id", "event_type", "value")
+            .writeStream.format("parquet")
+            .option("path", dwd_page)
+            .option("checkpointLocation", _dir(base, "ck_q1"))
+            .outputMode("append")
+            .trigger(**trig)
+            .start()
+        )
+        queries.append(q1)
+
+        def page_stream() -> DataFrame:
+            return spark.readStream.schema(page_schema).parquet(dwd_page)
+
+        q2a = (
+            dedup_daily_stream(page_stream())
+            .writeStream.format("parquet")
+            .option("path", dwm_uv)
+            .option("checkpointLocation", _dir(base, "ck_q2a"))
+            .outputMode("append")
+            .trigger(**trig)
+            .start()
+        )
+        queries.append(q2a)
+        q2b = (
+            detect_bounce_stream(page_stream())
+            .writeStream.format("parquet")
+            .option("path", dwm_uj)
+            .option("checkpointLocation", _dir(base, "ck_q2b"))
+            .outputMode("append")
+            .trigger(**trig)
+            .start()
+        )
+        queries.append(q2b)
+
+        pv = page_stream().select(F.lit("pv").alias("src"), "ts")
+        uv = (
+            spark.readStream.schema(
+                "user_id long, dt string, first_event_id long, first_ts timestamp"
+            )
+            .parquet(dwm_uv)
+            .select(F.lit("uv").alias("src"), F.col("first_ts").alias("ts"))
+        )
+        uj = (
+            spark.readStream.schema(
+                "event_id long, user_id long, ts timestamp, bounce_reason string"
+            )
+            .parquet(dwm_uj)
+            .select(F.lit("uj").alias("src"), "ts")
+        )
+        stats = (
+            pv.unionByName(uv)
+            .unionByName(uj)
+            # watermark FIRST (sentinel ts must drive it), filter second
+            .withWatermark("ts", f"{delay_secs} seconds")
+            .filter(F.col("ts") <= F.lit(hi))
+            .groupBy(F.window("ts", "10 minutes").alias("w"))
+            .agg(
+                F.sum(F.when(F.col("src") == "pv", 1).otherwise(0)).cast("long").alias("pv_ct"),
+                F.sum(F.when(F.col("src") == "uv", 1).otherwise(0)).cast("long").alias("uv_ct"),
+                F.sum(F.when(F.col("src") == "uj", 1).otherwise(0)).cast("long").alias("uj_ct"),
+            )
+        )
+        spark.conf.set("spark.sql.shuffle.partitions", str(stream_jvm_state_width()))
+        q3 = (
+            stats.writeStream.format("memory")
+            .queryName(sink_name)
+            .outputMode("append")
+            .trigger(**trig)
+            .start()
+        )
+        queries.append(q3)
+
+        budget = time.monotonic() + timeout_secs
+        _drain(queries, trigger_secs, timeout_secs)
+        _sentinel("a_timer_flush", hi + timedelta(seconds=610), 0)
+        _drain(queries, trigger_secs, max(budget - time.monotonic(), 30.0))
+        _sentinel("b_window_close", hi + timedelta(seconds=delay_secs + 1200), 1)
+        _drain(queries, trigger_secs, max(budget - time.monotonic(), 30.0))
+        for q in queries:
+            q.stop()
+        queries = []
+    finally:
+        for q in queries:  # error path — don't leak running queries
+            try:
+                q.stop()
+            except Exception:
+                pass
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+
+    from gmall_spark.functions import window_bounds
+
     tbl = spark.table(sink_name)
     schema = tbl.schema
     spool = os.path.join(base, "dws_out")

@@ -113,6 +113,7 @@ EXPECTED: dict[str, tuple[dict[str, int], str]] = {
     # first stage of the 4-query DWD->DWM->DWS topology: stateless filter,
     # started at the topology's pinned width (== cores)
     "streaming_warehouse_e2e": ({}, "pandas"),
+    "streaming_warehouse_e2e_append": ({}, "pandas"),
 }
 
 _SENTINEL_WIDTH = "7"  # never equals either knob; detects 'inherits session'
