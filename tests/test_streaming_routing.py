@@ -297,3 +297,91 @@ def test_kafka_end_to_end_when_broker_available(tmp_path):
         assert per_topic == {f"dwd_t0_{run}": 10, f"dwd_t1_{run}": 10}
     finally:
         session.stop()
+
+
+def test_mysql_cdc_end_to_end_when_db_available(tmp_path):
+    """Self-retiring ENV WAIVER (S2/S4/K3-mysql): the Debezium-side twin of
+    the Kafka smoke above. When a real MySQL is reachable, prove the
+    JDBC-facing surfaces against it end-to-end — write_jdbc (K3) into a
+    fresh table, parallel ranged read back, then run the Debezium envelope
+    decode (S2: decode_cdc + drop_cdc_deletes) over insert envelopes built
+    from the rows THAT round-tripped the real database, asserting the
+    decode reproduces them exactly. Gated on SPARK_GRAFT_MYSQL=<jdbc url
+    with credentials>; skipped with that reason otherwise, so the waiver
+    disappears automatically the day the driver image ships a MySQL. (A
+    live binlog→Debezium→Kafka pipeline additionally needs a Connect
+    cluster; when one exists, point the Kafka smoke's dynamic-topic consumer
+    at its topic — the decode path exercised here is byte-identical.)
+
+    Own session so the connector jar can come via spark.jars.packages."""
+    import json
+    import os
+    import uuid
+
+    import pytest
+
+    url = os.environ.get("SPARK_GRAFT_MYSQL")
+    if not url:
+        pytest.skip("SPARK_GRAFT_MYSQL not set (no MySQL in this environment)")
+
+    from pyspark.sql import SparkSession
+
+    session = (
+        SparkSession.builder.master("local[4]")
+        .appName("mysql_e2e")
+        .config("spark.jars.packages", "com.mysql:mysql-connector-j:8.4.0")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.shuffle.partitions", "4")
+        .getOrCreate()
+    )
+    try:
+        from gmall_spark.operators.parse import decode_cdc, drop_cdc_deletes
+        from gmall_spark.sinks.batch import write_jdbc
+
+        run = uuid.uuid4().hex[:8]
+        table = f"gmall_e2e_{run}"
+        rows = session.createDataFrame(
+            [(i, f"sku_{i}", (i * 7) % 100) for i in range(20)],
+            "id bigint, sku string, qty bigint",
+        )
+        write_jdbc(rows, url, table)
+
+        back = (
+            session.read.format("jdbc")
+            .option("url", url)
+            .option("dbtable", table)
+            .option("partitionColumn", "id")
+            .option("lowerBound", "0")
+            .option("upperBound", "20")
+            .option("numPartitions", "4")
+            .load()
+        )
+        got = sorted((r.id, r.sku, r.qty) for r in back.collect())
+        assert got == sorted((i, f"sku_{i}", (i * 7) % 100) for i in range(20))
+
+        # Debezium insert envelopes for the rows that traversed the real DB
+        envelopes = session.createDataFrame(
+            [
+                (
+                    json.dumps(
+                        {
+                            "database": "gmall",
+                            "tableName": table,
+                            "type": "c",
+                            "data": {"id": r.id, "sku": r.sku, "qty": r.qty},
+                        }
+                    ),
+                )
+                for r in back.collect()
+            ],
+            "value string",
+        )
+        decoded = drop_cdc_deletes(decode_cdc(envelopes))
+        out = sorted(
+            (int(r.data["id"]), r.data["sku"], int(r.data["qty"]))
+            for r in decoded.collect()
+        )
+        assert out == got
+        assert decoded.filter(decoded.type != "insert").count() == 0
+    finally:
+        session.stop()
