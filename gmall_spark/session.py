@@ -167,7 +167,13 @@ def stream_shuffle_width() -> int:
     )
 
 
-def stream_jvm_state_width() -> int:
+#: auto-width floor — the bench-corpus optimum; see stream_jvm_state_width
+_JVM_STATE_MIN_WIDTH = 8
+#: bytes of streaming input that justify one more state partition
+_JVM_STATE_BYTES_PER_PARTITION = 64 * 1024 * 1024
+
+
+def stream_jvm_state_width(input_bytes: int | None = None) -> int:
     """Shuffle/state width for JVM-STATE streaming queries (windowed aggs,
     dropDuplicates, session windows, stream-stream joins) — the
     run_to_memory/run_collect_batches DEFAULT. Their per-batch cost is
@@ -178,11 +184,27 @@ def stream_jvm_state_width() -> int:
     keyWithIndexToValue). Measured at sf0.1: the chained-join entry runs
     16.6s at width 32 vs 4.3s at width 8, and an 8-entry window-agg block
     drops 24-33s → 17-18s. The keyed-pandas entries measured the OPPOSITE
-    preference (stream_shuffle_width). Production sizes this to buffered
-    state volume like any shuffle width — billions of buffered rows want
-    hundreds of partitions; the default tracks the bench corpus.
-    SPARK_GRAFT_STREAM_JVM_SHUFFLE overrides."""
-    return int(os.environ.get("SPARK_GRAFT_STREAM_JVM_SHUFFLE", "8"))
+    preference (stream_shuffle_width).
+
+    ``input_bytes`` (estimated source volume, see
+    pipelines._stream_input_bytes) auto-sizes the default so a 100× input
+    doesn't need an env var: one extra partition per 64 MiB of input,
+    floored at the bench-corpus optimum (8: every sf≤1 source stays there,
+    matching the committed probes) and capped at the cores-tracking width
+    (the sf10 probe measured 8-vs-32 as a wash, so ramping between them is
+    safe). Production sizes this to buffered state volume like any shuffle
+    width — billions of buffered rows want hundreds of partitions; raise
+    the cap via SPARK_GRAFT_STREAM_SHUFFLE there.
+    SPARK_GRAFT_STREAM_JVM_SHUFFLE overrides everything."""
+    env = os.environ.get("SPARK_GRAFT_STREAM_JVM_SHUFFLE")
+    if env is not None:
+        return int(env)
+    if not input_bytes:
+        return _JVM_STATE_MIN_WIDTH
+    return max(
+        _JVM_STATE_MIN_WIDTH,
+        min(stream_shuffle_width(), input_bytes // _JVM_STATE_BYTES_PER_PARTITION),
+    )
 
 
 def get_spark(app_name: str = "gmall_spark", master: str | None = None) -> SparkSession:

@@ -156,6 +156,7 @@ def run_collect_batches(
     import tempfile
 
     from gmall_spark.session import spool_dir, stream_jvm_state_width
+    from gmall_spark.streaming.pipelines import _stream_input_bytes
 
     spark = df.sparkSession
     fields = list(df.schema.fields) + [T.StructField("emit_batch", T.IntegerType())]
@@ -172,7 +173,7 @@ def run_collect_batches(
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(
         "spark.sql.shuffle.partitions",
-        str(shuffle_partitions or stream_jvm_state_width()),
+        str(shuffle_partitions or stream_jvm_state_width(_stream_input_bytes(df))),
     )
     try:
         q = (

@@ -308,6 +308,30 @@ def warm_streaming(spark: SparkSession) -> None:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
+def _stream_input_bytes(df: DataFrame) -> int:
+    """Estimated source volume of a streaming frame: sum of file sizes under
+    every FileSource path in its analyzed plan. This is the same signal a
+    cluster's source-rate planner uses (file sizes / offset ranges) and it
+    is available BEFORE the query starts — which is when the state width
+    must be chosen. Unparseable/missing paths contribute 0 (the width then
+    falls back to the bench-corpus floor)."""
+    import os
+    import re
+
+    total = 0
+    plan = df._jdf.queryExecution().analyzed().toString()
+    for path in set(re.findall(r"FileSource\[([^\]]+)\]", plan)):
+        if not os.path.isdir(path):
+            continue
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass
+    return total
+
+
 def run_to_memory(
     df: DataFrame,
     name: str,
@@ -336,7 +360,7 @@ def run_to_memory(
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(
         "spark.sql.shuffle.partitions",
-        str(shuffle_partitions or stream_jvm_state_width()),
+        str(shuffle_partitions or stream_jvm_state_width(_stream_input_bytes(df))),
     )
     try:
         q = (
