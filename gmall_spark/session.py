@@ -169,8 +169,14 @@ def stream_shuffle_width() -> int:
 
 #: auto-width floor — the bench-corpus optimum; see stream_jvm_state_width
 _JVM_STATE_MIN_WIDTH = 8
-#: bytes of streaming input that justify one more state partition
-_JVM_STATE_BYTES_PER_PARTITION = 64 * 1024 * 1024
+#: bytes of streaming input that justify one more state partition. Calibrated
+#: at sf10 (220 MB/source): width 8 ran 2.6-3.5x slower than 16/32 on the
+#: session/join/dedup entries (per-partition WORK dominates at that volume,
+#: inverting the sf0.1 result where store open+commit dominates), and the
+#: 16-vs-32 difference was noise — so ~27 partitions for a 220 MB source is
+#: on the flat part of the curve, while every sf<=1 source stays at the
+#: floor, matching the committed sf0.1/sf1 probes.
+_JVM_STATE_BYTES_PER_PARTITION = 8 * 1024 * 1024
 
 
 def stream_jvm_state_width(input_bytes: int | None = None) -> int:
