@@ -355,6 +355,19 @@ def embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_ann(emb, "vec_id", "embedding", k=5, n_clusters=16, nprobe=4)
 
 
+@register("embed_ann_ivf_auto", _IVF_ORACLE)
+def embed_ann_ivf_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF scale DEFAULT under the correctness gate: n_clusters="auto"
+    (auto_ivf_cells — one cell per ~1024 vectors, floor 16). At the oracle
+    corpus (≤16 Ki vectors) auto resolves to exactly the pinned entry's 16
+    cells, so the SAME bit-exact oracle replays it — while at bench/probe
+    scales this entry exercises the density the 100 TB deployment runs
+    (sf10: auto ~27 s where the pinned density degenerates past the
+    MAX_PINNED_BUCKET_POP guard, see BENCH_r05_sf10_batch.json)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_ann(emb, "vec_id", "embedding", k=5, n_clusters="auto", nprobe=4)
+
+
 # ---------------------------------------------------------------------------
 # Text analysis: token/quality metrics, integer-only outputs.
 # ---------------------------------------------------------------------------

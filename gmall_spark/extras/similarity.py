@@ -267,6 +267,30 @@ def _resolve_density(df: DataFrame, value, resolver):
     return value
 
 
+#: largest expected bucket/cell population a PINNED density may imply.
+#: Bucket kernels are O(pop²·d); past this the pinned density measurably
+#: degenerates (16 IVF cells over a 200k-vector sf10 corpus = 12.5k/cell
+#: ran >580 s where auto's ~1953 cells ran 27 s). Same contract as
+#: MAX_BROADCAST_INDEX_ROWS: turn a silent scale blow-up into an
+#: actionable error naming the scale path.
+MAX_PINNED_BUCKET_POP = 8192
+
+
+def _guard_pinned_density(df: DataFrame, n_buckets: int, caller: str, scale_arg: str):
+    """Refuse a pinned density whose expected bucket population exceeds
+    MAX_PINNED_BUCKET_POP (one metadata-fast count job). Only reached for
+    pinned ints — "auto" holds population ~constant by construction."""
+    n = df.count()
+    if n / max(n_buckets, 1) > MAX_PINNED_BUCKET_POP:
+        raise ValueError(
+            f"{caller}: pinned density ({n_buckets} buckets over {n} rows = "
+            f"~{n // max(n_buckets, 1)}/bucket) exceeds "
+            f"{MAX_PINNED_BUCKET_POP}/bucket — the O(pop²) per-bucket verify "
+            f"degenerates; pass {scale_arg} to size the density from the "
+            "corpus (pinned densities exist only for oracle replay)"
+        )
+
+
 def _hyperplanes(n_tables: int, n_bits: int, dims: int):
     """The deterministic ±1 hyperplane tensor, generated from md5 parity —
     md5(f"h{table}:{bit},{dim}") first hex digit >= 8 → +1 — so an
@@ -425,6 +449,8 @@ def lsh_ann(
     the signature from the corpus count (auto_lsh_bits) so bucket population
     stays ~constant as the corpus grows — the scale default; registry
     entries pin an int only so the DuckDB oracle replays bit-identically."""
+    if n_bits != "auto":
+        _guard_pinned_density(df, 2**n_bits, "lsh_ann", 'n_bits="auto"')
     n_bits = _resolve_density(df, n_bits, auto_lsh_bits)
     sigs = signatures(df, id_col, vec_col, n_bits, n_tables, with_vec=True)
     local = sigs.groupBy("table", "sig").applyInPandas(
@@ -572,6 +598,8 @@ def ivf_ann(
     import numpy as np
     import pandas as pd
 
+    if n_clusters != "auto":
+        _guard_pinned_density(df, n_clusters, "ivf_ann", 'n_clusters="auto"')
     centroids = kmeans_centroids(df, id_col, vec_col, n_clusters)
     if centroids is None:
         return _empty(df, "vec_id long, neighbor_id long, rnk long")
@@ -636,6 +664,8 @@ def cosine_near_dup_lsh(
     import numpy as np
     import pandas as pd
 
+    if n_bits != "auto":
+        _guard_pinned_density(df, 2**n_bits, "lsh_ann", 'n_bits="auto"')
     n_bits = _resolve_density(df, n_bits, auto_lsh_bits)
     sigs = signatures(df, id_col, vec_col, n_bits, n_tables, with_vec=True)
     empty = pd.DataFrame({"vec_a": [], "vec_b": []})

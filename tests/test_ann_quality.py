@@ -200,3 +200,24 @@ def test_cell_dists_expansion_consistent():
     # the first 50 columns of the big grid are the same centroids
     assert np.allclose(d_small, d_big[:, :50], atol=1e-8)
     assert (d_big >= 0).all()  # expansion is clamped, never tiny-negative
+
+
+def test_pinned_density_guard_trips_on_oversized_buckets(spark, monkeypatch):
+    """A PINNED density whose expected bucket population exceeds
+    MAX_PINNED_BUCKET_POP must refuse with a pointer at "auto" — the
+    contract that keeps oracle-replay densities from silently degenerating
+    at scale (sf10 measured: 16 IVF cells over 200k vectors ran >580s where
+    auto ran 27s). "auto" itself must never trip (constant population by
+    construction)."""
+    import pytest
+
+    emb = load_table(spark, SF, "embeddings")
+    monkeypatch.setattr(similarity, "MAX_PINNED_BUCKET_POP", 4)
+    with pytest.raises(ValueError, match='n_clusters="auto"'):
+        similarity.ivf_ann(emb, "vec_id", "embedding", k=5, n_clusters=16)
+    with pytest.raises(ValueError, match='n_bits="auto"'):
+        similarity.lsh_ann(emb, "vec_id", "embedding", n_bits=2, k=5)
+    # auto paths bypass the pinned guard entirely
+    assert similarity.ivf_ann(
+        emb, "vec_id", "embedding", k=5, n_clusters="auto"
+    ).count() > 0
