@@ -51,10 +51,18 @@ def _dir(base: str, name: str) -> str:
 
 
 def _drain(queries, trigger_secs: float, timeout_secs: float) -> None:
-    """Block until every query has been idle (no input rows) for several
-    consecutive polls — the window in which stage-2 timers flush (the engine
-    runs one extra batch after a watermark advance) and their output drains
-    through stage 3."""
+    """Block until every query has been idle for several consecutive polls —
+    the window in which stage-2 timers flush (the engine runs one extra
+    batch after a watermark advance) and their output drains through
+    stage 3.
+
+    Idle = the LAST COMPLETED batch had no input rows AND no trigger is
+    currently active. The second conjunct is load-bearing: a watermark-flush
+    batch reports numInputRows=0 in lastProgress while the NEXT zero-input
+    eviction batch is still running, so input-rows alone can declare
+    quiescence mid-commit — the subsequent stop() then interrupts the state
+    store commit (observed once as CANNOT_WRITE_STATE_STORE.CANNOT_COMMIT
+    aborting the final window flush of the append topology)."""
     deadline = time.monotonic() + timeout_secs
     idle = 0
     while idle < 6:
@@ -64,7 +72,9 @@ def _drain(queries, trigger_secs: float, timeout_secs: float) -> None:
             )
         time.sleep(max(trigger_secs, 0.25))
         progs = [q.lastProgress for q in queries]
-        if all(p is not None and p["numInputRows"] == 0 for p in progs):
+        if all(
+            p is not None and p["numInputRows"] == 0 for p in progs
+        ) and not any(q.status.get("isTriggerActive") for q in queries):
             idle += 1
         else:
             idle = 0
