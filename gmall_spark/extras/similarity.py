@@ -276,19 +276,22 @@ def _resolve_density(df: DataFrame, value, resolver):
 MAX_PINNED_BUCKET_POP = 8192
 
 
-def _guard_pinned_density(df: DataFrame, n_buckets: int, caller: str, scale_arg: str):
-    """Refuse a pinned density whose expected bucket population exceeds
-    MAX_PINNED_BUCKET_POP (one metadata-fast count job). Only reached for
-    pinned ints — "auto" holds population ~constant by construction."""
-    n = df.count()
-    if n / max(n_buckets, 1) > MAX_PINNED_BUCKET_POP:
-        raise ValueError(
-            f"{caller}: pinned density ({n_buckets} buckets over {n} rows = "
-            f"~{n // max(n_buckets, 1)}/bucket) exceeds "
-            f"{MAX_PINNED_BUCKET_POP}/bucket — the O(pop²) per-bucket verify "
-            f"degenerates; pass {scale_arg} to size the density from the "
-            "corpus (pinned densities exist only for oracle replay)"
-        )
+def _pinned_pop_cap(density, caller: str, scale_arg: str):
+    """Bucket-population cap for PINNED densities, enforced INSIDE the
+    bucket kernel on the ACTUAL population (no driver-side count job — the
+    builders must stay lazy, asserted by tests/test_plans.py). Returns
+    (cap, message) for pinned ints, (None, None) for "auto" — auto holds
+    population ~constant by construction, and a rare hot bucket there is
+    skew, not a density mistake."""
+    if density == "auto":
+        return None, None
+    return MAX_PINNED_BUCKET_POP, (
+        f"{caller}: a bucket holds more than {MAX_PINNED_BUCKET_POP} rows "
+        f"under the pinned density — the O(pop²) per-bucket verify "
+        f"degenerates at this corpus size; pass {scale_arg} to size the "
+        "density from the corpus (pinned densities exist only for oracle "
+        "replay)"
+    )
 
 
 def _hyperplanes(n_tables: int, n_bits: int, dims: int):
@@ -366,7 +369,10 @@ def signatures(
     return spread_to_parallelism(df.select(id_col, vec_col)).mapInPandas(op, schema)
 
 
-def _bucket_topk_kernel(id_col: str, k: int, pair_space: bool):
+def _bucket_topk_kernel(
+    id_col: str, k: int, pair_space: bool, max_pop: int | None = None,
+    cap_msg: str | None = None,
+):
     """applyInPandas kernel: exact cosine within one bucket, per-query local
     top-k under the global comparator (sim desc, id asc). The union of
     per-bucket top-ks provably contains the global top-k (a total order's
@@ -384,6 +390,8 @@ def _bucket_topk_kernel(id_col: str, k: int, pair_space: bool):
     empty = pd.DataFrame({"vec_id": [], "neighbor_id": [], "sim": []})
 
     def kernel(pdf):
+        if max_pop is not None and len(pdf) > max_pop:
+            raise ValueError(cap_msg)
         if pair_space:
             mem, qry = pdf, pdf
         else:
@@ -449,12 +457,11 @@ def lsh_ann(
     the signature from the corpus count (auto_lsh_bits) so bucket population
     stays ~constant as the corpus grows — the scale default; registry
     entries pin an int only so the DuckDB oracle replays bit-identically."""
-    if n_bits != "auto":
-        _guard_pinned_density(df, 2**n_bits, "lsh_ann", 'n_bits="auto"')
+    cap, cap_msg = _pinned_pop_cap(n_bits, "lsh_ann", 'n_bits="auto"')
     n_bits = _resolve_density(df, n_bits, auto_lsh_bits)
     sigs = signatures(df, id_col, vec_col, n_bits, n_tables, with_vec=True)
     local = sigs.groupBy("table", "sig").applyInPandas(
-        _bucket_topk_kernel(id_col, k, pair_space=True),
+        _bucket_topk_kernel(id_col, k, pair_space=True, max_pop=cap, cap_msg=cap_msg),
         "vec_id long, neighbor_id long, sim double",
     )
     return _global_rank(local, k, dedup_pairs=True)
@@ -598,8 +605,7 @@ def ivf_ann(
     import numpy as np
     import pandas as pd
 
-    if n_clusters != "auto":
-        _guard_pinned_density(df, n_clusters, "ivf_ann", 'n_clusters="auto"')
+    cap, cap_msg = _pinned_pop_cap(n_clusters, "ivf_ann", 'n_clusters="auto"')
     centroids = kmeans_centroids(df, id_col, vec_col, n_clusters)
     if centroids is None:
         return _empty(df, "vec_id long, neighbor_id long, rnk long")
@@ -638,7 +644,7 @@ def ivf_ann(
         id_col, F.explode("probes").alias("cell"), "_v", F.lit(True).alias("_is_q")
     )
     local = member.unionByName(probes).groupBy("cell").applyInPandas(
-        _bucket_topk_kernel(id_col, k, pair_space=False),
+        _bucket_topk_kernel(id_col, k, pair_space=False, max_pop=cap, cap_msg=cap_msg),
         "vec_id long, neighbor_id long, sim double",
     )
     return _global_rank(local, k, dedup_pairs=False)

@@ -203,21 +203,25 @@ def test_cell_dists_expansion_consistent():
 
 
 def test_pinned_density_guard_trips_on_oversized_buckets(spark, monkeypatch):
-    """A PINNED density whose expected bucket population exceeds
-    MAX_PINNED_BUCKET_POP must refuse with a pointer at "auto" — the
-    contract that keeps oracle-replay densities from silently degenerating
-    at scale (sf10 measured: 16 IVF cells over 200k vectors ran >580s where
-    auto ran 27s). "auto" itself must never trip (constant population by
-    construction)."""
+    """A PINNED density whose ACTUAL bucket population exceeds
+    MAX_PINNED_BUCKET_POP must fail with a pointer at "auto" — the contract
+    that keeps oracle-replay densities from silently degenerating at scale
+    (sf10 measured: 16 IVF cells over 200k vectors ran >580s where auto ran
+    27s). Enforced INSIDE the bucket kernel on real populations, so the
+    builders stay lazy (test_lsh_ann_is_distributed_no_eager_collect).
+    "auto" must never trip (constant population by construction; a hot
+    bucket there is data skew, not a density mistake)."""
     import pytest
+
+    from py4j.protocol import Py4JJavaError
 
     emb = load_table(spark, SF, "embeddings")
     monkeypatch.setattr(similarity, "MAX_PINNED_BUCKET_POP", 4)
-    with pytest.raises(ValueError, match='n_clusters="auto"'):
-        similarity.ivf_ann(emb, "vec_id", "embedding", k=5, n_clusters=16)
-    with pytest.raises(ValueError, match='n_bits="auto"'):
-        similarity.lsh_ann(emb, "vec_id", "embedding", n_bits=2, k=5)
-    # auto paths bypass the pinned guard entirely
+    with pytest.raises(Exception, match='n_clusters="auto"'):
+        similarity.ivf_ann(emb, "vec_id", "embedding", k=5, n_clusters=16).count()
+    with pytest.raises(Exception, match='n_bits="auto"'):
+        similarity.lsh_ann(emb, "vec_id", "embedding", n_bits=2, k=5).count()
+    # auto paths bypass the pinned cap entirely
     assert similarity.ivf_ann(
         emb, "vec_id", "embedding", k=5, n_clusters="auto"
     ).count() > 0
