@@ -670,13 +670,14 @@ def cosine_near_dup_lsh(
     import numpy as np
     import pandas as pd
 
-    if n_bits != "auto":
-        _guard_pinned_density(df, 2**n_bits, "lsh_ann", 'n_bits="auto"')
+    cap, cap_msg = _pinned_pop_cap(n_bits, "cosine_near_dup_lsh", 'n_bits="auto"')
     n_bits = _resolve_density(df, n_bits, auto_lsh_bits)
     sigs = signatures(df, id_col, vec_col, n_bits, n_tables, with_vec=True)
     empty = pd.DataFrame({"vec_a": [], "vec_b": []})
 
     def kernel(pdf):
+        if cap is not None and len(pdf) > cap:
+            raise ValueError(cap_msg)
         if len(pdf) < 2:
             return empty
         X = np.stack(pdf["_v"].to_numpy()).astype("float64")
