@@ -440,3 +440,54 @@ def test_rocksdb_state_store_matches_default_provider(spark, chunked_events):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prior)
+
+
+def test_watermark_evicts_closed_window_state(spark):
+    """ST7/ST8 at the METRICS level: state must be bounded by windows in
+    flight, not by windows ever seen. Three time-ordered chunks stream 889
+    distinct 10-minute windows through a watermarked append aggregate; the
+    stateOperators progress metrics must show (a) eviction happening
+    (numRowsRemoved accounts for every closed window), and (b) peak
+    numRowsTotal far below the distinct-window count — the property that
+    makes a year-long stream's state O(windows-in-flight) instead of
+    O(history). (Observed shape: per-batch state 291-304 rows, final 1.)"""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from gmall_spark.sources import load_table
+    from gmall_spark.streaming.multibatch import stream_event_chunks
+
+    src = stream_event_chunks(spark, SF, 3)
+    agg = (
+        src.withWatermark("ts", "2 seconds")
+        .groupBy(F.window("ts", "10 minutes").alias("w"))
+        .count()
+    )
+    name = f"evict_{time.time_ns()}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    ops = [op for p in q.recentProgress for op in p["stateOperators"]]
+    spark.catalog.dropTempView(name)
+    assert ops, "no stateOperators progress recorded"
+    n_windows = (
+        load_table(spark, SF, "events")
+        .select(F.window("ts", "10 minutes"))
+        .distinct()
+        .count()
+    )
+    removed = sum(op["numRowsRemoved"] for op in ops)
+    final_state = ops[-1]["numRowsTotal"]
+    peak_state = max(op["numRowsTotal"] for op in ops)
+    assert removed + final_state == n_windows, (removed, final_state, n_windows)
+    assert removed > 0, "watermark never evicted any window state"
+    assert peak_state < n_windows / 2, (
+        f"state accumulated {peak_state} rows for {n_windows} windows — "
+        "eviction is not keeping state bounded by windows in flight"
+    )
