@@ -491,3 +491,50 @@ def test_watermark_evicts_closed_window_state(spark):
         f"state accumulated {peak_state} rows for {n_windows} windows — "
         "eviction is not keeping state bounded by windows in flight"
     )
+
+
+def test_watermark_evicts_join_buffer_state(spark):
+    """The stream-stream join twin of the window-eviction metrics test —
+    the heaviest state family (four store instances per partition). 390
+    view/purchase rows stream through a ±15-minute interval join in three
+    time-ordered chunks; buffered state must stay bounded by rows inside
+    the join horizon (observed 126-135 in flight), with eviction
+    accounting for everything that left."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from gmall_spark.sources import load_table
+    from gmall_spark.streaming.multibatch import stream_event_chunks
+    from gmall_spark.streaming.pipelines import interval_join_stream
+
+    l = stream_event_chunks(spark, SF, 3).filter(F.col("event_type") == "view")
+    r = stream_event_chunks(spark, SF, 3).filter(F.col("event_type") == "purchase")
+    j = interval_join_stream(l, r, "user_id", "ts", "ts", "0 minutes", "15 minutes")
+    name = f"jevict_{time.time_ns()}"
+    q = (
+        j.select("l.event_id")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    ops = [op for p in q.recentProgress for op in p["stateOperators"]]
+    spark.catalog.dropTempView(name)
+    assert ops, "no stateOperators progress recorded"
+    n_inputs = (
+        load_table(spark, SF, "events")
+        .filter(F.col("event_type").isin("view", "purchase"))
+        .count()
+    )
+    removed = sum(op["numRowsRemoved"] for op in ops)
+    final_state = ops[-1]["numRowsTotal"]
+    peak_state = max(op["numRowsTotal"] for op in ops)
+    assert removed + final_state == n_inputs, (removed, final_state, n_inputs)
+    assert removed > 0, "watermark never evicted any join buffer state"
+    assert peak_state < n_inputs / 2, (
+        f"join buffered {peak_state} rows of {n_inputs} inputs — state is "
+        "accumulating history instead of tracking the join horizon"
+    )
