@@ -102,7 +102,7 @@ def spool_dir(prefix: str) -> str:
     import tempfile as _tempfile
 
     return _tempfile.mkdtemp(
-        prefix=f"{prefix}p{os.getpid()}_", dir=scratch_dir("spool")
+        prefix=f"{prefix}__p{os.getpid()}__", dir=scratch_dir("spool")
     )
 
 
@@ -120,7 +120,7 @@ def _gc_scratch_spool(spool_root: str) -> None:
     """Best-effort bound on spool accumulation, at most once a minute per
     process. An entry is deleted only when BOTH hold: (a) it is older than
     _SPOOL_TTL_SECS by mtime, and (b) its creating process — parsed from the
-    ``p<pid>_`` tag spool_dir() embeds in the name — is dead. (b) is what
+    ``__p<pid>__`` tag spool_dir() embeds in the name — is dead. (b) is what
     keeps a >TTL-old but still-referenced spool alive: lazy result frames
     read their spool on every action, and rmtree would succeed on Linux even
     with readers attached. Untagged entries (pre-tag layout, foreign
@@ -138,14 +138,27 @@ def _gc_scratch_spool(spool_root: str) -> None:
         return
     _last_spool_gc = now
     if _SPOOL_PID_RE is None:
-        _SPOOL_PID_RE = re.compile(r"p(\d+)_")
+        # The ``__p<pid>__`` delimiter can't be shadowed by a user-chosen
+        # prefix like ``memsink_top10_`` the way a bare ``p<digits>_``
+        # search could (resolving to the wrong — possibly dead — pid and
+        # deleting a live process's spool). Old-format entries
+        # (``{prefix}p<pid>_<rand>``) fall back to the LAST ``p<digits>_``
+        # occurrence: the mkdtemp suffix after the real tag is
+        # underscore-free, so the last match is always the pid tag.
+        _SPOOL_PID_RE = re.compile(r"__p(\d+)__")
+    _legacy_re = re.compile(r"p(\d+)_")
     for entry in os.listdir(spool_root):
         p = os.path.join(spool_root, entry)
         try:
             if now - os.path.getmtime(p) <= _SPOOL_TTL_SECS:
                 continue
             m = _SPOOL_PID_RE.search(entry)
-            if m and _pid_alive(int(m.group(1))):
+            if m is None:
+                legacy = _legacy_re.findall(entry)
+                pid_str = legacy[-1] if legacy else None
+            else:
+                pid_str = m.group(1)
+            if pid_str is not None and _pid_alive(int(pid_str)):
                 continue
             shutil.rmtree(p, ignore_errors=True)
         except OSError:
@@ -194,11 +207,14 @@ def stream_jvm_state_width(input_bytes: int | None = None) -> int:
 
     ``input_bytes`` (estimated source volume, see
     pipelines._stream_input_bytes) auto-sizes the default so a 100× input
-    doesn't need an env var: one extra partition per 64 MiB of input,
-    floored at the bench-corpus optimum (8: every sf≤1 source stays there,
-    matching the committed probes) and capped at the cores-tracking width
-    (the sf10 probe measured 8-vs-32 as a wash, so ramping between them is
-    safe). Production sizes this to buffered state volume like any shuffle
+    doesn't need an env var: one extra partition per 8 MiB of input
+    (_JVM_STATE_BYTES_PER_PARTITION), floored at the bench-corpus optimum
+    (8: every sf≤1 source stays there, matching the committed probes) and
+    capped at the cores-tracking width. The sf10 re-probe
+    (BENCH_r05_sf10_streaming.json) showed narrow is 2.6-3.5x SLOWER at
+    220 MB/trigger — per-partition work dominates there, inverting the
+    sf0.1 result — so the ramp toward cores is required, not merely safe.
+    Production sizes this to buffered state volume like any shuffle
     width — billions of buffered rows want hundreds of partitions; raise
     the cap via SPARK_GRAFT_STREAM_SHUFFLE there.
     SPARK_GRAFT_STREAM_JVM_SHUFFLE overrides everything."""

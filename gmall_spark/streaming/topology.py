@@ -298,9 +298,16 @@ def warehouse_e2e_append(
                 "props": [None],
             }
         )
+        # q1 is already polling src (maxFilesPerTrigger=1, fast trigger) when
+        # sentinels land, and parquet writes are not atomic: listing could
+        # catch a half-written file and fail the batch. Write under a dotted
+        # temp name the FileStreamSource's default filter ignores, set the
+        # mtime, then rename — the source only ever sees a complete file.
         p = os.path.join(src, f"zz_sentinel_{tag}.parquet")
-        pdf.to_parquet(p, index=False)
-        os.utime(p, (mtime + 100 + order * 10, mtime + 100 + order * 10))
+        tmp = os.path.join(src, f".zz_sentinel_{tag}.parquet.tmp")
+        pdf.to_parquet(tmp, index=False)
+        os.utime(tmp, (mtime + 100 + order * 10, mtime + 100 + order * 10))
+        os.rename(tmp, p)
 
     dwd_page = _dir(base, "dwd_page")
     dwm_uv = _dir(base, "dwm_uv")

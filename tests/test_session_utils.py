@@ -30,16 +30,32 @@ def _run_gc(spool_root):
 def test_spool_dir_embeds_live_pid(tmp_path, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_SCRATCH", str(tmp_path))
     d = sess.spool_dir("memsink_x_")
-    assert f"p{os.getpid()}_" in os.path.basename(d)
+    assert f"__p{os.getpid()}__" in os.path.basename(d)
     assert os.path.isdir(d)
 
 
 def test_gc_keeps_expired_spool_of_live_process(tmp_path):
     root = str(tmp_path / "spool")
     os.makedirs(root)
-    live = _make_entry(root, f"memsink_q1_p{os.getpid()}_abc", sess._SPOOL_TTL_SECS + 60)
+    live = _make_entry(
+        root, f"memsink_q1___p{os.getpid()}__abc", sess._SPOOL_TTL_SECS + 60
+    )
     _run_gc(root)
     assert os.path.isdir(live), "expired-by-mtime spool of a LIVE pid must survive"
+
+
+def test_gc_legacy_tag_pid_not_shadowed_by_prefix_digits(tmp_path):
+    """Old-format names resolve the LAST ``p<digits>_`` match: a prefix like
+    ``memsink_top10_`` contains ``p10_`` and must NOT shadow the real pid tag
+    — pid 10 is typically a dead/kernel pid, and resolving to it would delete
+    a live process's spool (the exact bug the pid tag exists to prevent)."""
+    root = str(tmp_path / "spool")
+    os.makedirs(root)
+    live = _make_entry(
+        root, f"memsink_top10_p{os.getpid()}_abc", sess._SPOOL_TTL_SECS + 60
+    )
+    _run_gc(root)
+    assert os.path.isdir(live), "legacy spool of a LIVE pid must survive prefix shadowing"
 
 
 def test_gc_deletes_expired_spool_of_dead_process(tmp_path):

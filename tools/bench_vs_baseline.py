@@ -56,9 +56,15 @@ def main() -> int:
             continue
         tot_b += base[n]
         tot_r += bench[n]
-        if base[n] > 0 and bench[n] / base[n] > args.factor:
-            rec = (n, bench[n], base[n], bench[n] / base[n])
-            (regressions if bench[n] > args.floor else noise).append(rec)
+        if base[n] > 0:
+            if bench[n] / base[n] > args.factor:
+                rec = (n, bench[n], base[n], bench[n] / base[n])
+                (regressions if bench[n] > args.floor else noise).append(rec)
+        elif bench[n] > args.floor:
+            # baseline rounded to 0.00 (sub-5ms row): no ratio exists, so the
+            # absolute floor alone decides — otherwise a 0.00 row could never
+            # regress no matter how slow it got.
+            regressions.append((n, bench[n], base[n], float("inf")))
 
     regressions.sort(key=lambda r: -r[3])
     noise.sort(key=lambda r: -r[3])
