@@ -62,7 +62,15 @@ def _drain(queries, trigger_secs: float, timeout_secs: float) -> None:
     eviction batch is still running, so input-rows alone can declare
     quiescence mid-commit — the subsequent stop() then interrupts the state
     store commit (observed once as CANNOT_WRITE_STATE_STORE.CANNOT_COMMIT
-    aborting the final window flush of the append topology)."""
+    aborting the final window flush of the append topology).
+
+    Callers MUST lower spark.sql.streaming.noDataProgressEventInterval
+    (default 10 s) before starting the queries: lastProgress only surfaces a
+    source-exhausted query's zero-input batch at that throttle cadence, so
+    each drain stage otherwise stalls ~10 s PER QUERY LAYER waiting for the
+    idle signal to appear, not for any real work (measured: a 1-file probe
+    query shows its (batchId=1, numInputRows=0) progress 0.6 s after the
+    data batch at a 300 ms interval vs 10.0 s at the default)."""
     deadline = time.monotonic() + timeout_secs
     idle = 0
     while idle < 6:
@@ -104,6 +112,13 @@ def warehouse_e2e(
     # passthrough + keyed-pandas state, both parallel-work-bound; the DWS
     # window agg below re-pins to the narrow JVM-state width at its start
     spark.conf.set("spark.sql.shuffle.partitions", str(stream_shuffle_width()))
+    # surface idle progress at trigger cadence so _drain sees quiescence when
+    # it happens, not at the 10 s default throttle (see _drain docstring);
+    # captured per-query at start(), so set before the first start()
+    prev_idle = spark.conf.get(
+        "spark.sql.streaming.noDataProgressEventInterval", None
+    )
+    spark.conf.set("spark.sql.streaming.noDataProgressEventInterval", "250ms")
     queries = []
     try:
         # q1 — DWD: chunked event source (one file per trigger), cleaned
@@ -209,6 +224,12 @@ def warehouse_e2e(
             except Exception:
                 pass
         spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+        if prev_idle is None:
+            spark.conf.unset("spark.sql.streaming.noDataProgressEventInterval")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.noDataProgressEventInterval", prev_idle
+            )
 
     from gmall_spark.functions import window_bounds
 
@@ -320,6 +341,13 @@ def warehouse_e2e_append(
 
     prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(stream_shuffle_width()))
+    # idle progress at trigger cadence — this topology drains THREE times
+    # (pre-sentinel, post-A, post-B), so the 10 s default throttle would
+    # stall every cascade per layer (see _drain docstring)
+    prev_idle = spark.conf.get(
+        "spark.sql.streaming.noDataProgressEventInterval", None
+    )
+    spark.conf.set("spark.sql.streaming.noDataProgressEventInterval", "250ms")
     queries = []
     try:
         ev = (
@@ -416,6 +444,12 @@ def warehouse_e2e_append(
             except Exception:
                 pass
         spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+        if prev_idle is None:
+            spark.conf.unset("spark.sql.streaming.noDataProgressEventInterval")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.noDataProgressEventInterval", prev_idle
+            )
 
     from gmall_spark.functions import window_bounds
 
