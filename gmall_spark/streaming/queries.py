@@ -244,9 +244,9 @@ def streaming_dedup_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "streaming_bounce_detect",
-    f"""
+#: shared by the applyInPandasWithState entry and its transformWithState
+#: timer-API twin — identical semantics, different state machinery
+_BOUNCE_ORACLE = f"""
     WITH wm AS {_WM_MS},
     o AS (
       SELECT event_id, user_id, ts, event_type,
@@ -266,8 +266,10 @@ def streaming_dedup_union(spark: SparkSession, sf_dir: str) -> DataFrame:
            -- trailing entry: emitted only when its event-time timer
            -- (ms-floor(ts) + 600s) fires, i.e. lies strictly below the wm
            OR (nxt_ts IS NULL AND epoch_us(ts) // 1000 + 600000 < wm.wm_ms))
-    """,
-)
+    """
+
+
+@register("streaming_bounce_detect", _BOUNCE_ORACLE)
 def streaming_bounce_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST3 — CEP-with-timeout via event-time timers. Match and in-batch
     timeout decisions emit immediately; trailing entries emit from the timer
@@ -1303,6 +1305,38 @@ def streaming_tws_is_new(spark: SparkSession, sf_dir: str) -> DataFrame:
             fix_is_new_tws(stream_events(spark, sf_dir)),
             _name("s_tws_isnew"),
             shuffle_partitions=stream_shuffle_width(),
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+@register("streaming_tws_bounce", _BOUNCE_ORACLE)
+def streaming_tws_bounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST3 on the transformWithState TIMER API — the same CEP-with-timeout
+    semantics and oracle as streaming_bounce_detect, but the timeout path
+    runs on first-class event-time timers (registerTimer/handleExpiredTimer
+    over the RocksDB timer column family) instead of GroupState's single
+    implicit timeout slot. Output is bit-identical to the
+    applyInPandasWithState twin; the equivalence test asserts exactly that,
+    and the metrics-level test pins the timer lifecycle (registered =
+    deleted + expired + live) and state-eviction accounting."""
+    from gmall_spark.streaming.stateful import detect_bounce_tws
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    try:
+        out = run_to_memory(
+            detect_bounce_tws(stream_events(spark, sf_dir)),
+            _name("s_tws_bounce"),
+            shuffle_partitions=stream_shuffle_width(),
+        )
+        return out.select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", TS_FMT).alias("ts"),
+            "bounce_reason",
         )
     finally:
         if prev is None:

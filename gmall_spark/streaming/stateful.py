@@ -396,3 +396,171 @@ def fix_is_new_tws(events: DataFrame, key: str = "user_id") -> DataFrame:
         outputMode="append",
         timeMode="none",
     )
+
+
+def detect_bounce_tws(
+    events: DataFrame,
+    key: str = "user_id",
+    entry_type: str = "view",
+    timeout_secs: int = 600,
+    watermark: str = "2 seconds",
+) -> DataFrame:
+    """ST3 on the transformWithState timer API: the same CEP-with-timeout as
+    detect_bounce_stream (UserJumpDetailApp.java:70-120), but the timeout
+    path runs on FIRST-CLASS event-time timers (handle.registerTimer /
+    handleExpiredTimer) instead of applyInPandasWithState's single implicit
+    timeout slot. Semantics are identical — match and in-batch timeout
+    decisions emit from handleInputRows; a trailing entry parks one
+    (pending_id, pending_ts) pair in ValueState with a timer at
+    ms-floor(ts)+timeout, and handleExpiredTimer emits the timeout bounce
+    when the watermark passes it.
+
+    Why this twin exists: timers are where TWS earns its keep over the
+    GroupState API (many per key, listable, deletable — a key replacing its
+    pending entry deletes the stale timer instead of overwriting a slot),
+    and the timer column family is a distinct state shape whose eviction
+    the metrics-level test pins (numRowsRemoved must track resolved
+    pendings, not history). Requires protobuf + RocksDB store, exactly like
+    fix_is_new_tws."""
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - env-dependent
+        raise ImportError(
+            "transformWithStateInPandas needs the protobuf package; use "
+            "detect_bounce_stream (applyInPandasWithState) in this environment"
+        ) from exc
+
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField(key, T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("bounce_reason", T.StringType()),
+        ]
+    )
+    cols = ["event_id", key, "ts", "bounce_reason"]
+    timeout_ms = timeout_secs * 1000
+
+    class BounceProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.handle = handle
+            # pending trailing entry: (event_id, event-time as epoch micros).
+            # Micros-as-long rather than a timestamp field: the state row
+            # round-trips through the TWS Arrow protocol bit-exactly, and
+            # the timer expiry derives from the same integer (no tz/unit
+            # coupling between the two column families).
+            self.pending = handle.getValueState(
+                "pending",
+                T.StructType(
+                    [
+                        T.StructField("pending_id", T.LongType()),
+                        T.StructField("pending_us", T.LongType()),
+                    ]
+                ),
+            )
+
+        def _clear(self) -> None:
+            self.pending.clear()
+            for t in self.handle.listTimers():
+                self.handle.deleteTimer(t)
+
+        def _park(self, event_id: int, ts: pd.Timestamp) -> None:
+            us = int(ts.value // 1_000)
+            for t in self.handle.listTimers():
+                self.handle.deleteTimer(t)
+            self.pending.update((int(event_id), us))
+            self.handle.registerTimer(us // 1000 + timeout_ms)
+
+        def handleInputRows(self, key_tuple, rows, timerValues):
+            k = key_tuple[0]
+            chunks = [pdf.sort_values(["ts", "event_id"]) for pdf in rows if len(pdf)]
+            if not chunks:
+                return
+            pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+
+            out_frames = []
+            # resolve the carried-over pending entry against the first new
+            # event — the event-time gap decides before any watermark does
+            if self.pending.exists():
+                pid, pus = self.pending.get()
+                pts = pd.Timestamp(pus * 1_000)
+                gap = (pdf.iloc[0]["ts"] - pts).total_seconds()
+                if gap > timeout_secs:
+                    out_frames.append(
+                        pd.DataFrame([(pid, k, pts, "timeout")], columns=cols)
+                    )
+                elif pdf.iloc[0]["event_type"] == entry_type:
+                    out_frames.append(
+                        pd.DataFrame([(pid, k, pts, "match")], columns=cols)
+                    )
+
+            # vectorized lead() within the batch — identical to the
+            # applyInPandasWithState twin
+            is_entry = pdf["event_type"].eq(entry_type)
+            nxt_ts = pdf["ts"].shift(-1)
+            nxt_entry = is_entry.shift(-1)
+            gap_late = (nxt_ts - pdf["ts"]).dt.total_seconds() > timeout_secs
+            decided = is_entry & nxt_ts.notna()
+            reason = pd.Series(pd.NA, index=pdf.index, dtype="object")
+            reason[decided & gap_late] = "timeout"
+            reason[decided & ~gap_late & nxt_entry.fillna(False).astype(bool)] = "match"
+            hits = pdf[reason.notna()]
+            if len(hits):
+                out_frames.append(
+                    pd.DataFrame(
+                        {
+                            "event_id": hits["event_id"],
+                            key: hits[key],
+                            "ts": hits["ts"],
+                            "bounce_reason": reason[reason.notna()],
+                        }
+                    )
+                )
+
+            last = pdf.iloc[-1]
+            if last["event_type"] == entry_type:
+                self._park(last["event_id"], last["ts"])
+            else:
+                self._clear()
+            yield from out_frames
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            # (named ``key``: the engine invokes this hook with keyword
+            # arguments, unlike handleInputRows.) The engine scans timers
+            # AFTER input processing, so a pending replaced mid-batch
+            # deleted its stale timer and never lands here; the exists()
+            # guard is belt-and-braces for a clear race.
+            if not self.pending.exists():
+                return
+            pid, pus = self.pending.get()
+            # only the value state: the firing timer is auto-removed by the
+            # engine, and deleting it again logs a TimerStateImpl warning
+            self.pending.clear()
+            yield pd.DataFrame(
+                [(pid, key[0], pd.Timestamp(pus * 1_000), "timeout")],
+                columns=cols,
+            )
+
+        def close(self) -> None:
+            pass
+
+    events.sparkSession.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(key)
+        .transformWithStateInPandas(
+            BounceProcessor(),
+            outputStructType=out_schema,
+            outputMode="append",
+            timeMode="eventTime",
+        )
+    )

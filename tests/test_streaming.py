@@ -538,3 +538,173 @@ def test_watermark_evicts_join_buffer_state(spark):
         f"join buffered {peak_state} rows of {n_inputs} inputs — state is "
         "accumulating history instead of tracking the join horizon"
     )
+
+
+def test_detect_bounce_tws_matches_apiws_twin(spark, chunked_events):
+    """The transformWithState timer-API bounce must be BIT-identical to the
+    applyInPandasWithState twin on the same chunk schedule — same matches,
+    same timeout emissions, same stragglers left unfired at stream end.
+    (Looser batch-twin equivalence is inherited: the apiws twin already has
+    its own batch test above.)"""
+    from gmall_spark.compat import ensure_protobuf
+
+    ensure_protobuf()
+    pytest.importorskip("google.protobuf", reason="TWS state protocol needs protobuf")
+    from gmall_spark.streaming.stateful import detect_bounce_tws
+
+    cols = ["event_id", "user_id", "ts", "bounce_reason"]
+    apiws = run_to_memory(
+        detect_bounce_stream(read_stream(spark, chunked_events)), "t_bounce_a"
+    )
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    try:
+        tws = run_to_memory(
+            detect_bounce_tws(read_stream(spark, chunked_events)), "t_bounce_t"
+        )
+        assert rows_set(tws, cols) == rows_set(apiws, cols)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_tws_timer_fires_and_clears_pending_state(spark):
+    """The transformWithState TIMER path at the METRICS level — the state
+    shape the window/join eviction tests don't cover. Three time-ordered
+    chunks stream through detect_bounce_tws; the stateOperators +
+    customMetrics ledger must show (a) the zero-input flush batch firing
+    timers: every state row removed there is one emitted timeout bounce
+    (sink rows == state removals, the exactly-once contract of the timer
+    path), (b) the timer column family balancing — every registered timer
+    is eventually deleted (stale-replaced or fired) once the value state
+    drains to empty, and (c) peak pending state bounded by the key universe
+    (≤1 pending entry per user), not by history."""
+    import time
+
+    from gmall_spark.compat import ensure_protobuf
+
+    ensure_protobuf()
+    pytest.importorskip("google.protobuf", reason="TWS state protocol needs protobuf")
+    from gmall_spark.streaming.multibatch import stream_event_chunks
+    from gmall_spark.streaming.stateful import detect_bounce_tws
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    try:
+        df = detect_bounce_tws(stream_event_chunks(spark, SF, 3))
+        name = f"twstimer_{time.time_ns()}"
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        progress = list(q.recentProgress)
+        spark.catalog.dropTempView(name)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+    ops = [(p, op) for p in progress for op in p["stateOperators"]]
+    assert ops, "no stateOperators progress recorded"
+
+    # (a) flush batches (no input): timers fired — each removal is exactly
+    # one emitted timeout row
+    flush = [(p, op) for p, op in ops if p["numInputRows"] == 0]
+    assert flush, "availableNow never ran a zero-input flush batch"
+    fired = sum(op["numRowsRemoved"] for _, op in flush)
+    assert fired > 0, "no event-time timer ever fired in the flush batch"
+    for p, op in flush:
+        assert p["sink"]["numOutputRows"] == op["numRowsRemoved"], (
+            "timer firings and emitted timeout rows disagree: "
+            f"{op['numRowsRemoved']} removals vs {p['sink']['numOutputRows']} rows"
+        )
+
+    # (b) timer ledger: with the value state fully drained, every registered
+    # timer was deleted (replaced mid-stream or consumed by expiry)
+    final_state = ops[-1][1]["numRowsTotal"]
+    reg = sum(op["customMetrics"]["numRegisteredTimers"] for _, op in ops)
+    dele = sum(op["customMetrics"]["numDeletedTimers"] for _, op in ops)
+    assert reg > 0, "no timer was ever registered"
+    assert final_state == 0, f"{final_state} pending entries survived the flush"
+    assert reg == dele, f"timer ledger leaks: {reg} registered, {dele} deleted"
+
+    # (c) state is O(open pendings), never O(history)
+    n_users = load_table(spark, SF, "events").select("user_id").distinct().count()
+    peak = max(op["numRowsTotal"] for _, op in ops)
+    assert 0 < peak <= n_users, (peak, n_users)
+
+
+def test_dynamic_session_window_state_bounded(spark):
+    """The DYNAMIC-gap session window at the METRICS level — the last state
+    shape without a stateOperators assertion. Three time-ordered chunks
+    stream the per-event-gap sessionization (purchase holds 30 min,
+    otherwise 10); the session store must (a) evict exactly one state row
+    per emitted session (append-mode exactly-once), (b) account for every
+    session the cummax replay model produces (removed + final == model
+    total), and (c) keep peak buffered sessions far below the total — the
+    O(sessions-in-flight) property. (Observed shape at sf0.001: peak 327,
+    final 1, model 973.)"""
+    import time
+
+    from gmall_spark.streaming.multibatch import stream_event_chunks
+
+    gap = F.when(F.col("event_type") == "purchase", F.lit("30 minutes")).otherwise(
+        F.lit("10 minutes")
+    )
+    out = (
+        stream_event_chunks(spark, SF, 3)
+        .withWatermark("ts", "2 seconds")
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    name = f"dynsess_{time.time_ns()}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = spark.table(name).count()
+    ops = [op for p in q.recentProgress for op in p["stateOperators"]]
+    spark.catalog.dropTempView(name)
+    assert ops, "no stateOperators progress recorded"
+
+    # independent replay of the gap rule: a session breaks iff ts >= cummax
+    # of (prior ts + its gap) — same model the registry oracle uses
+    ev = (
+        load_table(spark, SF, "events")
+        .select("user_id", "ts", "event_type", "event_id")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    gaps = ev["event_type"].eq("purchase").map({True: 1800, False: 600})
+    ends = ev["ts"] + pd.to_timedelta(gaps, unit="s")
+    model_total = 0
+    for _, g in ev.assign(end=ends).groupby("user_id"):
+        run_end = None
+        for ts, end in zip(g["ts"], g["end"]):
+            if run_end is None or ts >= run_end:
+                model_total += 1
+                run_end = end
+            else:
+                run_end = max(run_end, end)
+
+    removed = sum(op["numRowsRemoved"] for op in ops)
+    final_state = ops[-1]["numRowsTotal"]
+    peak_state = max(op["numRowsTotal"] for op in ops)
+    assert removed == emitted, (
+        f"{removed} sessions evicted but {emitted} emitted — append-mode "
+        "exactly-once broken at the state level"
+    )
+    assert removed + final_state == model_total, (removed, final_state, model_total)
+    assert peak_state < model_total / 2, (
+        f"session store buffered {peak_state} of {model_total} sessions — "
+        "eviction is not tracking sessions in flight"
+    )

@@ -18,7 +18,20 @@ Two content rules keep scaled behavior realistic instead of degenerate:
 - embeddings: replica i>0 vectors get a small deterministic perturbation on
   dimension (i mod dim), so no exact-duplicate vectors.
 
-Usage: python tools/gen_sf.py [out_dir] [factor]   (defaults: .localdata/sf1 10)
+Usage: python tools/gen_sf.py [out_dir] [factor] [--src DIR] [--tables a,b,...]
+(defaults: .localdata/sf1 10 --src /root/testdata/sf0.1, all tables)
+
+--src lets a second decade be built from an already-scaled dir (sf10 x10 =
+sf100) instead of a 1000-way replication of sf0.1; key offsets are computed
+from the source dir's own parent domains, so referential integrity holds
+regardless of which decade the source is. --tables restricts output to the
+named fact tables (dims are always copied) — an sf100 probe that only reads
+documents+lineitem shouldn't pay for 600M events rows it never scans.
+
+The `~i` document-token tag uses the REPLICA index, so a two-decade build
+(sf10 x10) reuses tags 1-9 on top of source rows already tagged 1-9: token
+`foo~3~7` appears only in sf100 replica 7 of sf10 replica 3 — still unique
+per lineage, cross-replica Jaccard still ~1/3.
 """
 
 from __future__ import annotations
@@ -75,24 +88,38 @@ def _mutate_texts(texts: list[str | None], i: int) -> list[str | None]:
 
 
 def main() -> None:
-    out_dir = sys.argv[1] if len(sys.argv) > 1 else ".localdata/sf1"
-    factor = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    argv = list(sys.argv[1:])
+    src_dir, tables = SRC, None
+    if "--src" in argv:
+        i = argv.index("--src")
+        src_dir = argv[i + 1]
+        del argv[i : i + 2]
+    if "--tables" in argv:
+        i = argv.index("--tables")
+        tables = set(argv[i + 1].split(","))
+        del argv[i : i + 2]
+    out_dir = argv[0] if argv else ".localdata/sf1"
+    factor = int(argv[1]) if len(argv) > 1 else 10
     os.makedirs(out_dir, exist_ok=True)
 
+    keyed = {n: k for n, k in KEYED.items() if tables is None or n in tables}
+    # offsets only for domains some selected table actually shifts by
+    needed_doms = {parent for keys in keyed.values() for parent in keys.values()}
     offsets = {
         dom: pq.read_table(
-            os.path.join(SRC, f"{dom}.parquet"), columns=[key]
+            os.path.join(src_dir, f"{dom}.parquet"), columns=[key]
         )[key].to_numpy().max() + 1
         for dom, key in DOMAIN_KEY.items()
+        if dom in needed_doms
     }
 
     for name in ("region", "nation"):  # dims don't scale
-        src = os.path.join(SRC, f"{name}.parquet")
+        src = os.path.join(src_dir, f"{name}.parquet")
         pq.write_table(pq.read_table(src), os.path.join(out_dir, f"{name}.parquet"))
         print(f"{name}: copied")
 
-    for name, keys in KEYED.items():
-        src = pq.read_table(os.path.join(SRC, f"{name}.parquet"))
+    for name, keys in keyed.items():
+        src = pq.read_table(os.path.join(src_dir, f"{name}.parquet"))
         dest = os.path.join(out_dir, f"{name}.parquet")
         writer = pq.ParquetWriter(dest, src.schema)
         for i in range(factor):
