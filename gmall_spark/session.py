@@ -170,9 +170,15 @@ def stream_shuffle_width() -> int:
     (applyInPandasWithState / transformWithStateInPandas). Their per-batch
     cost is the parallel Python work, so width should track cores: measured
     solo on this 32-core box, 32 beats 8 on every pandas-state entry
-    (daily-UV dedup 6.1s → 2.0s). Env-tunable (SPARK_GRAFT_STREAM_SHUFFLE)
-    so a contended host can trade parallelism for fixed per-partition
-    machinery without a code change."""
+    (daily-UV dedup 6.1s → 2.0s). Unlike the JVM-state family this width
+    stays STATIC under input growth — the sf10 A/B
+    (BENCH_r06_sf10_streaming.json) measured the 32/64/96 curve flat within
+    noise on a quiet box (378/408/382s over the 4 heaviest entries) and 16
+    materially worse in both passes (≥1.4× the worst 32-run): Python work
+    saturates at physical cores, and partitions beyond that only add state
+    store open+commit overhead without adding parallelism. Env-tunable
+    (SPARK_GRAFT_STREAM_SHUFFLE) so a contended host can trade parallelism
+    for fixed per-partition machinery without a code change."""
     return int(
         os.environ.get(
             "SPARK_GRAFT_STREAM_SHUFFLE", os.environ.get("SPARK_GRAFT_CPUS", "32")

@@ -45,14 +45,38 @@ def value_hash(df: pd.DataFrame) -> int:
     return int(pd.util.hash_pandas_object(df, index=False).sum())
 
 
-#: the state-heaviest streaming entries (multiple stateful operators, keyed
-#: pandas state over the full key universe, or multi-batch state evolution)
+#: the production-state-store gate: every multi-batch, stream-stream-join,
+#: e2e-topology, keyed-state, and session-window entry runs under RocksDB
+#: once per round (round-5 verdict asked for N>=20; stateless pass-through
+#: entries are excluded — they carry no store to exercise)
 ROCKSDB_DEFAULT_ENTRIES = [
+    "streaming_anti_join",
+    "streaming_bounce_detect",
     "streaming_chained_stateful",
-    "streaming_mb_unique_visit",
-    "streaming_mb_bounce",
-    "streaming_full_outer_join",
+    "streaming_decontaminate",
+    "streaming_dedup_union",
+    "streaming_dynamic_session",
     "streaming_ewma_user",
+    "streaming_full_outer_join",
+    "streaming_gapfill",
+    "streaming_is_new_repair",
+    "streaming_late_drop_audit",
+    "streaming_manifest_sink",
+    "streaming_mb_bounce",
+    "streaming_mb_ewma",
+    "streaming_mb_interval_join",
+    "streaming_mb_is_new",
+    "streaming_mb_unique_visit",
+    "streaming_mb_visitor_stats",
+    "streaming_order_wide",
+    "streaming_outer_interval_join",
+    "streaming_payment_wide",
+    "streaming_semi_join",
+    "streaming_session_stats",
+    "streaming_tws_bounce",
+    "streaming_unique_visit",
+    "streaming_warehouse_e2e",
+    "streaming_warehouse_e2e_append",
 ]
 
 
