@@ -51,11 +51,22 @@ def _spread(df: DataFrame) -> DataFrame:
 
 
 def shingle_set(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
-    """(id, shingle) distinct — the inverted-index input."""
-    return (
-        _spread(df)
-        .select(F.col(id_col), F.explode(_shingles(_tokens(text_col), k)).alias("shingle"))
-        .distinct()
+    """(id, shingle) distinct — the inverted-index input.
+
+    Dedup happens per-row with array_distinct BEFORE the explode, not with
+    .distinct() after it: ids are unique in every caller's frame (documents
+    PK or a filtered projection of it), so the two are equivalent — but the
+    post-explode distinct is a full shuffle of the exploded set (~85M
+    (id, string-shingle) rows at sf10, multi-GB of network), while
+    array_distinct is a per-row codegen pass that never leaves the scan
+    stage. (At sf10 the set is ~26M rows / 5.3M distinct shingles.)
+    Measured on dedup_clusters_star at sf10: edge generation 83.9s → 63.3s,
+    entry total 87.4s → 66.9s (profile in BENCH_r06_clusters_profile.json).
+    Callers feeding frames with REPEATED ids would need the old global
+    distinct back — none exists today."""
+    return _spread(df).select(
+        F.col(id_col),
+        F.explode(F.array_distinct(_shingles(_tokens(text_col), k))).alias("shingle"),
     )
 
 
