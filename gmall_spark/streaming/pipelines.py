@@ -304,6 +304,54 @@ def warm_streaming(spark: SparkSession) -> None:
             .start()
         )
         q.awaitTermination()
+        # Fourth warm target: the transformWithStateInPandas machinery — a
+        # FOURTH Python worker family (the TWS state-server protocol over
+        # protobuf) plus the RocksDB provider init that API requires;
+        # nothing above pre-pays either. With two TWS entries in the
+        # registry the init otherwise lands on whichever runs first in a
+        # sweep (alphabetically streaming_tws_bounce), skewing its row vs
+        # a warm solo median — the same class of artifact as the r4
+        # manifest-sink mystery. Skipped silently where protobuf is
+        # unavailable (the TWS entries themselves raise a reasoned
+        # ImportError there).
+        try:
+            from gmall_spark.compat import ensure_protobuf
+
+            ensure_protobuf()
+            import google.protobuf  # noqa: F401
+
+            from gmall_spark.streaming.stateful import fix_is_new_tws
+
+            prev_provider = spark.conf.get(
+                "spark.sql.streaming.stateStore.providerClass", None
+            )
+            try:
+                w = spark.readStream.schema(
+                    "event_id long, ts timestamp, user_id long"
+                ).parquet(src_dir)
+                tname = f"warm_tws_{time.time_ns()}"
+                q = (
+                    fix_is_new_tws(w)
+                    .writeStream.format("memory")
+                    .queryName(tname)
+                    .outputMode("append")
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
+                spark.catalog.dropTempView(tname)
+            finally:
+                if prev_provider is None:
+                    spark.conf.unset(
+                        "spark.sql.streaming.stateStore.providerClass"
+                    )
+                else:
+                    spark.conf.set(
+                        "spark.sql.streaming.stateStore.providerClass",
+                        prev_provider,
+                    )
+        except ImportError:
+            pass
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
