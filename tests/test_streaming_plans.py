@@ -59,7 +59,12 @@ EXPECTED: dict[str, tuple[dict[str, int], str]] = {
         "jvm",
     ),
     "streaming_cms_sketch": ({"Aggregate": 1}, "jvm"),
-    "streaming_decontaminate": ({"Deduplicate": 3, "Aggregate": 1, "Join": 1}, "jvm"),
+    # Deduplicate 3→2 in r6: shingle_set's post-explode global distinct
+    # became a per-row array_distinct inside the scan (see its docstring),
+    # so the benchmark-set build lost its logical Deduplicate node; the
+    # STREAMING side's state layout is unchanged (entry re-verified
+    # against its oracle, CORRECTNESS_full_r11.json).
+    "streaming_decontaminate": ({"Deduplicate": 2, "Aggregate": 1, "Join": 1}, "jvm"),
     "streaming_dedup_union": ({"EventTimeWatermark": 1, "Deduplicate": 1}, "jvm"),
     "streaming_dim_enrich": (
         {"EventTimeWatermark": 1, "Aggregate": 1, "Join": 2},
