@@ -85,9 +85,8 @@ def streaming_visitor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(out, _name("s_visitor"))
 
 
-@register(
-    "streaming_unique_visit",
-    f"""
+#: shared by the per-key entry and its key-coarsened (bucketed-state) twin
+_UV_ORACLE = f"""
     SELECT user_id,
            strftime(CAST(ts AS DATE), '%Y-%m-%d') AS dt,
            event_id AS first_event_id,
@@ -97,8 +96,10 @@ def streaming_visitor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    ORDER BY ts, event_id) AS rn
       FROM events
     ) WHERE rn = 1
-    """,
-)
+    """
+
+
+@register("streaming_unique_visit", _UV_ORACLE)
 def streaming_unique_visit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST2 as keyed streaming state (applyInPandasWithState). NoTimeout state
     emits in-batch, so the single-batch run equals the batch dedup exactly."""
@@ -927,9 +928,8 @@ def streaming_mb_is_new(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_collect_batches(fix_is_new_stream(stream_event_chunks(spark, sf_dir, 3)), shuffle_partitions=stream_shuffle_width())
 
 
-@register(
-    "streaming_mb_unique_visit",
-    f"""
+#: shared by the per-key mb entry and its key-coarsened twin
+_MB_UV_ORACLE = f"""
     WITH {_mb_cte()}
     SELECT user_id,
            strftime(CAST(ts AS DATE), '%Y-%m-%d') AS dt,
@@ -941,8 +941,10 @@ def streaming_mb_is_new(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    ORDER BY ts, event_id) AS rnn
       FROM placed
     ) WHERE rnn = 1
-    """,
-)
+    """
+
+
+@register("streaming_mb_unique_visit", _MB_UV_ORACLE)
 def streaming_mb_unique_visit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST2 across three micro-batches: the seen-dates state must carry over
     — a (user, day) straddling a chunk boundary would re-emit from a
@@ -953,6 +955,53 @@ def streaming_mb_unique_visit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     out = run_collect_batches(dedup_daily_stream(stream_event_chunks(spark, sf_dir, 3)), shuffle_partitions=stream_shuffle_width())
+    return out.select(
+        "user_id",
+        "dt",
+        "first_event_id",
+        F.date_format("first_ts", TS_FMT).alias("first_ts"),
+        "emit_batch",
+    )
+
+
+@register("streaming_bucketed_uv", _UV_ORACLE)
+def streaming_bucketed_uv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST2 with KEY-COARSENED state — the 100 TB shape of
+    streaming_unique_visit. applyInPandasWithState pays one Python call per
+    GROUP per batch, so per-entity keying costs a call per active user
+    (~300k/batch at sf10 — the measured bottleneck of the mb twin's 108 s
+    sf10 row, which no width knob fixes); grouping by hash(user)%buckets
+    with one int64-coded seen-set row per bucket makes the call count
+    independent of entity count. Same first-touch emission, same oracle —
+    the twin pair is the semantics proof."""
+    from gmall_spark.streaming.stateful import dedup_daily_bucketed_stream
+
+    out = run_to_memory(
+        dedup_daily_bucketed_stream(stream_events(spark, sf_dir)),
+        _name("s_bkt_uv"),
+        shuffle_partitions=stream_shuffle_width(),
+    )
+    return out.select(
+        "user_id", "dt", "first_event_id", F.date_format("first_ts", TS_FMT).alias("first_ts")
+    )
+
+
+@register("streaming_mb_bucketed_uv", _MB_UV_ORACLE)
+def streaming_mb_bucketed_uv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bucketed-state twin across three micro-batches: coarsened seen
+    sets must carry over chunk boundaries exactly like per-key state —
+    emit_batch equality against the per-key oracle proves batch-for-batch
+    identical emission, not just identical final output."""
+    from gmall_spark.streaming.multibatch import (
+        run_collect_batches,
+        stream_event_chunks,
+    )
+    from gmall_spark.streaming.stateful import dedup_daily_bucketed_stream
+
+    out = run_collect_batches(
+        dedup_daily_bucketed_stream(stream_event_chunks(spark, sf_dir, 3)),
+        shuffle_partitions=stream_shuffle_width(),
+    )
     return out.select(
         "user_id",
         "dt",

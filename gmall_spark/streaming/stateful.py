@@ -564,3 +564,89 @@ def detect_bounce_tws(
             timeMode="eventTime",
         )
     )
+
+
+def dedup_daily_bucketed_stream(
+    events: DataFrame, key: str = "user_id", n_buckets: int | None = None
+) -> DataFrame:
+    """ST2 with KEY-COARSENED state — the 100 TB shape of dedup_daily_stream.
+
+    applyInPandasWithState invokes the Python function once per GROUP per
+    micro-batch, so keying state by the raw entity id costs one Python call
+    per active entity (~300k calls/batch at sf10 — measured as the dominant
+    cost of streaming_mb_unique_visit's 108 s sf10 row; the width A/B in
+    BENCH_r06_sf10_streaming.json showed no knob fixes it because the calls,
+    not the partitions, are the bottleneck). This twin groups by
+    hash(key) % n_buckets instead and keeps each bucket's seen set as ONE
+    state row of int64 codes (user·2¹⁶ + epoch-day — day fits 16 bits until
+    year 2149), so a batch pays n_buckets Python calls total, independent of
+    the entity count. Semantics are IDENTICAL to the per-key twin (same
+    first-touch-per-(user, day) emission in the same micro-batch, asserted
+    bit-exact by the equivalence test and the shared oracle): within a
+    bucket the batch is sorted by (ts, event_id) and deduped per code, which
+    coincides with each user's own event-time order.
+
+    Retention mirrors the per-key twin's two-day window, but bounded by the
+    bucket's MAX day rather than per user (codes older than max-1 day are
+    dropped): with time-ordered arrival (the chunked sources here; Kafka
+    per-partition order in the reference) no new event can be older than
+    that, so the trim is emission-invariant — and it is the stronger memory
+    bound, because a dormant user's dead days don't linger.
+
+    The trade: per-bucket state rows are wider (the whole seen set
+    serializes through Arrow every batch instead of one tiny row per
+    touched key). n_buckets controls that balance — default 4× the pandas
+    width, keeping rows ~thousands of codes at bench scales while the call
+    count stays in the hundreds. Flink has no analog knob (its keyed state
+    is JVM-side per-key with no per-group invocation cost); this is a
+    Python-runtime-specific scale technique, which is exactly why it gets
+    its own registry entry instead of replacing the faithful per-key twin.
+    """
+    from pyspark.sql import functions as F
+
+    from gmall_spark.session import stream_shuffle_width
+
+    if n_buckets is None:
+        n_buckets = 4 * stream_shuffle_width()
+
+    out_schema = f"{key} long, dt string, first_event_id long, first_ts timestamp"
+    state_schema = "codes array<long>"
+    _DAY_BITS = 1 << 16
+
+    def fn(
+        key_tuple: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        seen = set(state.get[0] or ()) if state.exists else set()
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(["ts", "event_id"])
+            day = pdf["ts"].to_numpy().astype("datetime64[D]").astype("int64")
+            code = pd.Series(
+                pdf[key].to_numpy() * _DAY_BITS + day, index=pdf.index
+            )
+            fresh = pdf[(~code.duplicated()) & (~code.isin(seen))]
+            seen.update(code.loc[fresh.index].tolist())
+            if len(fresh):
+                yield pd.DataFrame(
+                    {
+                        key: fresh[key],
+                        "dt": fresh["ts"].dt.strftime("%Y-%m-%d"),
+                        "first_event_id": fresh["event_id"],
+                        "first_ts": fresh["ts"],
+                    }
+                )
+        if seen:
+            horizon = max(c % _DAY_BITS for c in seen) - 1
+            seen = {c for c in seen if c % _DAY_BITS >= horizon}
+        state.update((sorted(seen),))
+
+    return (
+        events.withColumn(
+            "_bkt", F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets))
+        )
+        .groupBy("_bkt")
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
+    )

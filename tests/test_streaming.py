@@ -708,3 +708,21 @@ def test_dynamic_session_window_state_bounded(spark):
         f"session store buffered {peak_state} of {model_total} sessions — "
         "eviction is not tracking sessions in flight"
     )
+
+
+def test_dedup_daily_bucketed_matches_per_key(spark, chunked_events):
+    """The key-coarsened (bucketed-state) dedup must be BIT-identical to the
+    per-key twin on the same chunk schedule — same (user, day) firsts, same
+    rows, carried across batch boundaries by the coded seen-sets exactly as
+    per-key state carries its date strings. (The registry's mb entry
+    additionally pins emit_batch equality through the shared oracle.)"""
+    from gmall_spark.streaming.stateful import dedup_daily_bucketed_stream
+
+    cols = ["user_id", "dt", "first_event_id", "first_ts"]
+    per_key = run_to_memory(
+        dedup_daily_stream(read_stream(spark, chunked_events)), "t_uv_pk"
+    )
+    bucketed = run_to_memory(
+        dedup_daily_bucketed_stream(read_stream(spark, chunked_events)), "t_uv_bk"
+    )
+    assert rows_set(bucketed, cols) == rows_set(per_key, cols)
