@@ -52,6 +52,7 @@ def value_hash(df: pd.DataFrame) -> int:
 ROCKSDB_DEFAULT_ENTRIES = [
     "streaming_anti_join",
     "streaming_bounce_detect",
+    "streaming_bucketed_uv",
     "streaming_chained_stateful",
     "streaming_decontaminate",
     "streaming_dedup_union",
@@ -63,6 +64,7 @@ ROCKSDB_DEFAULT_ENTRIES = [
     "streaming_late_drop_audit",
     "streaming_manifest_sink",
     "streaming_mb_bounce",
+    "streaming_mb_bucketed_uv",
     "streaming_mb_ewma",
     "streaming_mb_interval_join",
     "streaming_mb_is_new",
