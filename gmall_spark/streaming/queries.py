@@ -904,17 +904,18 @@ def streaming_mb_visitor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_collect_batches(out)
 
 
-@register(
-    "streaming_mb_is_new",
-    f"""
+#: shared by the per-key mb entry and its key-coarsened twin
+_MB_IS_NEW_ORACLE = f"""
     WITH {_mb_cte()}
     SELECT event_id, user_id,
            CAST(CASE WHEN row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) = 1
                 THEN 1 ELSE 0 END AS INT) AS is_new,
            CAST(chunk AS INT) AS emit_batch
     FROM placed
-    """,
-)
+    """
+
+
+@register("streaming_mb_is_new", _MB_IS_NEW_ORACLE)
 def streaming_mb_is_new(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST1 across three micro-batches: the seen-flag must SURVIVE the batch
     boundary — without persisted state, each key's first event per batch
@@ -926,6 +927,26 @@ def streaming_mb_is_new(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return run_collect_batches(fix_is_new_stream(stream_event_chunks(spark, sf_dir, 3)), shuffle_partitions=stream_shuffle_width())
+
+
+@register("streaming_mb_bucketed_is_new", _MB_IS_NEW_ORACLE)
+def streaming_mb_bucketed_is_new(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST1 with key-coarsened state across three micro-batches — the
+    bucketed-seen-set pattern (streaming_mb_bucketed_uv) applied to a
+    second operator, proving it generalizes: one array<long> of ever-seen
+    user ids per hash bucket, ~n_buckets Python calls per batch instead of
+    one per active user. Same oracle as streaming_mb_is_new, emit_batch
+    included — batch-for-batch identical emission."""
+    from gmall_spark.streaming.multibatch import (
+        run_collect_batches,
+        stream_event_chunks,
+    )
+    from gmall_spark.streaming.stateful import fix_is_new_bucketed_stream
+
+    return run_collect_batches(
+        fix_is_new_bucketed_stream(stream_event_chunks(spark, sf_dir, 3)),
+        shuffle_partitions=stream_shuffle_width(),
+    )
 
 
 #: shared by the per-key mb entry and its key-coarsened twin

@@ -650,3 +650,69 @@ def dedup_daily_bucketed_stream(
             fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
         )
     )
+
+
+def fix_is_new_bucketed_stream(
+    events: DataFrame, key: str = "user_id", n_buckets: int | None = None
+) -> DataFrame:
+    """ST1 with KEY-COARSENED state — dedup_daily_bucketed_stream's pattern
+    applied to the is_new repair, proving the technique generalizes beyond
+    one operator: group by hash(key) % n_buckets and keep the bucket's
+    ever-seen key ids as one array<long> state row, so a micro-batch costs
+    n_buckets Python invocations instead of one per active entity (the
+    measured bottleneck of the per-key twins at sf10 — see
+    BENCH_r06_bucketed_state.json).
+
+    Emission is identical to fix_is_new_stream: within a bucket the batch
+    is sorted by (ts, event_id), and a key's first-ever event (first
+    occurrence in batch AND not in the seen set) keeps is_new=1. Restricted
+    to one key, the bucket's sort order IS that key's event-time order, so
+    first-occurrence coincides per key.
+
+    State volume equals the per-key twin's (one int64 per ever-seen key
+    either way — there is no two-day horizon to trim here, exactly like the
+    per-key version whose store keeps one row per key forever); the
+    re-packing trades per-group invocation cost for re-serializing each
+    TOUCHED bucket's array every batch. n_buckets is the balance knob: at
+    ~1e9 keys per bucket-arrays would be ~30 MB at the default, so a
+    cluster deployment raises n_buckets with the key universe (state stays
+    sharded across width partitions regardless)."""
+    from pyspark.sql import functions as F
+
+    from gmall_spark.session import stream_shuffle_width
+
+    if n_buckets is None:
+        n_buckets = 4 * stream_shuffle_width()
+
+    out_schema = f"event_id long, {key} long, is_new int"
+    state_schema = "uids array<long>"
+
+    def fn(
+        key_tuple: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        seen = set(state.get[0] or ()) if state.exists else set()
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(["ts", "event_id"])
+            uid = pdf[key]
+            first = (~uid.duplicated()) & (~uid.isin(seen))
+            seen.update(uid[first].tolist())
+            yield pd.DataFrame(
+                {
+                    "event_id": pdf["event_id"],
+                    key: uid,
+                    "is_new": first.astype("int32"),
+                }
+            )
+        state.update((sorted(seen),))
+
+    return (
+        events.withColumn(
+            "_bkt", F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets))
+        )
+        .groupBy("_bkt")
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
+    )

@@ -726,3 +726,19 @@ def test_dedup_daily_bucketed_matches_per_key(spark, chunked_events):
         dedup_daily_bucketed_stream(read_stream(spark, chunked_events)), "t_uv_bk"
     )
     assert rows_set(bucketed, cols) == rows_set(per_key, cols)
+
+
+def test_fix_is_new_bucketed_matches_per_key(spark, chunked_events):
+    """The bucketed-seen-set is_new repair must be bit-identical to the
+    per-key twin on the same chunk schedule — the pattern-generalization
+    proof (same contract as the bucketed dedup test above)."""
+    from gmall_spark.streaming.stateful import fix_is_new_bucketed_stream
+
+    cols = ["event_id", "user_id", "is_new"]
+    per_key = run_to_memory(
+        fix_is_new_stream(read_stream(spark, chunked_events)), "t_in_pk"
+    )
+    bucketed = run_to_memory(
+        fix_is_new_bucketed_stream(read_stream(spark, chunked_events)), "t_in_bk"
+    )
+    assert rows_set(bucketed, cols) == rows_set(per_key, cols)

@@ -107,6 +107,10 @@ EXPECTED: dict[str, tuple[dict[str, int], str]] = {
     "streaming_semi_join": ({"EventTimeWatermark": 2, "Join": 1}, "jvm"),
     "streaming_session_stats": ({"EventTimeWatermark": 1, "Aggregate": 1}, "jvm"),
     "streaming_bucketed_uv": ({"FlatMapGroupsInPandasWithState": 1}, "pandas"),
+    "streaming_mb_bucketed_is_new": (
+        {"FlatMapGroupsInPandasWithState": 1},
+        "pandas",
+    ),
     "streaming_mb_bucketed_uv": ({"FlatMapGroupsInPandasWithState": 1}, "pandas"),
     "streaming_tws_bounce": (
         {"EventTimeWatermark": 1, "TransformWithStateInPySpark": 1},
