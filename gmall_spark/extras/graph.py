@@ -9,12 +9,21 @@ integer arithmetic — `rank div out_degree` contributions, damping as
 bit after any number of rounds. Positive operands make floor and truncating
 integer division identical across engines.
 
-Scale: per round = one equi-join of the (persisted) degree-annotated edge
-list with the current rank table + one sum-groupBy on dst — the standard
-Pregel-style round as two shuffles, no driver-side graph, no row explosion.
-Rounds are unrolled into the plan (fixed iteration count keeps the oracle
-expressible as chained CTEs; for unbounded convergence checkpoint every ~10
-rounds to cut lineage).
+Scale: the graph is grouped ONCE into a persisted adjacency table
+(src, out_deg, dsts[]) that keeps hash(src) partitioning in the cache; each
+round is then a NODE-sized equi-join with the current rank table (ranks
+arrive already partitioned by node from the previous round's groupBy, so the
+join plans zero edge-sized exchanges) + a codegen explode + one sum-groupBy
+on dst — one edge-sized shuffle per round instead of the two the row-edge
+formulation pays (the per-round 120M-row sort-merge was the measured
+dominator: sf10 166.8s row-edges vs 44.0s adjacency, identical ranks).
+Celebrity-node safety: the opt-in ``adj_chunk`` build caps dsts per row via
+pmod(xxhash64(dst), ceil(deg/chunk)) — a 100M-degree node becomes ~1.5k
+bounded rows, not one 800MB array — and because the chunk key contains src,
+the chunking groupBy rides the same hash(src) exchange (no extra shuffle,
+cache partitioning preserved). Rounds are unrolled into the plan
+(fixed iteration count keeps the oracle expressible as chained CTEs; for
+unbounded convergence checkpoint every ~10 rounds to cut lineage).
 """
 
 from __future__ import annotations
@@ -30,22 +39,72 @@ DAMP_NUM, DAMP_DEN = 850, 1000  # damping 0.85 as a ratio
 BASE = SCALE - SCALE * DAMP_NUM // DAMP_DEN  # (1-d) teleport mass = 150000
 
 
-def pagerank(edges: DataFrame, src: str, dst: str, rounds: int = 5) -> DataFrame:
+def pagerank(
+    edges: DataFrame, src: str, dst: str, rounds: int = 5, adj_chunk: int | None = None
+) -> DataFrame:
     """Integer-exact PageRank over a directed edge list; returns
     (node, rank) after ``rounds`` synchronous iterations.
 
     Every node must appear as a source (no dangling nodes) — symmetrize the
     edge list first if the graph is not already so; the registry entry does.
+
+    ``adj_chunk`` caps the dsts per adjacency row. Default None = one array
+    per node (ONE exchange builds the whole adjacency, and the collect_list
+    buffer is bounded by 8 B x max out-degree — fine up to ~10M-degree
+    nodes). For web-scale graphs with celebrity nodes beyond that, pass e.g.
+    65536: the build then pre-joins degrees and splits each node across
+    ceil(deg/chunk) hash buckets BEFORE the collect, bounding every agg
+    buffer. The chunked build costs one extra edge exchange plus the degree
+    broadcast (~2x build wall at sf10: 57.7s vs 29.3s) — which is why it is
+    opt-in rather than the default; both paths produce bit-identical ranks
+    (unit-tested with chunk < max degree).
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
-    # persisted: each round re-references the degree-annotated edges; without
-    # this the upstream edge-building DAG re-executes once per round
-    ed = e.join(deg, "src").persist()
-    ranks = deg.select(F.col("src").alias("node"), F.lit(SCALE).cast("long").alias("rank"))
+    if adj_chunk is None:
+        # One exchange: degree and adjacency in the same hash aggregate. The
+        # cache keeps hash(src) partitioning, so every round's join plans
+        # zero edge-sized exchanges (ranks arrive hash(node) from the
+        # previous round's groupBy; at worst the node-sized side re-shuffles).
+        adj = (
+            e.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("out_deg"), F.collect_list("dst").alias("dsts"))
+            .persist()
+        )
+        ranks = adj.select(F.col("src").alias("node"), F.lit(SCALE).cast("long").alias("rank"))
+    else:
+        # The explicit repartition pins hash(src) BEFORE the degree join —
+        # AQE broadcasts node-sized deg, a broadcast join preserves the
+        # streamed side's partitioning, and the chunking groupBy (whose key
+        # contains src) rides the same exchange, so the persisted adjacency
+        # still keeps hash(src) for every round's join. Without the pin the
+        # groupBy re-shuffles on (src, out_deg, chunk) and each round then
+        # re-exchanges the FULL edge payload to get back to src — measured
+        # 111.9s vs 44.0s whole-entry at sf10.
+        e = e.repartition("src")
+        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+        adj = (
+            e.join(deg, "src")
+            .withColumn(
+                "chunk",
+                F.pmod(
+                    F.xxhash64("dst"),
+                    F.greatest(F.lit(1), F.ceil(F.col("out_deg") / adj_chunk)).cast("long"),
+                ),
+            )
+            .groupBy("src", "out_deg", "chunk")
+            .agg(F.collect_list("dst").alias("dsts"))
+            .persist()
+        )
+        # node ids, deduped across chunk rows — stays inside the cache's
+        # hash(src) partitioning
+        ranks = (
+            adj.select("src")
+            .distinct()
+            .select(F.col("src").alias("node"), F.lit(SCALE).cast("long").alias("rank"))
+        )
     for _ in range(rounds):
-        contrib = ed.join(ranks, ed.src == ranks.node).select(
-            "dst", F.expr("rank div out_deg").alias("c")
+        contrib = adj.join(ranks, adj.src == ranks.node).select(
+            F.explode("dsts").alias("dst"), F.expr("rank div out_deg").alias("c")
         )
         ranks = contrib.groupBy(F.col("dst").alias("node")).agg(
             # `div` (not `/`): integer division keeps the arithmetic exact
@@ -56,7 +115,7 @@ def pagerank(edges: DataFrame, src: str, dst: str, rounds: int = 5) -> DataFrame
         )
     from gmall_spark.session import unpersist_with
 
-    return unpersist_with(ranks, ed)
+    return unpersist_with(ranks, adj)
 
 
 # ---------------------------------------------------------------------------

@@ -256,6 +256,25 @@ def test_pagerank_star_sink_accumulates(spark):
     assert 5 * 1_000_000 - 100 <= total <= 5 * 1_000_000
 
 
+def test_pagerank_chunked_adjacency_bit_identical(spark):
+    """The opt-in celebrity-node build (adj_chunk) must produce the same
+    ranks as the default single-array adjacency, exercised with a chunk
+    size SMALLER than the hub's degree so real splitting happens."""
+    from gmall_spark.extras.graph import pagerank
+
+    pairs = [(0, i) for i in range(1, 12)] + [(1, 2), (3, 4), (5, 6)]
+    edges = spark.createDataFrame(
+        pairs + [(b, a) for a, b in pairs], "src long, dst long"
+    )
+    plain = {r["node"]: r["rank"] for r in pagerank(edges, "src", "dst", rounds=4).collect()}
+    chunked = {
+        r["node"]: r["rank"]
+        for r in pagerank(edges, "src", "dst", rounds=4, adj_chunk=3).collect()
+    }
+    assert plain == chunked
+    assert len(plain) == 12
+
+
 def test_range_join_matches_naive_and_handles_overlap(spark):
     from pyspark.sql import functions as F
 
