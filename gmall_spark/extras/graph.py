@@ -505,12 +505,13 @@ def kcore_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bipartite graph (exactly this shape) flips the two partitions' labels
 # every round and never settles.
 #
-# Scale shape per round: one equi-join of the persisted edge list against
-# the label table + one (node, label) count + one per-node top-1 window —
-# the same two-shuffle round as pagerank; synchronous LPA is the variant
-# that parallelizes (asynchronous LPA's sequential sweep does not shard).
-# Fixed round count, not convergence-polled: LPA oscillates on bipartite
-# graphs (exactly this shape), so production runs cap rounds anyway.
+# Scale shape per round: a NODE-sized equi-join of the persisted adjacency
+# table (same partition-pinned build as pagerank's) against the label table,
+# a codegen explode, then one (node, label) count + one mode-pick aggregate —
+# one edge-sized shuffle per round; synchronous LPA is the variant that
+# parallelizes (asynchronous LPA's sequential sweep does not shard). Fixed
+# round count, not convergence-polled: LPA oscillates on bipartite graphs
+# (exactly this shape), so production runs cap rounds anyway.
 # ---------------------------------------------------------------------------
 _LPA_ROUNDS = 3
 
@@ -555,8 +556,6 @@ def _lpa_oracle() -> str:
 
 @register("label_communities", _lpa_oracle())
 def label_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     o = load_table(spark, sf_dir, "orders")
     l = load_table(spark, sf_dir, "lineitem")
     pairs = (
@@ -578,15 +577,21 @@ def label_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = pd.select(F.col("c_node").alias("src"), F.col("s_node").alias("dst")).unionByName(
         pd.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst"))
     )
-    nodes = iter_checkpoint(sym.select("src").distinct())
-    # self-loop per node (the one inertia vote, see module comment) from the
-    # node list; sym itself is a narrow union over the checkpointed pairs —
-    # no further materialization needed
-    edges = sym.unionByName(nodes.select("src", F.col("src").alias("dst")))
-    labels = nodes.select(F.col("src").alias("node")).withColumn("lab", F.col("node"))
+    # Adjacency table, same shape as pagerank's: one exchange builds it, the
+    # cache keeps hash(src) partitioning, and each round's label join is
+    # node-sized (the edge-sized join was the round dominator). The self-loop
+    # per node (the one inertia vote, see module comment) is array_append of
+    # src onto its own dsts — no separate self-edge union needed.
+    adj = (
+        sym.groupBy("src")
+        .agg(F.array_append(F.collect_list("dst"), F.col("src")).alias("dsts"))
+        .persist()
+    )
+    labels = adj.select(F.col("src").alias("node")).withColumn("lab", F.col("node"))
     for _ in range(_LPA_ROUNDS):
         nbr = (
-            edges.join(labels.select(F.col("node").alias("src"), "lab"), "src")
+            adj.join(labels.select(F.col("node").alias("src"), "lab"), "src")
+            .select(F.explode("dsts").alias("dst"), "lab")
             .groupBy(F.col("dst").alias("node"), "lab")
             .agg(F.count(F.lit(1)).alias("c"))
         )
@@ -609,9 +614,12 @@ def label_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     # would funnel that whole component through a single task (hot key);
     # the count aggregates partially and AQE handles the skewed join side.
     sizes = labels.groupBy("lab").agg(F.count(F.lit(1)).cast("long").alias("community_size"))
-    return labels.join(sizes, "lab").select(
+    out = labels.join(sizes, "lab").select(
         "node", F.col("lab").alias("community"), "community_size"
     )
+    from gmall_spark.session import unpersist_with
+
+    return unpersist_with(out, adj)
 
 
 # ---------------------------------------------------------------------------
