@@ -1065,9 +1065,8 @@ def streaming_mb_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_collect_batches(ewma_stream(stream_event_chunks(spark, sf_dir, 3)), shuffle_partitions=stream_shuffle_width())
 
 
-@register(
-    "streaming_mb_bounce",
-    f"""
+#: shared by the per-key mb CEP entry and its key-coarsened (bucketed) twin
+_MB_BOUNCE_ORACLE = f"""
     WITH {_mb_cte()},
     o AS (
       SELECT event_id, user_id, ts, chunk, event_type,
@@ -1105,8 +1104,10 @@ def streaming_mb_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND (   (nxt_ts IS NOT NULL AND epoch_us(nxt_ts) - epoch_us(ts) > 600000000)
            OR (nxt_ts IS NOT NULL AND epoch_us(nxt_ts) - epoch_us(ts) <= 600000000 AND nxt_entry)
            OR (nxt_ts IS NULL AND timer_batch IS NOT NULL))
-    """,
-)
+    """
+
+
+@register("streaming_mb_bounce", _MB_BOUNCE_ORACLE)
 def streaming_mb_bounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST3 across three micro-batches — the full CEP surface in one run:
     in-batch match/timeout (vectorized lead), the pending entry carried
@@ -1121,6 +1122,36 @@ def streaming_mb_bounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     out = run_collect_batches(detect_bounce_stream(stream_event_chunks(spark, sf_dir, 3)), shuffle_partitions=stream_shuffle_width())
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", TS_FMT).alias("ts"),
+        "bounce_reason",
+        "emit_batch",
+    )
+
+
+@register("streaming_mb_bucketed_bounce", _MB_BOUNCE_ORACLE)
+def streaming_mb_bucketed_bounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST3 with KEY-COARSENED state across three micro-batches — the
+    bucketed-seen-set pattern extended to the CEP operator, the first with
+    TIMERS: per-key pendings live as parallel arrays in one state row per
+    hash bucket, the per-key timers collapse to one min-deadline bucket
+    timer plus a watermark sweep on every invocation (the sweep must run on
+    the input path too — a bucket with input gets no timeout invocation
+    that batch, while per-key twins of its quiet keys would fire). Same
+    oracle as streaming_mb_bounce, emit_batch included — batch-for-batch
+    identical emission through both CEP emit paths."""
+    from gmall_spark.streaming.multibatch import (
+        run_collect_batches,
+        stream_event_chunks,
+    )
+    from gmall_spark.streaming.stateful import detect_bounce_bucketed_stream
+
+    out = run_collect_batches(
+        detect_bounce_bucketed_stream(stream_event_chunks(spark, sf_dir, 3)),
+        shuffle_partitions=stream_shuffle_width(),
+    )
     return out.select(
         "event_id",
         "user_id",

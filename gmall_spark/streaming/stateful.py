@@ -652,6 +652,195 @@ def dedup_daily_bucketed_stream(
     )
 
 
+def detect_bounce_bucketed_stream(
+    events: DataFrame,
+    key: str = "user_id",
+    entry_type: str = "view",
+    timeout_secs: int = 600,
+    watermark: str = "2 seconds",
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """ST3 with KEY-COARSENED state — the bucketed-seen-set pattern
+    (dedup_daily_bucketed_stream) extended to the CEP operator, the first
+    of the family that needs TIMERS: per-key pending entries live as three
+    parallel arrays (key, pending_id, pending_ts-micros) in ONE state row
+    per hash bucket, so a micro-batch costs n_buckets Python invocations
+    instead of one per active entity (the measured bottleneck of
+    streaming_mb_bounce's 140-228 s sf10 rows).
+
+    The per-key event-time timer becomes one bucket timer at the MIN
+    pending deadline plus an explicit watermark sweep: every invocation
+    (input or timeout) emits exactly the pendings with
+    ``watermark > ms(ts) + timeout`` — the same STRICTLY-beyond predicate
+    Spark applies when firing the per-key twin's timers, read from
+    ``state.getCurrentWatermarkMs()``. The sweep must run on the INPUT path
+    too: a bucket that receives any event is not eligible for a timeout
+    invocation that batch, yet per-key twins of its OTHER keys would fire —
+    without the sweep those emissions arrive a batch late and the
+    emit_batch equivalence breaks.
+
+    In-batch decisions are the per-key twin's vectorized lead() logic run
+    per key via groupby shifts (sort by (key, ts, event_id)); carried
+    pendings resolve against each key's FIRST batch event with the same
+    integer-microsecond gap comparison; each key's trailing entry becomes
+    its new pending. Bit-exact emission equivalence against
+    detect_bounce_stream — batch-for-batch, both emit paths — is asserted
+    by the twin test and the shared multi-batch oracle."""
+    from pyspark.sql import functions as F
+
+    from gmall_spark.session import stream_shuffle_width
+
+    if n_buckets is None:
+        n_buckets = 4 * stream_shuffle_width()
+
+    out_schema = f"event_id long, {key} long, ts timestamp, bounce_reason string"
+    state_schema = "ks array<long>, pids array<long>, ptsus array<long>"
+    cols = ["event_id", key, "ts", "bounce_reason"]
+    tmo_ms = timeout_secs * 1000
+    tmo_us = timeout_secs * 1_000_000
+
+    import numpy as np
+
+    _EMPTY = np.empty(0, dtype="int64")
+
+    def _load(state: GroupState):
+        # state as three aligned int64 arrays (key, pending_id, pending_ts µs)
+        if not state.exists:
+            return _EMPTY, _EMPTY, _EMPTY
+        ks, pids, ptsus = state.get
+        return (
+            np.asarray(ks or (), dtype="int64"),
+            np.asarray(pids or (), dtype="int64"),
+            np.asarray(ptsus or (), dtype="int64"),
+        )
+
+    def _frame(pids, ks, ptsus, reason) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": pd.Series(pids, dtype="int64"),
+                key: pd.Series(ks, dtype="int64"),
+                "ts": pd.to_datetime(ptsus, unit="us"),
+                "bounce_reason": reason,
+            }
+        )
+
+    def _store(state: GroupState, ks, pids, ptsus) -> None:
+        if len(ks):
+            order = np.argsort(ks, kind="stable")
+            ks, pids, ptsus = ks[order], pids[order], ptsus[order]
+            state.update((ks.tolist(), pids.tolist(), ptsus.tolist()))
+            state.setTimeoutTimestamp(int(ptsus.min()) // 1000 + tmo_ms)
+        else:
+            state.remove()
+
+    def fn(
+        key_tuple: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        ks, pids, ptsus = _load(state)
+        wm_ms = state.getCurrentWatermarkMs()
+        chunks = None if state.hasTimedOut else [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            # timeout invocation, or an input invocation with no rows:
+            # fire every pending the watermark has passed
+            due = wm_ms > (ptsus // 1000 + tmo_ms)
+            frame = _frame(pids[due], ks[due], ptsus[due], "timeout") if due.any() else None
+            keep = ~due
+            _store(state, ks[keep], pids[keep], ptsus[keep])
+            if frame is not None:
+                yield frame
+            return
+        pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+        # positional index: chunk concat repeats labels, and the array
+        # lookups below assume index == position
+        pdf = pdf.sort_values([key, "ts", "event_id"], kind="mergesort").reset_index(drop=True)
+        kcol = pdf[key].to_numpy()
+        ts_us = pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        eid = pdf["event_id"].to_numpy()
+        entry_m = pdf["event_type"].eq(entry_type).to_numpy()
+
+        # per-key first/last positions (rows are key-sorted; uniq ascends)
+        uniq, first_pos = np.unique(kcol, return_index=True)
+        last_pos = len(kcol) - 1 - np.unique(kcol[::-1], return_index=True)[1]
+
+        out_frames = []
+        # classify carried pendings: present keys resolve against their
+        # FIRST batch event; absent keys whose deadline the watermark passed
+        # fire here — their per-key twins' timers fire this batch, but this
+        # bucket got input so no timeout invocation comes (see docstring)
+        if len(ks):
+            idx = np.searchsorted(uniq, ks)
+            present = uniq[np.minimum(idx, len(uniq) - 1)] == ks
+            absent_due = (~present) & (wm_ms > ptsus // 1000 + tmo_ms)
+            if absent_due.any():
+                out_frames.append(
+                    _frame(pids[absent_due], ks[absent_due], ptsus[absent_due], "timeout")
+                )
+            if present.any():
+                pi = idx[present]
+                gap = ts_us[first_pos[pi]] - ptsus[present]
+                t_m = gap > tmo_us
+                m_m = (~t_m) & entry_m[first_pos[pi]]
+                for mask, why in ((t_m, "timeout"), (m_m, "match")):
+                    if mask.any():
+                        out_frames.append(
+                            _frame(
+                                pids[present][mask],
+                                ks[present][mask],
+                                ptsus[present][mask],
+                                why,
+                            )
+                        )
+            keep = (~present) & (~absent_due)
+        else:
+            keep = np.zeros(0, dtype=bool)
+
+        # vectorized lead() per key within the batch: rows are sorted by
+        # (key, ts, event_id), so row i+1 is the same key's next event iff
+        # the key doesn't change there
+        n = len(kcol)
+        nxt_same = np.zeros(n, dtype=bool)
+        nxt_same[:-1] = kcol[1:] == kcol[:-1]
+        nxt_ts = np.empty(n, dtype="int64")
+        nxt_ts[:-1] = ts_us[1:]
+        nxt_entry = np.zeros(n, dtype=bool)
+        nxt_entry[:-1] = entry_m[1:]
+        decided = entry_m & nxt_same
+        t_hits = decided & ((nxt_ts - ts_us) > tmo_us)
+        m_hits = decided & ~t_hits & nxt_entry
+        hits = t_hits | m_hits
+        if hits.any():
+            out_frames.append(
+                pd.DataFrame(
+                    {
+                        "event_id": eid[hits],
+                        key: kcol[hits],
+                        "ts": pdf["ts"].to_numpy()[hits],
+                        "bounce_reason": np.where(t_hits[hits], "timeout", "match"),
+                    }
+                )
+            )
+
+        # each key's trailing entry becomes its new pending (disjoint from
+        # the kept pendings — those keys are absent from the batch)
+        l_entry = entry_m[last_pos]
+        _store(
+            state,
+            np.concatenate([ks[keep], uniq[l_entry]]),
+            np.concatenate([pids[keep], eid[last_pos][l_entry]]),
+            np.concatenate([ptsus[keep], ts_us[last_pos][l_entry]]),
+        )
+        yield from out_frames
+
+    return (
+        events.withWatermark("ts", watermark)
+        .withColumn("_bkt", F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)))
+        .groupBy("_bkt")
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+        )
+    )
+
+
 def fix_is_new_bucketed_stream(
     events: DataFrame, key: str = "user_id", n_buckets: int | None = None
 ) -> DataFrame:

@@ -728,6 +728,25 @@ def test_dedup_daily_bucketed_matches_per_key(spark, chunked_events):
     assert rows_set(bucketed, cols) == rows_set(per_key, cols)
 
 
+def test_detect_bounce_bucketed_matches_per_key(spark, chunked_events):
+    """The key-coarsened CEP bounce (bucketed pending-map state + one
+    min-deadline timer per bucket with a watermark sweep) must be
+    bit-identical to the per-key twin on the same chunk schedule — BOTH
+    emit paths: in-batch match/timeout, cross-batch pending resolution,
+    and timer-fired timeouts. (The registry's mb entry additionally pins
+    emit_batch equality through the shared oracle.)"""
+    from gmall_spark.streaming.stateful import detect_bounce_bucketed_stream
+
+    cols = ["event_id", "user_id", "ts", "bounce_reason"]
+    per_key = run_to_memory(
+        detect_bounce_stream(read_stream(spark, chunked_events)), "t_bn_pk"
+    )
+    bucketed = run_to_memory(
+        detect_bounce_bucketed_stream(read_stream(spark, chunked_events)), "t_bn_bk"
+    )
+    assert rows_set(bucketed, cols) == rows_set(per_key, cols)
+
+
 def test_fix_is_new_bucketed_matches_per_key(spark, chunked_events):
     """The bucketed-seen-set is_new repair must be bit-identical to the
     per-key twin on the same chunk schedule — the pattern-generalization

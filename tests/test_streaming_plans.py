@@ -89,6 +89,10 @@ EXPECTED: dict[str, tuple[dict[str, int], str]] = {
         {"EventTimeWatermark": 1, "FlatMapGroupsInPandasWithState": 1},
         "pandas",
     ),
+    "streaming_mb_bucketed_bounce": (
+        {"EventTimeWatermark": 1, "FlatMapGroupsInPandasWithState": 1},
+        "pandas",
+    ),
     "streaming_mb_ewma": ({"FlatMapGroupsInPandasWithState": 1}, "pandas"),
     "streaming_mb_interval_join": ({"EventTimeWatermark": 2, "Join": 1}, "jvm"),
     "streaming_mb_is_new": ({"FlatMapGroupsInPandasWithState": 1}, "pandas"),

@@ -64,6 +64,7 @@ ROCKSDB_DEFAULT_ENTRIES = [
     "streaming_late_drop_audit",
     "streaming_manifest_sink",
     "streaming_mb_bounce",
+    "streaming_mb_bucketed_bounce",
     "streaming_mb_bucketed_is_new",
     "streaming_mb_bucketed_uv",
     "streaming_mb_ewma",
