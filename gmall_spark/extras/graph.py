@@ -631,12 +631,18 @@ def label_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
 # next question its users ask and a core scale kernel here.
 #
 # Frontier BFS, bounded at 4 hops: per round, join the frontier with the
-# edge list, anti-join the already-visited set (first touch == minimum
-# distance, so no min-aggregation is ever needed), tag with the round
-# number. Per round: one equi-join + one distinct + one anti-join — all
-# key-partitioned shuffles on node id; the frontier is the only state, and
-# lineage is truncated per round (iter_checkpoint) so round N doesn't replan
-# rounds 1..N-1.
+# persisted adjacency table (same partition-pinned (src, dsts[]) build as
+# pagerank's — a NODE-sized join + explode of only the frontier's arrays,
+# not an edge-list merge), distinct the reached set, anti-join the
+# already-visited set (first touch == minimum distance, so no
+# min-aggregation is ever needed), tag with the round number. The frontier
+# is the only per-round state and lineage is truncated per round
+# (iter_checkpoint) so round N doesn't replan rounds 1..N-1. The adjacency
+# replaces the old eager localCheckpoint of the full edge LIST, which at
+# sf10 (120M rows under the 16g default heap) starved execution memory
+# inside the round's distinct and aborted with UNABLE_TO_ACQUIRE_MEMORY —
+# the array build is the same payload at a fraction of the row overhead,
+# and it spills gracefully.
 #
 # The oracle is a genuine WITH RECURSIVE (DuckDB executes the fixpoint; no
 # unrolled CTE chain): UNION-deduped (node, dist) pairs bounded by dist < 4,
@@ -679,19 +685,18 @@ def bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = iter_checkpoint(
-        pairs.select(F.col("c_node").alias("src"), F.col("s_node").alias("dst")).unionByName(
-            pairs.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst"))
-        )
+    sym = pairs.select(F.col("c_node").alias("src"), F.col("s_node").alias("dst")).unionByName(
+        pairs.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst"))
     )
+    adj = sym.groupBy("src").agg(F.collect_list("dst").alias("dsts")).persist()
     seed = spark.range(1).select(
         F.lit(_BFS_SRC).cast("long").alias("node"), F.lit(0).cast("long").alias("dist")
     )
     visited, frontier = seed, seed
     for hop in range(1, _BFS_HOPS + 1):
         nxt = (
-            frontier.join(edges, frontier.node == edges.src)
-            .select(F.col("dst").alias("node"))
+            frontier.join(adj, frontier.node == adj.src)
+            .select(F.explode("dsts").alias("node"))
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
             .withColumn("dist", F.lit(hop).cast("long"))
@@ -700,7 +705,9 @@ def bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         # whole BFS-so-far per action (cf. label_communities)
         frontier = iter_checkpoint(nxt)
         visited = iter_checkpoint(visited.unionByName(frontier))
-    return visited
+    from gmall_spark.session import unpersist_with
+
+    return unpersist_with(visited, adj)
 
 
 # ---------------------------------------------------------------------------
@@ -711,10 +718,11 @@ def bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
 # min over contributing lineitems), so distances are BIGINT-exact and the
 # DuckDB recursive CTE replays the ≤R-edge relaxation bit-for-bit.
 #
-# Scale shape: per round = one equi-join of the FRONTIER (only nodes whose
-# distance improved last round, not the full distance table) with the
-# persisted edge list + one min-groupBy on dst + one full-outer merge into
-# the running distances — 3 shuffles/round, no driver-side graph. Frontier
+# Scale shape: per round = one NODE-sized equi-join of the FRONTIER (only
+# nodes whose distance improved last round, not the full distance table)
+# with the persisted weighted adjacency + a codegen explode + one
+# min-groupBy on dst + one full-outer merge into the running distances —
+# no edge-list merge join anywhere. Frontier
 # propagation is exact for Bellman-Ford: a node re-propagates exactly when
 # its distance improves, so after R rounds every ≤R-edge path has been
 # relaxed (induction on path prefix length). At 100 TB the edge list is
@@ -760,20 +768,25 @@ def sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.min(F.col("l_quantity").cast("long") % 7 + 1).alias("w"))
     )
-    edges = iter_checkpoint(
-        pairs.select(F.col("c_node").alias("src"), F.col("s_node").alias("dst"), "w").unionByName(
-            pairs.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst"), "w")
-        )
+    sym = pairs.select(F.col("c_node").alias("src"), F.col("s_node").alias("dst"), "w").unionByName(
+        pairs.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst"), "w")
     )
+    # weighted adjacency, same partition-pinned build as bfs_hops': one
+    # array of (dst, w) structs per node, replacing the full-edge-list
+    # checkpoint (identical sf10 OOM hazard — see the BFS comment block)
+    adj = sym.groupBy("src").agg(
+        F.collect_list(F.struct("dst", "w")).alias("nbrs")
+    ).persist()
     seed = spark.range(1).select(
         F.lit(_SSSP_SRC).cast("long").alias("node"), F.lit(0).cast("long").alias("dist")
     )
     dists, frontier = seed, seed
     for _ in range(_SSSP_HOPS):
         cand = (
-            frontier.join(edges, frontier.node == edges.src)
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.min(F.col("dist") + F.col("w")).alias("cand_dist"))
+            frontier.join(adj, frontier.node == adj.src)
+            .select("dist", F.explode("nbrs").alias("nb"))
+            .groupBy(F.col("nb.dst").alias("node"))
+            .agg(F.min(F.col("dist") + F.col("nb.w")).alias("cand_dist"))
         )
         merged = dists.join(cand, "node", "full_outer")
         # least() skips NULLs, so a node seen on only one side keeps that
@@ -787,4 +800,6 @@ def sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         dists = iter_checkpoint(
             merged.select("node", F.least("dist", "cand_dist").alias("dist"))
         )
-    return dists
+    from gmall_spark.session import unpersist_with
+
+    return unpersist_with(dists, adj)
