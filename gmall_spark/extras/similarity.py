@@ -36,6 +36,25 @@ def _empty(df: DataFrame, schema: str) -> DataFrame:
 #: turns a would-be driver OOM at scale into an actionable error.
 MAX_BROADCAST_INDEX_ROWS = 2_000_000
 
+#: per-worker slab budget for the blocked BLAS kernels below. local[32]
+#: runs 32 Python workers concurrently, so any worker-resident buffer
+#: multiplies by the core count — 256 MB × 32 = 8 GB worst case, leaving
+#: the box to the JVM, Arrow batches, and page cache. Found the hard way:
+#: the r6 full-registry sf10 audit host-OOM'd on text_embed_knn — a fixed
+#: 512-row block × 500k index rows is a ~2 GB slab per worker, ~65 GB
+#: across workers, and the OOM killer took the gateway JVM down mid-query.
+#: Blocking only partitions the query rows, so the block size cannot change
+#: any result — only the peak memory.
+_SLAB_BUDGET_BYTES = 256 << 20
+
+
+def _block_rows(n_index: int, bytes_per_cell: int) -> int:
+    """Query-block height that keeps a worker's slab set within budget:
+    ``bytes_per_cell`` is the summed width of every per-cell buffer the
+    kernel keeps live (e.g. one float64 slab = 8; two float64 + two bool
+    masks = 18)."""
+    return max(16, min(512, _SLAB_BUDGET_BYTES // max(1, n_index * bytes_per_cell)))
+
 
 def _guarded_index(df: DataFrame, cols: list[str], caller: str, scale_path: str):
     index = df.select(*cols).limit(MAX_BROADCAST_INDEX_ROWS + 1).toPandas()
@@ -99,15 +118,16 @@ def brute_force_knn(df: DataFrame, id_col: str, vec_col: str, k: int = 5) -> Dat
             Qa /= np.sqrt((Qa * Qa).sum(axis=1))[:, None]  # index side pre-normalized
             qidsa = pdf[id_col].to_numpy()
             out_q, out_n, out_r = [], [], []
-            # block the query side so the sims slab stays cache/alloc-friendly
-            # (a full |batch|×|index| float64 matrix is hundreds of MB of
-            # temporaries); ONE slab reused across blocks — a fresh
-            # 512×|index| allocation per block is a large mmap the kernel
-            # must page-zero, measurable system-time under concurrent tasks
-            Sbuf = np.empty((min(512, len(Qa)), n_index))
+            # block the query side so the sims slab stays within the
+            # per-worker budget (block height shrinks as the index grows —
+            # see _block_rows); ONE slab reused across blocks — a fresh
+            # per-block allocation is a large mmap the kernel must
+            # page-zero, measurable system-time under concurrent tasks
+            blk = _block_rows(n_index, 8)
+            Sbuf = np.empty((min(blk, len(Qa)), n_index))
             full = np.arange(n_index)
-            for s in range(0, len(Qa), 512):
-                Q, qids = Qa[s : s + 512], qidsa[s : s + 512]
+            for s in range(0, len(Qa), blk):
+                Q, qids = Qa[s : s + blk], qidsa[s : s + blk]
                 S = Sbuf[: len(Q)]
                 np.matmul(Q, M_b.T, out=S)
                 for r in range(S.shape[0]):
@@ -188,14 +208,15 @@ def cosine_near_dup(
             # hundreds-of-MB allocations per block cost kernel page-zeroing
             # under concurrent tasks. The divide stays elementwise-by-
             # product (a/(b·c)) — same rounding as the oracle.
-            rows = min(512, len(Qa))
+            blk = _block_rows(len(ids_b), 18)  # 2 float64 slabs + 2 bool masks
+            rows = min(blk, len(Qa))
             Sbuf = np.empty((rows, len(ids_b)))
             Dbuf = np.empty_like(Sbuf)
             m1 = np.empty(Sbuf.shape, dtype=bool)
             m2 = np.empty(Sbuf.shape, dtype=bool)
-            for s in range(0, len(Qa), 512):
-                Q, qn = Qa[s : s + 512], qna[s : s + 512]
-                qids, qlabels = qidsa[s : s + 512], qlabelsa[s : s + 512]
+            for s in range(0, len(Qa), blk):
+                Q, qn = Qa[s : s + blk], qna[s : s + blk]
+                qids, qlabels = qidsa[s : s + blk], qlabelsa[s : s + blk]
                 n_q = len(Q)
                 S = Sbuf[:n_q]
                 np.matmul(Q, M_b.T, out=S)
@@ -749,11 +770,12 @@ def hard_negative_knn(
             qidsa = pdf[id_col].to_numpy()
             qlabelsa = pdf[label_col].to_numpy()
             out_q, out_n, out_r = [], [], []
-            Sbuf = np.empty((min(512, len(Qa)), n_index))
+            blk = _block_rows(n_index, 8)
+            Sbuf = np.empty((min(blk, len(Qa)), n_index))
             full = np.arange(n_index)
-            for s in range(0, len(Qa), 512):
-                Q = Qa[s : s + 512]
-                qids, qlabels = qidsa[s : s + 512], qlabelsa[s : s + 512]
+            for s in range(0, len(Qa), blk):
+                Q = Qa[s : s + blk]
+                qids, qlabels = qidsa[s : s + blk], qlabelsa[s : s + blk]
                 S = Sbuf[: len(Q)]
                 np.matmul(Q, M_b.T, out=S)
                 for r in range(S.shape[0]):

@@ -1,0 +1,68 @@
+#!/usr/bin/env python
+"""Full-registry scale audit: run every BATCH entry at a scaled dir and
+record wall/rows/failure per entry. The r6 motivation: bfs_hops OOM'd at
+sf10 under the default heap and no probe had ever covered it — headline
+probes sample, this sweeps. Streaming entries are excluded (they have
+their own sf10 probe artifacts and cost 100-200s each per-key by design).
+
+Usage: python tools/audit_sf10.py [sf_dir] [out.json]
+Progress goes to stderr per entry, so a hang identifies its entry.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.localdata/sf10"
+    out_path = sys.argv[2] if len(sys.argv) > 2 else "AUDIT_sf10.json"
+
+    from gmall_spark.session import get_spark
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("gmall_audit_sf10")
+    spark.range(1000).count()
+    queries = entrymod.queries()
+    names = [n for n in sorted(queries) if not n.startswith("streaming_")]
+    print(f"audit: {len(names)} batch entries at {sf_dir}", file=sys.stderr, flush=True)
+
+    results: dict[str, dict] = {}
+    for name in names:
+        spark.catalog.clearCache()
+        print(f"audit: >> {name}", file=sys.stderr, flush=True)
+        t0 = time.perf_counter()
+        try:
+            n = queries[name](spark, sf_dir).count()
+            results[name] = {"sec": round(time.perf_counter() - t0, 3), "rows": n}
+        except Exception as exc:
+            msg = str(exc).split("\n")[0][:300]
+            results[name] = {"sec": -1.0, "error": msg}
+            print(f"audit: {name} FAILED: {msg}", file=sys.stderr, flush=True)
+
+    ok = {k: v for k, v in results.items() if v["sec"] >= 0}
+    failed = {k: v["error"] for k, v in results.items() if v["sec"] < 0}
+    line = json.dumps(
+        {
+            "metric": "batch_registry_sf10_audit",
+            "unit": "sec",
+            "sf": 10,
+            "value": round(sum(v["sec"] for v in ok.values()), 1),
+            "n_ok": len(ok),
+            "failed": failed,
+            "queries": {k: v["sec"] for k, v in ok.items()},
+            "rows": {k: v["rows"] for k, v in ok.items()},
+        }
+    )
+    with open(out_path, "w") as fh:
+        fh.write(line + "\n")
+    print(line)
+
+
+if __name__ == "__main__":
+    main()
