@@ -2990,6 +2990,16 @@ def hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gmall_spark.sources import register_views
 
     register_views(spark, sf_dir, ("customer",))
+    # Spark guards runaway recursion with a 1M-row default
+    # (spark.sql.cteRecursionRowLimit) — a safety net against
+    # non-terminating CTEs, not a semantic bound. This recursion provably
+    # terminates with |tree| == |customer| rows (unique parent, strictly
+    # decreasing key — see block comment), so raise the limit to the
+    # actual table size; found by the r6 sf10 audit, where 1.5M customers
+    # tripped RECURSION_ROW_LIMIT_EXCEEDED. Read lazily at execution time,
+    # hence set session-wide here rather than scoped-and-restored.
+    n_customers = load_table(spark, sf_dir, "customer").count()
+    spark.conf.set("spark.sql.cteRecursionRowLimit", str(max(1_000_000, 2 * n_customers)))
     return spark.sql(_hierarchy_sql(" div "))
 
 

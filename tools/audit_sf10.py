@@ -40,6 +40,9 @@ def main() -> None:
         try:
             n = queries[name](spark, sf_dir).count()
             results[name] = {"sec": round(time.perf_counter() - t0, 3), "rows": n}
+            # stream the result line too — a crash mid-sweep must not lose
+            # the completed entries' timings (r6: the host OOM did)
+            print(f"audit: {name}: {results[name]['sec']:.3f}s ({n} rows)", file=sys.stderr, flush=True)
         except Exception as exc:
             msg = str(exc).split("\n")[0][:300]
             results[name] = {"sec": -1.0, "error": msg}
