@@ -38,13 +38,17 @@ MAX_BROADCAST_INDEX_ROWS = 2_000_000
 
 #: per-worker slab budget for the blocked BLAS kernels below. local[32]
 #: runs 32 Python workers concurrently, so any worker-resident buffer
-#: multiplies by the core count — 256 MB × 32 = 8 GB worst case, leaving
+#: multiplies by the core count — 256 MB × 32 = 8 GB steady-state, leaving
 #: the box to the JVM, Arrow batches, and page cache. Found the hard way:
 #: the r6 full-registry sf10 audit host-OOM'd on text_embed_knn — a fixed
 #: 512-row block × 500k index rows is a ~2 GB slab per worker, ~65 GB
 #: across workers, and the OOM killer took the gateway JVM down mid-query.
 #: Blocking only partitions the query rows, so the block size cannot change
-#: any result — only the peak memory.
+#: any result — only the peak memory. The 1-row floor keeps the budget a
+#: hard bound right up to MAX_BROADCAST_INDEX_ROWS (2M × 18 B/cell = 36 MB
+#: per row of block height — a 16-row floor would quietly spend 576 MB per
+#: worker at the cap); even a height-1 "block" is still one vectorized
+#: matmul across the full index, so the matmul amortization survives.
 _SLAB_BUDGET_BYTES = 256 << 20
 
 
@@ -53,7 +57,7 @@ def _block_rows(n_index: int, bytes_per_cell: int) -> int:
     ``bytes_per_cell`` is the summed width of every per-cell buffer the
     kernel keeps live (e.g. one float64 slab = 8; two float64 + two bool
     masks = 18)."""
-    return max(16, min(512, _SLAB_BUDGET_BYTES // max(1, n_index * bytes_per_cell)))
+    return max(1, min(512, _SLAB_BUDGET_BYTES // max(1, n_index * bytes_per_cell)))
 
 
 def _guarded_index(df: DataFrame, cols: list[str], caller: str, scale_path: str):

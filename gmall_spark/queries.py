@@ -2996,9 +2996,18 @@ def hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # terminates with |tree| == |customer| rows (unique parent, strictly
     # decreasing key — see block comment), so raise the limit to the
     # actual table size; found by the r6 sf10 audit, where 1.5M customers
-    # tripped RECURSION_ROW_LIMIT_EXCEEDED. Read lazily at execution time,
-    # hence set session-wide here rather than scoped-and-restored.
-    n_customers = load_table(spark, sf_dir, "customer").count()
+    # tripped RECURSION_ROW_LIMIT_EXCEEDED. The conf is read lazily at
+    # execution time, so it cannot be set-and-restored around a lazy
+    # return; it stays session-wide but is (a) sized from the parquet
+    # footer row count — file metadata, no Spark job inflating this
+    # entry's wall time — and (b) only consulted by recursive CTEs, and
+    # this is the registry's sole rCTE entry, so the widened guard cannot
+    # alter any other query's behavior in a shared sweep session.
+    import os
+
+    import pyarrow.parquet as pq
+
+    n_customers = pq.read_metadata(os.path.join(sf_dir, "customer.parquet")).num_rows
     spark.conf.set("spark.sql.cteRecursionRowLimit", str(max(1_000_000, 2 * n_customers)))
     return spark.sql(_hierarchy_sql(" div "))
 

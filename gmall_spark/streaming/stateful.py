@@ -800,7 +800,10 @@ def detect_bounce_bucketed_stream(
         n = len(kcol)
         nxt_same = np.zeros(n, dtype=bool)
         nxt_same[:-1] = kcol[1:] == kcol[:-1]
-        nxt_ts = np.empty(n, dtype="int64")
+        # zeros (not empty): the last element never survives the `decided`
+        # mask, but it still flows through the (nxt_ts - ts_us) subtraction —
+        # an uninitialized int64 there can trip numpy overflow warnings
+        nxt_ts = np.zeros(n, dtype="int64")
         nxt_ts[:-1] = ts_us[1:]
         nxt_entry = np.zeros(n, dtype=bool)
         nxt_entry[:-1] = entry_m[1:]

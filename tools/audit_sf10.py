@@ -32,21 +32,29 @@ def main() -> None:
     names = [n for n in sorted(queries) if not n.startswith("streaming_")]
     print(f"audit: {len(names)} batch entries at {sf_dir}", file=sys.stderr, flush=True)
 
+    # each entry appends an NDJSON line as it finishes, so a mid-sweep crash
+    # (the r6 host OOM) preserves every completed entry's timing, not just
+    # stderr text; the final JSON artifact is assembled from the same data
+    ndjson_path = out_path + ".ndjson"
     results: dict[str, dict] = {}
-    for name in names:
-        spark.catalog.clearCache()
-        print(f"audit: >> {name}", file=sys.stderr, flush=True)
-        t0 = time.perf_counter()
-        try:
-            n = queries[name](spark, sf_dir).count()
-            results[name] = {"sec": round(time.perf_counter() - t0, 3), "rows": n}
-            # stream the result line too — a crash mid-sweep must not lose
-            # the completed entries' timings (r6: the host OOM did)
-            print(f"audit: {name}: {results[name]['sec']:.3f}s ({n} rows)", file=sys.stderr, flush=True)
-        except Exception as exc:
-            msg = str(exc).split("\n")[0][:300]
-            results[name] = {"sec": -1.0, "error": msg}
-            print(f"audit: {name} FAILED: {msg}", file=sys.stderr, flush=True)
+    with open(ndjson_path, "w") as nd:
+        for name in names:
+            spark.catalog.clearCache()
+            print(f"audit: >> {name}", file=sys.stderr, flush=True)
+            t0 = time.perf_counter()
+            try:
+                n = queries[name](spark, sf_dir).count()
+                results[name] = {"sec": round(time.perf_counter() - t0, 3), "rows": n}
+                print(f"audit: {name}: {results[name]['sec']:.3f}s ({n} rows)", file=sys.stderr, flush=True)
+            except Exception as exc:
+                # Py4J messages can open with a newline — strip before taking
+                # the first line or the recorded reason is empty (r6 artifact
+                # showed "" for embed_ann_ivf's designed refusal)
+                msg = str(exc).strip().splitlines()[0][:300] if str(exc).strip() else repr(exc)[:300]
+                results[name] = {"sec": -1.0, "error": msg}
+                print(f"audit: {name} FAILED: {msg}", file=sys.stderr, flush=True)
+            nd.write(json.dumps({"name": name, **results[name]}) + "\n")
+            nd.flush()
 
     ok = {k: v for k, v in results.items() if v["sec"] >= 0}
     failed = {k: v["error"] for k, v in results.items() if v["sec"] < 0}
