@@ -582,10 +582,19 @@ def label_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     # node-sized (the edge-sized join was the round dominator). The self-loop
     # per node (the one inertia vote, see module comment) is array_append of
     # src onto its own dsts — no separate self-edge union needed.
+    # SERIALIZED memory+disk (not the deserialized default): the adjacency
+    # is the biggest cache in the repo (~10 GB of array payload at sf100 —
+    # 1.18B symmetrized edges), and the r6 sf100 probe showed it evicting
+    # from MemoryStore and paying a per-round recompute; serialized blocks
+    # are smaller AND eviction degrades to one disk read instead of
+    # re-running the edge exchange. The per-round deserialization cost is
+    # noise next to the explode+agg each round already pays.
+    from pyspark import StorageLevel
+
     adj = (
         sym.groupBy("src")
         .agg(F.array_append(F.collect_list("dst"), F.col("src")).alias("dsts"))
-        .persist()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     labels = adj.select(F.col("src").alias("node")).withColumn("lab", F.col("node"))
     for _ in range(_LPA_ROUNDS):
