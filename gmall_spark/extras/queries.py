@@ -2670,12 +2670,15 @@ def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.trim("text"), " ")
+    # F.get (not []): ANSI mode throws INVALID_ARRAY_INDEX on a single-token
+    # doc; get() yields NULL, and a NULL equi-key matches nothing — the same
+    # out-of-bounds-is-NULL semantics DuckDB's list indexing gives the oracle
     d = docs.select(
         "doc_id",
         "text",
         "n_chars",
-        toks[0].alias("blk"),
-        toks[1].alias("blk2"),
+        F.get(toks, 0).alias("blk"),
+        F.get(toks, 1).alias("blk2"),
         F.floor(F.col("n_chars") / 17).cast("int").alias("bkt"),
     )
     # the per-pair DP is the expensive part and runs at the JOIN's
@@ -2752,16 +2755,30 @@ GROUP BY 1, 2
 def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, cell, is_dup): within-k-means-cell cosine pruning at τ=0.4,
     keeping the lowest-id representative of every semantic neighborhood."""
+    return _semantic_dedup_impl(spark, sf_dir, n_clusters=16)
+
+
+def _semantic_dedup_impl(spark: SparkSession, sf_dir: str, n_clusters) -> DataFrame:
     import numpy as np
     import pandas as pd
 
+    # the pinned small-corpus density carries the same degenerate-bucket
+    # guard as ivf_ann: a |cell|² float64 similarity matrix past ~8k rows is
+    # a ≥0.5 GB slab per kernel and quadratic work — fail loud toward the
+    # auto-density twin instead of grinding (or OOMing) silently
+    cap, cap_msg = similarity._pinned_pop_cap(
+        n_clusters, "semantic_dedup", 'n_clusters="auto" (semantic_dedup_auto)'
+    )
+
     emb = load_table(spark, sf_dir, "embeddings")
-    cells = similarity.ivf_index(emb, "vec_id", "embedding", n_clusters=16)
+    cells = similarity.ivf_index(emb, "vec_id", "embedding", n_clusters=n_clusters)
     # one shuffle co-locates each cell; the kernel is a |cell|² BLAS matmul —
     # bounded by the quantizer's cell granularity, never corpus²
     joined = emb.select("vec_id", "embedding").join(cells, "vec_id")
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        if cap is not None and len(pdf) > cap:
+            raise ValueError(cap_msg)
         X = np.stack(pdf["embedding"].to_numpy()).astype("float64")
         ids = pdf["vec_id"].to_numpy()
         nrm = np.sqrt((X * X).sum(axis=1))
@@ -2772,6 +2789,24 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return joined.groupBy("cell").applyInPandas(kernel, "vec_id long, cell int, is_dup long")
+
+
+@register("semantic_dedup_auto", _SEMANTIC_ORACLE)
+def semantic_dedup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SemDeDup scale DEFAULT under the correctness gate: quantizer
+    density follows the corpus (auto_ivf_cells — one cell per ~1024
+    vectors, floor 16), so cell populations — and with them the |cell|²
+    verify kernels — stay ~constant as the corpus grows. At the oracle
+    corpus (≤16 Ki vectors) auto resolves to exactly the pinned entry's 16
+    cells, so the SAME bit-exact oracle replays it; at probe scales the
+    pinned twin's cells grow linearly (31k rows/cell at sf10 ⇒ 7.7 GB
+    similarity slabs, quadratic work — r7 audit measured it 34× for 100×
+    data and it now fails loud past MAX_PINNED_BUCKET_POP) while this
+    entry holds per-cell work flat. Note the SemDeDup contract: cell
+    granularity is PART of the dedup definition (coarser cells admit more
+    within-cell pairs), so auto density is a declared semantics level,
+    not a lossless rewrite — same as embed_ann_ivf_auto."""
+    return _semantic_dedup_impl(spark, sf_dir, n_clusters="auto")
 
 
 # ---------------------------------------------------------------------------

@@ -19,6 +19,25 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _failure_reason(exc: Exception) -> str:
+    """First line of the exception, plus — when the failure surfaced inside
+    a Python worker and the headline is Py4J boilerplate — the deepest
+    `SomethingError: ...` line from the chained traceback. Two r6 artifact
+    gaps drove this: Py4J messages can OPEN with a newline (recorded reason
+    was ""), and worker-raised designed refusals (ValueError from a
+    pinned-density guard) hid behind "An exception was thrown from the
+    Python worker"."""
+    text = str(exc).strip() or repr(exc)
+    lines = [ln.strip() for ln in text.splitlines() if ln.strip()]
+    head = lines[0][:300]
+    import re
+
+    causes = [ln for ln in lines[1:] if re.match(r"^[\w.]*(Error|Exception)\b\s*:", ln)]
+    if causes and causes[-1][:60] not in head:
+        return (head[:150] + " | cause: " + causes[-1][:200])[:360]
+    return head
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.localdata/sf10"
     out_path = sys.argv[2] if len(sys.argv) > 2 else "AUDIT_sf10.json"
@@ -47,12 +66,8 @@ def main() -> None:
                 results[name] = {"sec": round(time.perf_counter() - t0, 3), "rows": n}
                 print(f"audit: {name}: {results[name]['sec']:.3f}s ({n} rows)", file=sys.stderr, flush=True)
             except Exception as exc:
-                # Py4J messages can open with a newline — strip before taking
-                # the first line or the recorded reason is empty (r6 artifact
-                # showed "" for embed_ann_ivf's designed refusal)
-                msg = str(exc).strip().splitlines()[0][:300] if str(exc).strip() else repr(exc)[:300]
-                results[name] = {"sec": -1.0, "error": msg}
-                print(f"audit: {name} FAILED: {msg}", file=sys.stderr, flush=True)
+                results[name] = {"sec": -1.0, "error": _failure_reason(exc)}
+                print(f"audit: {name} FAILED: {results[name]['error']}", file=sys.stderr, flush=True)
             nd.write(json.dumps({"name": name, **results[name]}) + "\n")
             nd.flush()
 
