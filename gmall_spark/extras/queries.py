@@ -228,7 +228,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # algorithm is deterministic — hyperplane signs from md5 parity, candidates
 # from bucket equality, fold-order cosine verify — so the oracle replays it
 # end-to-end in SQL and the driver hash-checks the actual ANN result.
-_LSH_ORACLE = """
+# Parameterized on the signature width so the auto-density twins (which
+# resolve to 4 bits at every gate corpus: auto_lsh_bits yields 4 for any
+# n ≤ 4096 vectors, and the driver's oracle scale is 500) replay bit-exactly
+# with their own oracle rather than skipping the hash check.
+def _lsh_oracle(n_bits: int) -> str:
+    return f"""
 WITH norm AS (
   SELECT vec_id, embedding::DOUBLE[] AS v,
          sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
@@ -239,15 +244,18 @@ planes AS (
          list_transform(range(0, 64), d ->
            CASE WHEN substr(md5('h' || t || ':' || b || ',' || d), 1, 1) >= '8'
                 THEN 1.0 ELSE -1.0 END) AS w
-  FROM (SELECT unnest(range(0, 12)) AS t), (SELECT unnest(range(0, 6)) AS b)
+  FROM (SELECT unnest(range(0, 12)) AS t), (SELECT unnest(range(0, {n_bits})) AS b)
 ),
 sigs AS (
   SELECT n.vec_id, p.t AS tbl,
          CAST(sum(CASE WHEN list_dot_product(n.v, p.w) > 0
-                       THEN 1 << (5 - p.b) ELSE 0 END) AS BIGINT) AS sig
+                       THEN 1 << ({n_bits - 1} - p.b) ELSE 0 END) AS BIGINT) AS sig
   FROM norm n, planes p
   GROUP BY 1, 2
-),
+),"""
+
+
+_LSH_ANN_TAIL = """
 cand AS (
   SELECT DISTINCT a.vec_id, b.vec_id AS neighbor_id
   FROM sigs a JOIN sigs b
@@ -264,11 +272,28 @@ SELECT vec_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk FROM (
 ) WHERE rnk <= 5
 """
 
+_LSH_ORACLE = _lsh_oracle(6) + _LSH_ANN_TAIL
+
 
 @register("embed_ann_lsh", _LSH_ORACLE)
 def embed_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.lsh_ann(emb, "vec_id", "embedding", n_bits=6, n_tables=12, k=5)
+
+
+@register("embed_ann_lsh_auto", _lsh_oracle(4) + _LSH_ANN_TAIL)
+def embed_ann_lsh_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH-ANN scale DEFAULT under the correctness gate: signature width
+    follows the corpus (auto_lsh_bits — bucket population held near 256,
+    floor 4 bits), so the O(pop²) bucket kernels stay ~constant as the
+    corpus grows. At every gate corpus (≤4096 vectors) auto resolves to 4
+    bits, so the 4-bit oracle replays this entry bit-exactly — while the
+    pinned 6-bit twin's buckets grow linearly with the corpus (sf10: 3125
+    rows/bucket × 12 tables, 103 s and 47× for 100× data; auto's 10-bit
+    signature holds ~195/bucket). Same pinned-vs-auto contract as
+    embed_ann_ivf / embed_ann_ivf_auto."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.lsh_ann(emb, "vec_id", "embedding", n_bits="auto", n_tables=12, k=5)
 
 
 # IVF variant — k-means cells + nprobe search (the other classic ANN scale
@@ -1570,7 +1595,10 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tables. Approximate by construction (recall vs the exact kernel asserted
 # in tests); fully deterministic, so the oracle replays it end to end.
 # ---------------------------------------------------------------------------
-_NEAR_DUP_LSH_ORACLE = """
+def _near_dup_lsh_oracle(n_bits: int) -> str:
+    # norm carries `label` here (the near-dup output labels pairs), so this
+    # shares only the planes/sigs SHAPE with _lsh_oracle, not the string
+    return f"""
 WITH norm AS (
   SELECT vec_id, label, embedding::DOUBLE[] AS v,
          sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
@@ -1581,12 +1609,12 @@ planes AS (
          list_transform(range(0, 64), d ->
            CASE WHEN substr(md5('h' || t || ':' || b || ',' || d), 1, 1) >= '8'
                 THEN 1.0 ELSE -1.0 END) AS w
-  FROM (SELECT unnest(range(0, 12)) AS t), (SELECT unnest(range(0, 6)) AS b)
+  FROM (SELECT unnest(range(0, 12)) AS t), (SELECT unnest(range(0, {n_bits})) AS b)
 ),
 sigs AS (
   SELECT n.vec_id, p.t AS tbl,
          CAST(sum(CASE WHEN list_dot_product(n.v, p.w) > 0
-                       THEN 1 << (5 - p.b) ELSE 0 END) AS BIGINT) AS sig
+                       THEN 1 << ({n_bits - 1} - p.b) ELSE 0 END) AS BIGINT) AS sig
   FROM norm n, planes p
   GROUP BY 1, 2
 ),
@@ -1604,11 +1632,28 @@ WHERE list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm) > 0.4
 """
 
 
+_NEAR_DUP_LSH_ORACLE = _near_dup_lsh_oracle(6)
+
+
 @register("dedup_embedding_lsh", _NEAR_DUP_LSH_ORACLE)
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.cosine_near_dup_lsh(
         emb, "vec_id", "embedding", "label", threshold=0.4, n_bits=6, n_tables=12
+    )
+
+
+@register("dedup_embedding_lsh_auto", _near_dup_lsh_oracle(4))
+def dedup_embedding_lsh_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup at the density a 100 TB corpus runs: signature
+    width from auto_lsh_bits (4 bits for every corpus ≤4096 vectors —
+    including each gate corpus, so the 4-bit oracle replays bit-exactly).
+    The pinned 6-bit twin stays as the oracle-stable baseline; its buckets
+    grow linearly with the corpus (sf10 audit: 54.5 s / 31× for 100× data)
+    where auto holds bucket population ~constant."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_near_dup_lsh(
+        emb, "vec_id", "embedding", "label", threshold=0.4, n_bits="auto", n_tables=12
     )
 
 

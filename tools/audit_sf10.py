@@ -5,8 +5,11 @@ sf10 under the default heap and no probe had ever covered it — headline
 probes sample, this sweeps. Streaming entries are excluded (they have
 their own sf10 probe artifacts and cost 100-200s each per-key by design).
 
-Usage: python tools/audit_sf10.py [sf_dir] [out.json]
-Progress goes to stderr per entry, so a hang identifies its entry.
+Usage: python tools/audit_sf10.py [sf_dir] [out.json] [name ...]
+Progress goes to stderr per entry, so a hang identifies its entry. With
+explicit names, only those entries run and the out.json is MERGED over the
+existing artifact (append/refresh rows without re-running the full sweep —
+for entries added after a sweep started, or for solo re-times).
 """
 
 from __future__ import annotations
@@ -41,6 +44,7 @@ def _failure_reason(exc: Exception) -> str:
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.localdata/sf10"
     out_path = sys.argv[2] if len(sys.argv) > 2 else "AUDIT_sf10.json"
+    picked = set(sys.argv[3:])
 
     from gmall_spark.session import get_spark
     import __spark_entry__ as entrymod
@@ -49,14 +53,26 @@ def main() -> None:
     spark.range(1000).count()
     queries = entrymod.queries()
     names = [n for n in sorted(queries) if not n.startswith("streaming_")]
+    results: dict[str, dict] = {}
+    if picked:
+        unknown = picked - set(names)
+        if unknown:
+            raise SystemExit(f"audit: unknown entries {sorted(unknown)}")
+        # merge mode: start from the existing artifact, re-run only `picked`
+        names = [n for n in names if n in picked]
+        if os.path.exists(out_path):
+            prior = json.loads(open(out_path).read())
+            for k, v in prior.get("queries", {}).items():
+                results[k] = {"sec": v, "rows": prior["rows"].get(k)}
+            for k, err in prior.get("failed", {}).items():
+                results[k] = {"sec": -1.0, "error": err}
     print(f"audit: {len(names)} batch entries at {sf_dir}", file=sys.stderr, flush=True)
 
     # each entry appends an NDJSON line as it finishes, so a mid-sweep crash
     # (the r6 host OOM) preserves every completed entry's timing, not just
     # stderr text; the final JSON artifact is assembled from the same data
     ndjson_path = out_path + ".ndjson"
-    results: dict[str, dict] = {}
-    with open(ndjson_path, "w") as nd:
+    with open(ndjson_path, "a" if picked else "w") as nd:
         for name in names:
             spark.catalog.clearCache()
             print(f"audit: >> {name}", file=sys.stderr, flush=True)
