@@ -51,6 +51,30 @@ def main() -> None:
 
     spark = get_spark("gmall_audit_sf10")
     spark.range(1000).count()
+
+    def recycle(s):
+        """Tear the whole session down — JVM and Python worker pool — and
+        start fresh. Spark reuses Python workers across queries
+        (spark.python.worker.reuse), so each worker's RSS is the HIGH-WATER
+        mark of every Arrow kernel it ever ran; over a ~180-entry sweep 32
+        workers crept to ~4.3 GB each and, with the 16 GB driver JVM's
+        ~36 GB native footprint, the host OOM killer took the gateway down
+        at entry ~140 (r7 first attempt — the NDJSON preserved all finished
+        rows, which is how this was diagnosed). Recycling every
+        RECYCLE_EVERY entries resets both footprints; entry wall times are
+        unaffected (each entry is timed cold on its own jobs)."""
+        try:
+            s.stop()
+        except Exception:
+            pass
+        import time as _t
+
+        _t.sleep(2)
+        ns = get_spark("gmall_audit_sf10")
+        ns.range(1000).count()
+        return ns
+
+    RECYCLE_EVERY = 25
     queries = entrymod.queries()
     names = [n for n in sorted(queries) if not n.startswith("streaming_")]
     results: dict[str, dict] = {}
@@ -73,7 +97,10 @@ def main() -> None:
     # stderr text; the final JSON artifact is assembled from the same data
     ndjson_path = out_path + ".ndjson"
     with open(ndjson_path, "a" if picked else "w") as nd:
-        for name in names:
+        for i, name in enumerate(names):
+            if i and i % RECYCLE_EVERY == 0:
+                print("audit: -- recycling session", file=sys.stderr, flush=True)
+                spark = recycle(spark)
             spark.catalog.clearCache()
             print(f"audit: >> {name}", file=sys.stderr, flush=True)
             t0 = time.perf_counter()
@@ -82,8 +109,31 @@ def main() -> None:
                 results[name] = {"sec": round(time.perf_counter() - t0, 3), "rows": n}
                 print(f"audit: {name}: {results[name]['sec']:.3f}s ({n} rows)", file=sys.stderr, flush=True)
             except Exception as exc:
-                results[name] = {"sec": -1.0, "error": _failure_reason(exc)}
-                print(f"audit: {name} FAILED: {results[name]['error']}", file=sys.stderr, flush=True)
+                reason = _failure_reason(exc)
+                # a dead gateway (host OOM killed the JVM) must not cascade
+                # bogus failures onto every later entry: probe, restart, and
+                # give the entry ONE fresh-session retry so the artifact
+                # records the entry's own behavior, not the crash's
+                try:
+                    spark.range(1).count()
+                    alive = True
+                except Exception:
+                    alive = False
+                if not alive:
+                    print(f"audit: !! gateway dead after {name} — restarting", file=sys.stderr, flush=True)
+                    spark = recycle(spark)
+                    t0 = time.perf_counter()
+                    try:
+                        n = queries[name](spark, sf_dir).count()
+                        results[name] = {"sec": round(time.perf_counter() - t0, 3), "rows": n}
+                        print(f"audit: {name} (retry): {results[name]['sec']:.3f}s ({n} rows)", file=sys.stderr, flush=True)
+                        nd.write(json.dumps({"name": name, **results[name]}) + "\n")
+                        nd.flush()
+                        continue
+                    except Exception as exc2:
+                        reason = _failure_reason(exc2)
+                results[name] = {"sec": -1.0, "error": reason}
+                print(f"audit: {name} FAILED: {reason}", file=sys.stderr, flush=True)
             nd.write(json.dumps({"name": name, **results[name]}) + "\n")
             nd.flush()
 
