@@ -29,6 +29,17 @@ SCALE_CONFS = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.adaptive.localShuffleReader.enabled": "true",
+    # Deliberately NOT set: adaptive.coalescePartitions.initialPartitionNum.
+    # Starting every plan wide (8× cores) and letting AQE coalesce down is
+    # the textbook spill-aware default, and at sf100 it is worth real money
+    # (label_communities 1599.9 s → 1327.4 s at 256 vs 32 partitions) — but
+    # this codebase's iterative kernels localCheckpoint each round, which
+    # MATERIALIZES the wide partitioning outside AQE's coalesce reach, so at
+    # bench scale every subsequent round pays 8× the task overhead (measured:
+    # label_communities 4.4 → 9.7 s, pagerank 3.3 → 5.9 s at sf0.1). Scale
+    # deployments size the width explicitly instead:
+    # SPARK_GRAFT_SHUFFLE_PARTITIONS=256 (a static conf on a cluster), which
+    # is how the sf100 number above was measured.
     # Map-side distinct-agg partials before the shuffle.
     "spark.sql.optimizer.distinctBeforeIntersect.enabled": "true",
     # Arrow for every pandas_udf / mapInPandas / applyInPandas crossing.
