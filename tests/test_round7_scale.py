@@ -131,3 +131,38 @@ def test_audit_failure_reason_surfaces_worker_cause():
     assert "ValueError: semantic_dedup" in reason
     assert _failure_reason(Exception("plain")) == "plain"
     assert _failure_reason(Exception("")) != ""
+
+
+def test_audit_merge_mode_roundtrip(tmp_path):
+    """Merge mode must (a) seed from a prior artifact losslessly — ok rows
+    AND failed rows — and (b) let a re-run overwrite its seeded row, so a
+    cascade-bogus failure re-recorded by a healthy retry disappears from
+    `failed`. The r7 sweep's resume path depends on exactly this."""
+    import json
+    import sys
+
+    sys.path.insert(0, "tools")
+    from audit_sf10 import assemble_artifact, load_prior
+
+    prior = assemble_artifact(
+        {
+            "good": {"sec": 1.5, "rows": 10},
+            "bad": {"sec": -1.0, "error": "host OOM cascade"},
+        }
+    )
+    p = tmp_path / "AUDIT.json"
+    p.write_text(json.dumps(prior) + "\n")
+
+    seeded = load_prior(str(p))
+    assert seeded["good"] == {"sec": 1.5, "rows": 10}
+    assert seeded["bad"]["sec"] == -1.0 and "OOM" in seeded["bad"]["error"]
+
+    # the retry overwrites the failure; the artifact reflects the re-run
+    seeded["bad"] = {"sec": 2.25, "rows": 7}
+    art = assemble_artifact(seeded)
+    assert art["n_ok"] == 2 and art["failed"] == {}
+    assert art["value"] == 3.8 and art["rows"]["bad"] == 7
+    # a second merge round-trips bit-identically
+    p.write_text(json.dumps(art) + "\n")
+    assert assemble_artifact(load_prior(str(p))) == art
+    assert load_prior(str(tmp_path / "missing.json")) == {}

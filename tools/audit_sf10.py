@@ -41,6 +41,34 @@ def _failure_reason(exc: Exception) -> str:
     return head
 
 
+def load_prior(out_path: str) -> dict[str, dict]:
+    """Seed the results map from an existing artifact (merge mode): ok rows
+    keep their sec/rows, failed rows keep their reason at sec=-1. A re-run
+    of a picked entry then OVERWRITES its seeded row."""
+    results: dict[str, dict] = {}
+    if os.path.exists(out_path):
+        prior = json.loads(open(out_path).read())
+        for k, v in prior.get("queries", {}).items():
+            results[k] = {"sec": v, "rows": prior["rows"].get(k)}
+        for k, err in prior.get("failed", {}).items():
+            results[k] = {"sec": -1.0, "error": err}
+    return results
+
+
+def assemble_artifact(results: dict[str, dict]) -> dict:
+    ok = {k: v for k, v in results.items() if v["sec"] >= 0}
+    return {
+        "metric": "batch_registry_sf10_audit",
+        "unit": "sec",
+        "sf": 10,
+        "value": round(sum(v["sec"] for v in ok.values()), 1),
+        "n_ok": len(ok),
+        "failed": {k: v["error"] for k, v in results.items() if v["sec"] < 0},
+        "queries": {k: v["sec"] for k, v in ok.items()},
+        "rows": {k: v["rows"] for k, v in ok.items()},
+    }
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.localdata/sf10"
     out_path = sys.argv[2] if len(sys.argv) > 2 else "AUDIT_sf10.json"
@@ -84,12 +112,7 @@ def main() -> None:
             raise SystemExit(f"audit: unknown entries {sorted(unknown)}")
         # merge mode: start from the existing artifact, re-run only `picked`
         names = [n for n in names if n in picked]
-        if os.path.exists(out_path):
-            prior = json.loads(open(out_path).read())
-            for k, v in prior.get("queries", {}).items():
-                results[k] = {"sec": v, "rows": prior["rows"].get(k)}
-            for k, err in prior.get("failed", {}).items():
-                results[k] = {"sec": -1.0, "error": err}
+        results.update(load_prior(out_path))
     print(f"audit: {len(names)} batch entries at {sf_dir}", file=sys.stderr, flush=True)
 
     # each entry appends an NDJSON line as it finishes, so a mid-sweep crash
@@ -137,20 +160,7 @@ def main() -> None:
             nd.write(json.dumps({"name": name, **results[name]}) + "\n")
             nd.flush()
 
-    ok = {k: v for k, v in results.items() if v["sec"] >= 0}
-    failed = {k: v["error"] for k, v in results.items() if v["sec"] < 0}
-    line = json.dumps(
-        {
-            "metric": "batch_registry_sf10_audit",
-            "unit": "sec",
-            "sf": 10,
-            "value": round(sum(v["sec"] for v in ok.values()), 1),
-            "n_ok": len(ok),
-            "failed": failed,
-            "queries": {k: v["sec"] for k, v in ok.items()},
-            "rows": {k: v["rows"] for k, v in ok.items()},
-        }
-    )
+    line = json.dumps(assemble_artifact(results))
     with open(out_path, "w") as fh:
         fh.write(line + "\n")
     print(line)
