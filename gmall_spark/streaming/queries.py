@@ -1551,6 +1551,132 @@ def streaming_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(sh, _name("s_decon"), output_mode="complete")
 
 
+@register(
+    "streaming_neardup_gate",
+    """
+    WITH sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+        FROM (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+             UNNEST(range(1, greatest(len(t) - 2, 1) + 1)) AS u(i)
+      )
+    ),
+    agg AS (
+      SELECT doc_id,
+             min(substr(md5(shingle), 1, 8)) AS m0,
+             min(substr(md5(shingle), 9, 8)) AS m1,
+             min(substr(md5(shingle), 17, 8)) AS m2,
+             min(substr(md5(shingle), 25, 8)) AS m3,
+             min(substr(md5('x' || shingle), 1, 8)) AS m4,
+             min(substr(md5('x' || shingle), 9, 8)) AS m5,
+             min(substr(md5('x' || shingle), 17, 8)) AS m6,
+             min(substr(md5('x' || shingle), 25, 8)) AS m7
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, b.band,
+             CASE b.band WHEN 0 THEN m0 || '|' || m1 WHEN 1 THEN m2 || '|' || m3
+                         WHEN 2 THEN m4 || '|' || m5 ELSE m6 || '|' || m7
+             END AS band_key
+      FROM agg, (SELECT unnest(range(0, 4)) AS band) b
+    )
+    SELECT s.doc_id, CAST(count(DISTINCT c.doc_id) AS BIGINT) AS neardup_ct
+    FROM bands s JOIN bands c
+      ON s.band = c.band AND s.band_key = c.band_key
+    WHERE s.doc_id % 7 <> 0 AND c.doc_id % 7 = 0
+    GROUP BY 1
+    """,
+)
+def streaming_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup intake gate — the live MinHash-LSH twin of the
+    batch `dedup_minhash` path: documents ARRIVE as a stream and are gated
+    against the already-ingested corpus (the doc_id % 7 = 0 slice; in
+    production, the materialized band index of everything ingested so far).
+    Emits, per arriving doc, how many corpus docs share at least one LSH
+    band — the admit/quarantine signal an intake pipeline acts on.
+
+    Shape notes. The batch minhash path is three chained aggregations
+    (min-per-seed → band concat → pair count), which streaming complete
+    mode cannot chain — so the arriving doc's signature is computed
+    per-ROW inside one Arrow kernel (its shingle set never leaves the
+    worker; zero shuffles to sign a document) and only the band-key join +
+    one count aggregate touch the engine. Hash family and banding are
+    BIT-IDENTICAL to dedup_minhash (8×32-bit md5 slices, band = 2 seeds,
+    lexicographic min on hex), so the DuckDB oracle replays signatures,
+    banding, and the gate count end-to-end. The stream-static join is the
+    shuffle shape (a corpus band index outgrows executors at 100 TB), and
+    every micro-batch re-reads the static side — index freshness without a
+    cache-TTL protocol.
+
+    Reference parity: the closest reference shape is the dim-lookup gate
+    (`app/func/DimAsyncFunction.java` keyed cache probe); this entry is its
+    content-similarity generalization for training-data intake."""
+    import hashlib
+
+    import pandas as pd
+
+    from gmall_spark.extras import dedup
+    from gmall_spark.sources import load_table
+    from gmall_spark.streaming.pipelines import stream_table
+
+    docs_static = load_table(spark, sf_dir, "documents")
+    corpus_sig = dedup.minhash_signatures(
+        docs_static.filter(F.col("doc_id") % 7 == 0), "doc_id", "text", k=3, n_hashes=8
+    )
+    corpus_bands = (
+        corpus_sig.withColumn("band", (F.substring("seed", 2, 2).cast("int") / 2).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.concat_ws(
+                "|",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("seed", "mh"))), lambda s: s["mh"]
+                ),
+            ).alias("band_key")
+        )
+        .select(F.col("doc_id").alias("corpus_id"), "band", "band_key")
+    )
+
+    # no type hints: this module runs under `from __future__ import
+    # annotations`, so hints are strings resolved against MODULE globals —
+    # where the function-local `pd` import is invisible (Arrow SCALAR eval
+    # is inferred from the untyped signature instead)
+    @F.pandas_udf("array<string>")
+    def band_keys(texts):
+        # per-row minhash: the SAME md5-slice family as
+        # dedup.minhash_signatures, reduced in-kernel instead of via a
+        # groupBy (streaming cannot chain the batch path's aggregations)
+        out = []
+        for text in texts:
+            toks = (text or "").strip().split(" ")
+            upper = max(len(toks) - 2, 1)
+            shingles = {" ".join(toks[i - 1 : i + 2]) for i in range(1, upper + 1)}
+            mins = [None] * 8
+            for s in shingles:
+                h1 = hashlib.md5(s.encode("utf-8")).hexdigest()
+                h2 = hashlib.md5(b"x" + s.encode("utf-8")).hexdigest()
+                for i in range(8):
+                    piece = (h1 if i < 4 else h2)[8 * (i % 4) : 8 * (i % 4) + 8]
+                    if mins[i] is None or piece < mins[i]:
+                        mins[i] = piece
+            out.append([f"{mins[2*b]}|{mins[2*b+1]}" for b in range(4)])
+        return pd.Series(out)
+
+    stream = stream_table(
+        spark, sf_dir, "documents",
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).filter(F.col("doc_id") % 7 != 0)
+    gated = (
+        stream.select("doc_id", F.posexplode(band_keys("text")).alias("band", "band_key"))
+        .join(corpus_bands, ["band", "band_key"])
+        .select("doc_id", "corpus_id")
+        .distinct()  # a pair can collide in several bands; count docs, not bands
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("neardup_ct"))
+    )
+    return run_to_memory(gated, _name("s_ndgate"), output_mode="complete")
+
+
 from gmall_spark.extras.queries import _hex_val_sql
 
 
