@@ -66,6 +66,12 @@ EXPECTED: dict[str, tuple[dict[str, int], str]] = {
     # against its oracle, CORRECTNESS_full_r11.json).
     "streaming_decontaminate": ({"Deduplicate": 2, "Aggregate": 1, "Join": 1}, "jvm"),
     "streaming_dedup_union": ({"EventTimeWatermark": 1, "Deduplicate": 1}, "jvm"),
+    # Aggregate 3 = the STATIC corpus index build (minhash min-per-seed +
+    # band-key concat) riding in the analyzed plan, plus the one streaming
+    # gate count; Deduplicate 1 = pair-level distinct (multi-band collisions
+    # count docs, not bands). The stream side is signed per-row in an Arrow
+    # kernel (scalar pandas_udf — no MapInPandas node).
+    "streaming_neardup_gate": ({"Deduplicate": 1, "Aggregate": 3, "Join": 1}, "jvm"),
     "streaming_dim_enrich": (
         {"EventTimeWatermark": 1, "Aggregate": 1, "Join": 2},
         "jvm",
