@@ -281,6 +281,27 @@ def embed_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_ann(emb, "vec_id", "embedding", n_bits=6, n_tables=12, k=5)
 
 
+def _assert_auto_density(df: DataFrame, resolver, expected: int, entry: str) -> None:
+    """Fail-loud contract for the auto-density twins (r7 advice): their
+    registered oracles are hard-pinned to the density "auto" resolves to at
+    every gate corpus (4 LSH bits ≤4096 vectors; 16 IVF cells ≤16 Ki). If a
+    gate corpus ever crosses a resolver threshold, the entry would silently
+    compute with a wider signature and the gate would report an opaque
+    value-hash mismatch — assert the assumption HERE so the failure names
+    the cause and the fix. One metadata-fast count() on the parquet source;
+    the resolver re-counts inside the kernel path, which is fine: both
+    counts are footer reads."""
+    n = df.count()
+    got = resolver(n)
+    if got != expected:
+        raise AssertionError(
+            f"{entry}: auto density resolves to {got} at {n} corpus rows but "
+            f"the registered oracle is pinned to {expected} — regenerate the "
+            f"oracle at density {got} (or split the gate corpus); see "
+            f"{resolver.__name__} thresholds"
+        )
+
+
 @register("embed_ann_lsh_auto", _lsh_oracle(4) + _LSH_ANN_TAIL)
 def embed_ann_lsh_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The LSH-ANN scale DEFAULT under the correctness gate: signature width
@@ -293,6 +314,7 @@ def embed_ann_lsh_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature holds ~195/bucket). Same pinned-vs-auto contract as
     embed_ann_ivf / embed_ann_ivf_auto."""
     emb = load_table(spark, sf_dir, "embeddings")
+    _assert_auto_density(emb, similarity.auto_lsh_bits, 4, "embed_ann_lsh_auto")
     return similarity.lsh_ann(emb, "vec_id", "embedding", n_bits="auto", n_tables=12, k=5)
 
 
@@ -390,6 +412,7 @@ def embed_ann_ivf_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sf10: auto ~27 s where the pinned density degenerates past the
     MAX_PINNED_BUCKET_POP guard, see BENCH_r05_sf10_batch.json)."""
     emb = load_table(spark, sf_dir, "embeddings")
+    _assert_auto_density(emb, similarity.auto_ivf_cells, 16, "embed_ann_ivf_auto")
     return similarity.ivf_ann(emb, "vec_id", "embedding", k=5, n_clusters="auto", nprobe=4)
 
 
@@ -1652,6 +1675,7 @@ def dedup_embedding_lsh_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     grow linearly with the corpus (sf10 audit: 54.5 s / 31× for 100× data)
     where auto holds bucket population ~constant."""
     emb = load_table(spark, sf_dir, "embeddings")
+    _assert_auto_density(emb, similarity.auto_lsh_bits, 4, "dedup_embedding_lsh_auto")
     return similarity.cosine_near_dup_lsh(
         emb, "vec_id", "embedding", "label", threshold=0.4, n_bits="auto", n_tables=12
     )
@@ -2851,6 +2875,12 @@ def semantic_dedup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     granularity is PART of the dedup definition (coarser cells admit more
     within-cell pairs), so auto density is a declared semantics level,
     not a lossless rewrite — same as embed_ann_ivf_auto."""
+    _assert_auto_density(
+        load_table(spark, sf_dir, "embeddings"),
+        similarity.auto_ivf_cells,
+        16,
+        "semantic_dedup_auto",
+    )
     return _semantic_dedup_impl(spark, sf_dir, n_clusters="auto")
 
 

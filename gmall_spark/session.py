@@ -85,18 +85,84 @@ def scratch_dir(*sub: str) -> str:
 
     Override with SPARK_GRAFT_SCRATCH (e.g. a disk path when benching sf10
     where spill could exceed RAM)."""
-    root = os.environ.get("SPARK_GRAFT_SCRATCH")
-    if not root:
-        shm = "/dev/shm"
-        root = (
-            os.path.join(shm, "gmall_scratch")
-            if os.path.isdir(shm) and os.access(shm, os.W_OK)
-            else os.path.join(tempfile.gettempdir(), "gmall_scratch")
-        )
+    root = os.environ.get("SPARK_GRAFT_SCRATCH") or _auto_scratch_root()
     path = os.path.join(root, *sub)
     os.makedirs(path, exist_ok=True)
     _gc_scratch_spool(os.path.join(root, "spool"))
     return path
+
+
+#: auto-root decision is made ONCE per process: spark.local.dir is captured at
+#: session build, so later scratch_dir calls must keep returning the same root
+#: even if /dev/shm pressure changes mid-run.
+_AUTO_SCRATCH_ROOT: str | None = None
+
+#: /dev/shm free space below which the auto-root refuses tmpfs. 8 GiB covers
+#: the worst committed sf0.1/sf1 scratch footprints with margin.
+_SHM_MIN_FREE_BYTES = 8 << 30
+
+#: driver heaps at or above this share the box's RAM with tmpfs badly enough
+#: to auto-route scratch to disk: the r7 sf100 LPA probe showed a 64g heap +
+#: a 1.18B-edge shuffle on /dev/shm exhausting host RAM (the shuffle data and
+#: the JVM compete for the SAME physical pages; tmpfs pages are unreclaimable
+#: until deleted), while disk scratch completed. Below it (the 16g default)
+#: tmpfs wins: streaming's many small synchronous WAL/state writes measured
+#: 3-8x slower behind a shared disk (see the docstring above).
+_SHM_MAX_HEAP_GB = 32
+
+
+def _heap_gb() -> float:
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g").strip().lower()
+    try:
+        if mem.endswith("g"):
+            return float(mem[:-1])
+        if mem.endswith("m"):
+            return float(mem[:-1]) / 1024
+        return float(mem)
+    except ValueError:
+        return 16.0
+
+
+def _auto_scratch_root() -> str:
+    """RAM-backed scratch when it is safe, disk otherwise — decided once.
+
+    /dev/shm is rejected (with a one-time stderr note naming the override)
+    when (a) the requested driver heap is >= _SHM_MAX_HEAP_GB — at that size
+    tmpfs and the JVM compete for the same physical RAM and the r7 sf100
+    probe showed the OOM killer resolving the contest — or (b) tmpfs free
+    space is already below _SHM_MIN_FREE_BYTES (a co-tenant is using it)."""
+    global _AUTO_SCRATCH_ROOT
+    if _AUTO_SCRATCH_ROOT is not None:
+        return _AUTO_SCRATCH_ROOT
+    import sys
+
+    shm = "/dev/shm"
+    root = None
+    if os.path.isdir(shm) and os.access(shm, os.W_OK):
+        reason = None
+        heap = _heap_gb()
+        if heap >= _SHM_MAX_HEAP_GB:
+            reason = f"driver heap {heap:g}g >= {_SHM_MAX_HEAP_GB}g competes with tmpfs for RAM"
+        else:
+            try:
+                st = os.statvfs(shm)
+                free = st.f_bavail * st.f_frsize
+                if free < _SHM_MIN_FREE_BYTES:
+                    reason = f"/dev/shm free {free >> 30} GiB < {_SHM_MIN_FREE_BYTES >> 30} GiB"
+            except OSError:
+                pass
+        if reason is None:
+            root = os.path.join(shm, "gmall_scratch")
+        else:
+            print(
+                f"gmall_spark: scratch falling back to disk ({reason}); "
+                "override with SPARK_GRAFT_SCRATCH",
+                file=sys.stderr,
+            )
+    if root is None:
+        root = os.path.join(tempfile.gettempdir(), "gmall_scratch")
+    _AUTO_SCRATCH_ROOT = root
+    return root
 
 
 _SPOOL_TTL_SECS = 6 * 3600

@@ -1648,7 +1648,14 @@ def streaming_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         # groupBy (streaming cannot chain the batch path's aggregations)
         out = []
         for text in texts:
-            toks = (text or "").strip().split(" ")
+            if text is None:
+                # match the batch/oracle NULL semantics: split(NULL) drops
+                # the row batch-side and the oracle's len(NULL) range is
+                # empty — a NULL-text doc must emit NO band keys, not the
+                # empty-shingle signature
+                out.append([])
+                continue
+            toks = text.strip().split(" ")
             upper = max(len(toks) - 2, 1)
             shingles = {" ".join(toks[i - 1 : i + 2]) for i in range(1, upper + 1)}
             mins = [None] * 8

@@ -49,7 +49,7 @@ def load_prior(out_path: str) -> dict[str, dict]:
     if os.path.exists(out_path):
         prior = json.loads(open(out_path).read())
         for k, v in prior.get("queries", {}).items():
-            results[k] = {"sec": v, "rows": prior["rows"].get(k)}
+            results[k] = {"sec": v, "rows": prior.get("rows", {}).get(k)}
         for k, err in prior.get("failed", {}).items():
             results[k] = {"sec": -1.0, "error": err}
     return results
@@ -117,7 +117,10 @@ def main() -> None:
 
     # each entry appends an NDJSON line as it finishes, so a mid-sweep crash
     # (the r6 host OOM) preserves every completed entry's timing, not just
-    # stderr text; the final JSON artifact is assembled from the same data
+    # stderr text; the final JSON artifact is assembled from the same data.
+    # Merge-mode re-runs APPEND, so a name may occur on multiple lines —
+    # consumers must resolve duplicates LAST-WINS (the later line is the
+    # re-run that also overwrote the row in the JSON artifact).
     ndjson_path = out_path + ".ndjson"
     with open(ndjson_path, "a" if picked else "w") as nd:
         for i, name in enumerate(names):

@@ -50,6 +50,9 @@ def main() -> None:
     if args and args[0] == "--decades":
         decades = args[1].split(",")
         args = args[2:]
+    if not args:
+        print(__doc__, file=sys.stderr)
+        raise SystemExit("graph_probe: missing out.json argument")
     out_path = args[0]
     entries = args[1:] or DEFAULT_ENTRIES
 
@@ -66,7 +69,10 @@ def main() -> None:
             last = [ln for ln in proc.stdout.strip().splitlines() if ln.startswith("{")]
             if proc.returncode != 0 or not last:
                 print(f"probe: {e} @ {dec} FAILED\n{proc.stderr[-2000:]}", file=sys.stderr, flush=True)
+                # keep curve and rows key-aligned on failure (consumers zip
+                # them by key): -1.0 marks the failed decade, rows gets None
                 curve[e][dec] = -1.0
+                rows[e][dec] = None
                 continue
             r = json.loads(last[-1])
             curve[e][dec] = r["sec"]
