@@ -597,13 +597,40 @@ def label_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     labels = adj.select(F.col("src").alias("node")).withColumn("lab", F.col("node"))
+    # The per-round vote shuffle carries one row per distinct (dst, lab)
+    # pair — ~3× pagerank's per-dst width on the same graph (the r7 sf100
+    # probe's dominator). When every node id fits 31 bits, pack the pair
+    # into ONE int64 (dst<<32 | lab) before the exchange: the shuffle row
+    # narrows from two key longs to one and the partial/final hash
+    # aggregates key on a single long instead of a two-column row. Node ids
+    # here are 2·custkey / 2·suppkey+1 — 31 bits holds to ~1B customers
+    # (beyond sf10000); past that the unpacked path below is the fallback,
+    # same plan shape, two-long keys.
+    bounds = adj.agg(F.min("src"), F.max("src")).first()
+    packable = (
+        bounds[0] is not None and bounds[0] >= 0 and bounds[1] < (1 << 31)
+    )
     for _ in range(_LPA_ROUNDS):
-        nbr = (
-            adj.join(labels.select(F.col("node").alias("src"), "lab"), "src")
-            .select(F.explode("dsts").alias("dst"), "lab")
-            .groupBy(F.col("dst").alias("node"), "lab")
-            .agg(F.count(F.lit(1)).alias("c"))
-        )
+        edge_labels = adj.join(
+            labels.select(F.col("node").alias("src"), "lab"), "src"
+        ).select(F.explode("dsts").alias("dst"), "lab")
+        if packable:
+            nbr = (
+                edge_labels.select(
+                    (F.shiftleft(F.col("dst"), 32) + F.col("lab")).alias("code")
+                )
+                .groupBy("code")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .select(
+                    F.shiftrightunsigned("code", 32).alias("node"),
+                    F.col("code").bitwiseAND(F.lit((1 << 32) - 1)).alias("lab"),
+                    "c",
+                )
+            )
+        else:
+            nbr = edge_labels.groupBy(F.col("dst").alias("node"), "lab").agg(
+                F.count(F.lit(1)).alias("c")
+            )
         # mode-with-min-tiebreak as ONE hash aggregate: max of (count, -lab)
         # orders by count desc then lab asc — replaces the per-node
         # row_number window (a sort shuffle) with a partial-aggregable max

@@ -60,6 +60,68 @@ def _block_rows(n_index: int, bytes_per_cell: int) -> int:
     return max(1, min(512, _SLAB_BUDGET_BYTES // max(1, n_index * bytes_per_cell)))
 
 
+#: float32 error envelope for the prefilter below. For unit vectors the
+#: float32 dot differs from the exact float64 value by at most ~d·u
+#: (u = 2⁻²⁴, d = 64 dims ⇒ ~4e-6, cast rounding included); the candidate
+#: cut only needs eps ≥ 2·that, so 1e-4 is a ~12× margin. eps only WIDENS
+#: the candidate set — the final ranking is always exact float64.
+_F32_SIM_EPS = 1e-4
+
+#: threshold estimate = the _F32_SAMPLE_TOPJ-th largest of a ~1/64 strided
+#: column sample. topj=4 measured zero argpartition fallbacks at 200k index
+#: rows with median candidate width ~230 (topj=1 left 17% of rows falling
+#: back); the count check below keeps ANY estimate exact.
+_F32_SAMPLE_TOPJ = 4
+
+
+def _block_topm_candidates(S32, m: int, n_index: int):
+    """Per-row candidate columns from a float32 similarity slab, guaranteed
+    to contain every EXACT (float64) top-m column including ties — the
+    selection hotspot of the blocked-BLAS kNN kernels, restructured.
+
+    Why: at 200k index rows the float64 matmul costs ~480 ms/block and the
+    per-row argpartition over the full row another ~520 ms — together ~90%
+    of kernel wall. This helper lets callers run the matmul in float32
+    (2.5× on this box's OpenBLAS) and replaces full-row argpartition with a
+    sampled threshold: t = (topj-th largest of a strided 1/64 column
+    sample) − eps, then ONE vectorized count pass checks #{col: row ≥
+    t+eps} ≥ m — when it holds, every exact top-m member (and anything
+    tied with the m-th) provably sits in {col: row ≥ t}:
+
+        the m-th largest float32 value t32m ≤ q + e (at most m−1 exact
+        sims exceed q, the exact m-th largest, so at most m−1 float32
+        values exceed q+e); any exact-top-m column x has f32(x) ≥ q − e ≥
+        t32m − 2e ≥ (t + eps) − 2e ≥ t   for eps ≥ 2e.
+
+    Rows where the sample undershoots (count < m) fall back to exact
+    argpartition top-m widened by the same eps — identical guarantee.
+    Callers MUST rerank candidates with exact float64 sims; yields
+    (row_idx, cand_cols)."""
+    import numpy as np
+
+    eps = np.float32(_F32_SIM_EPS)
+    if n_index <= m:
+        full = np.arange(n_index)
+        for r in range(S32.shape[0]):
+            yield r, full
+        return
+    sub = S32[:, :: max(1, n_index // 4096)]
+    j = min(_F32_SAMPLE_TOPJ, sub.shape[1])
+    t = np.partition(sub, sub.shape[1] - j, axis=1)[:, sub.shape[1] - j] - eps
+    cnt = (S32 >= (t[:, None] + eps)).sum(axis=1)
+    for r in range(S32.shape[0]):
+        row32 = S32[r]
+        if cnt[r] >= m:
+            cand = np.nonzero(row32 >= t[r])[0]
+        else:
+            cand = np.argpartition(row32, n_index - m)[n_index - m :]
+            worst = row32[cand].min() - eps
+            widened = row32 >= worst
+            if int(widened.sum()) > m:
+                cand = np.nonzero(widened)[0]
+        yield r, cand
+
+
 def _guarded_index(df: DataFrame, cols: list[str], caller: str, scale_path: str):
     index = df.select(*cols).limit(MAX_BROADCAST_INDEX_ROWS + 1).toPandas()
     if len(index) > MAX_BROADCAST_INDEX_ROWS:
@@ -71,7 +133,9 @@ def _guarded_index(df: DataFrame, cols: list[str], caller: str, scale_path: str)
     return index
 
 
-def brute_force_knn(df: DataFrame, id_col: str, vec_col: str, k: int = 5) -> DataFrame:
+def brute_force_knn(
+    df: DataFrame, id_col: str, vec_col: str, k: int = 5, query_filter=None
+) -> DataFrame:
     """Exact top-k cosine neighbors for every vector. Output: (vec_id,
     neighbor_id, rnk) — ids+rank only, so fp summation noise cannot flip the
     result hash (random-embedding sims are separated far beyond fp error).
@@ -84,6 +148,12 @@ def brute_force_knn(df: DataFrame, id_col: str, vec_col: str, k: int = 5) -> Dat
     executor memory you shard it and merge per-shard top-k (or switch to
     lsh_ann below). A pure-DataFrame variant would cross-join and window-rank:
     that plan moves |Q|·|I| rows through a shuffle just to discard all but k.
+
+    ``query_filter`` (a Column predicate) restricts the QUERY side only —
+    the index stays the full corpus, so each kept query's top-k is
+    bit-identical to its row in the unfiltered result (per-query top-k is
+    independent of other queries). This is the audit-sampling hook: score a
+    deterministic slice of queries without paying the full |Q|·|I| pass.
     """
     import numpy as np
     import pandas as pd
@@ -109,49 +179,38 @@ def brute_force_knn(df: DataFrame, id_col: str, vec_col: str, k: int = 5) -> Dat
     def op(batches):
         ids_b, M_b = bc.value
         n_index = len(ids_b)
-        # top-m by sim via O(n) argpartition, then exact (sim desc, id asc)
-        # ordering within the candidate slab. m > k absorbs the self-match
-        # and boundary ties (exact-duplicate texts ⇒ exactly-equal sims, so
-        # ties are real); rows whose ties straddle the slab edge fall back
-        # to the full row — rare, still vectorized C either way.
+        # float32 twin of the index for the prefilter matmul (sgemm is 2.5×
+        # dgemm here); the FINAL sims are always exact float64 over the
+        # provably-complete candidate set (_block_topm_candidates)
+        M32 = M_b.astype(np.float32)
+        # m > k absorbs the self-match and boundary ties (exact-duplicate
+        # texts ⇒ exactly-equal sims, so ties are real); candidate sets from
+        # the helper always contain every tie of the m-th value
         m = min(n_index, k + 8)
         for pdf in batches:
             if not len(pdf):
                 continue
             Qa = np.stack(pdf[vec_col].to_numpy()).astype("float64")
             Qa /= np.sqrt((Qa * Qa).sum(axis=1))[:, None]  # index side pre-normalized
+            Qa32 = Qa.astype(np.float32)
             qidsa = pdf[id_col].to_numpy()
             out_q, out_n, out_r = [], [], []
             # block the query side so the sims slab stays within the
             # per-worker budget (block height shrinks as the index grows —
-            # see _block_rows); ONE slab reused across blocks — a fresh
-            # per-block allocation is a large mmap the kernel must
-            # page-zero, measurable system-time under concurrent tasks
-            blk = _block_rows(n_index, 8)
-            Sbuf = np.empty((min(blk, len(Qa)), n_index))
-            full = np.arange(n_index)
+            # see _block_rows; the slab is float32 now, hence 4 B/cell);
+            # ONE slab reused across blocks — a fresh per-block allocation
+            # is a large mmap the kernel must page-zero, measurable
+            # system-time under concurrent tasks
+            blk = _block_rows(n_index, 4)
+            Sbuf = np.empty((min(blk, len(Qa)), n_index), dtype=np.float32)
             for s in range(0, len(Qa), blk):
                 Q, qids = Qa[s : s + blk], qidsa[s : s + blk]
-                S = Sbuf[: len(Q)]
-                np.matmul(Q, M_b.T, out=S)
-                for r in range(S.shape[0]):
-                    row = S[r]
-                    if m < n_index:
-                        # per-row 1-D argpartition: ~10× faster than the
-                        # axis=1 form (NumPy's row-batched introselect over
-                        # an index array has a large constant; the 1-D call
-                        # on the contiguous row does not). Top-m from the
-                        # right end — no -row copy.
-                        cols = np.argpartition(row, n_index - m)[n_index - m :]
-                        # exactness check: every index whose sim ties the
-                        # slab's worst kept sim must be inside the slab
-                        worst = row[cols].min()
-                        if int((row >= worst).sum()) > m:
-                            cols = full
-                    else:
-                        cols = full
-                    sims = row[cols]
-                    cids = ids_b[cols]
+                S32 = Sbuf[: len(Q)]
+                np.matmul(Qa32[s : s + blk], M32.T, out=S32)
+                for r, cand in _block_topm_candidates(S32, m, n_index):
+                    # exact float64 rerank over the candidates only
+                    sims = M_b[cand] @ Q[r]
+                    cids = ids_b[cand]
                     order = np.lexsort((cids, -sims))
                     keep = cids[order][cids[order] != qids[r]][:k]
                     out_q.extend([qids[r]] * len(keep))
@@ -161,8 +220,11 @@ def brute_force_knn(df: DataFrame, id_col: str, vec_col: str, k: int = 5) -> Dat
 
     from gmall_spark.session import unpersist_with
 
+    queries_df = df if query_filter is None else df.filter(query_filter)
     return unpersist_with(
-        df.select(id_col, vec_col).mapInPandas(op, "vec_id long, neighbor_id long, rnk long"),
+        queries_df.select(id_col, vec_col).mapInPandas(
+            op, "vec_id long, neighbor_id long, rnk long"
+        ),
         df,
     )
 
@@ -396,7 +458,7 @@ def signatures(
 
 def _bucket_topk_kernel(
     id_col: str, k: int, pair_space: bool, max_pop: int | None = None,
-    cap_msg: str | None = None,
+    cap_msg: str | None = None, query_flag: str | None = None,
 ):
     """applyInPandas kernel: exact cosine within one bucket, per-query local
     top-k under the global comparator (sim desc, id asc). The union of
@@ -408,7 +470,13 @@ def _bucket_topk_kernel(
 
     pair_space=True: every bucket row is both query and member (LSH
     self-join semantics). False: rows are tagged by _is_q (IVF probe rows vs
-    member rows)."""
+    member rows).
+
+    query_flag (pair_space only): name of a boolean column restricting which
+    bucket members EMIT a local top-k — all rows remain candidates, so each
+    flagged query's result is bit-identical to the unfiltered run's row
+    (the audit-sampling hook; the bucket matmul shrinks to
+    |flagged|×|bucket|)."""
     import numpy as np
     import pandas as pd
 
@@ -419,6 +487,8 @@ def _bucket_topk_kernel(
             raise ValueError(cap_msg)
         if pair_space:
             mem, qry = pdf, pdf
+            if query_flag is not None:
+                qry = pdf[pdf[query_flag]]
         else:
             mem, qry = pdf[~pdf["_is_q"]], pdf[pdf["_is_q"]]
         if len(mem) < 1 or len(qry) < 1:
@@ -466,6 +536,7 @@ def lsh_ann(
     n_bits: int | str = 6,
     n_tables: int = 12,
     k: int = 5,
+    query_filter=None,
 ) -> DataFrame:
     """Approximate top-k cosine: candidates share a bucket in ANY of the L
     signature tables; exact cosine + rank within the candidate set.
@@ -485,8 +556,18 @@ def lsh_ann(
     cap, cap_msg = _pinned_pop_cap(n_bits, "lsh_ann", 'n_bits="auto"')
     n_bits = _resolve_density(df, n_bits, auto_lsh_bits)
     sigs = signatures(df, id_col, vec_col, n_bits, n_tables, with_vec=True)
+    # query_filter restricts which members EMIT, not which enter the bucket
+    # (candidate sets are unchanged, so kept queries match the unfiltered
+    # run bit-for-bit) — see _bucket_topk_kernel's query_flag
+    query_flag = None
+    if query_filter is not None:
+        sigs = sigs.withColumn("_q", query_filter)
+        query_flag = "_q"
     local = sigs.groupBy("table", "sig").applyInPandas(
-        _bucket_topk_kernel(id_col, k, pair_space=True, max_pop=cap, cap_msg=cap_msg),
+        _bucket_topk_kernel(
+            id_col, k, pair_space=True, max_pop=cap, cap_msg=cap_msg,
+            query_flag=query_flag,
+        ),
         "vec_id long, neighbor_id long, sim double",
     )
     return _global_rank(local, k, dedup_pairs=True)
@@ -765,40 +846,50 @@ def hard_negative_knn(
     def op(batches):
         ids_b, labels_b, M_b = bc.value
         n_index = len(ids_b)
+        M32 = M_b.astype(np.float32)
         m = min(n_index, k + 8)
+        # label -> index-column positions, built once per task: the mask
+        # step below then touches only each label's OWN columns. The naive
+        # per-row `labels_b == qlabels[r]` compare is O(n_index) per query
+        # row — an n² boolean pass (40e9 compares at sf10) that profiled as
+        # a material slice of the kernel wall next to the O(n²/|labels|)
+        # assignment this replaces it with.
+        label_cols = {
+            lab: np.nonzero(labels_b == lab)[0] for lab in np.unique(labels_b)
+        }
         for pdf in batches:
             if not len(pdf):
                 continue
             Qa = np.stack(pdf[vec_col].to_numpy()).astype("float64")
             Qa /= np.sqrt((Qa * Qa).sum(axis=1))[:, None]
+            Qa32 = Qa.astype(np.float32)
             qidsa = pdf[id_col].to_numpy()
             qlabelsa = pdf[label_col].to_numpy()
             out_q, out_n, out_r = [], [], []
-            blk = _block_rows(n_index, 8)
-            Sbuf = np.empty((min(blk, len(Qa)), n_index))
-            full = np.arange(n_index)
+            blk = _block_rows(n_index, 4)
+            Sbuf = np.empty((min(blk, len(Qa)), n_index), dtype=np.float32)
             for s in range(0, len(Qa), blk):
                 Q = Qa[s : s + blk]
                 qids, qlabels = qidsa[s : s + blk], qlabelsa[s : s + blk]
-                S = Sbuf[: len(Q)]
-                np.matmul(Q, M_b.T, out=S)
-                for r in range(S.shape[0]):
-                    row = S[r]
-                    # same-label columns (incl. self) leave the race here;
-                    # the slab is overwritten by the next block's matmul
-                    row[labels_b == qlabels[r]] = -np.inf
-                    if m < n_index:
-                        cols = np.argpartition(row, n_index - m)[n_index - m :]
-                        worst = row[cols].min()
-                        # tie spill can only matter among real sims; a -inf
-                        # worst means every valid candidate is already in
-                        if worst > -np.inf and int((row >= worst).sum()) > m:
-                            cols = full
-                    else:
-                        cols = full
-                    sims = row[cols]
-                    valid = sims > -np.inf
-                    sims, cids = sims[valid], ids_b[cols][valid]
+                S32 = Sbuf[: len(Q)]
+                np.matmul(Qa32[s : s + blk], M32.T, out=S32)
+                # same-label cells (incl. self) leave the race BLOCK-wise:
+                # one fancy-indexed -inf assignment per label present in the
+                # block, touching only that label's rows x columns; the slab
+                # is overwritten by the next block's matmul. The mask lives
+                # in the float32 slab, so candidate selection sees it; the
+                # exact rerank below re-filters by it before recomputing
+                # sims (the float64 gemv would otherwise resurrect masked
+                # columns).
+                for lab in np.unique(qlabels):
+                    rows = np.nonzero(qlabels == lab)[0]
+                    cols = label_cols.get(lab)
+                    if cols is not None and len(cols):
+                        S32[np.ix_(rows, cols)] = -np.inf
+                for r, cand in _block_topm_candidates(S32, m, n_index):
+                    cand = cand[S32[r, cand] > -np.inf]  # drop masked cols
+                    sims = M_b[cand] @ Q[r]
+                    cids = ids_b[cand]
                     order = np.lexsort((cids, -sims))
                     keep = cids[order][:k]
                     out_q.extend([qids[r]] * len(keep))

@@ -22,6 +22,7 @@ Scale notes:
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 from typing import Any
 
@@ -29,6 +30,35 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+#: streaming source volume above which the production topologies dispatch
+#: the keyed operators to their bucketed twins — see use_bucketed_state.
+#: 64 MiB keeps every sf<=1 bench source on the faithful per-key shape
+#: (events.parquet is ~2 MB at sf0.1, ~20 MB at sf1) while sf10's ~220 MB
+#: source — and any production volume — takes the bucketed recipe.
+BUCKETED_STATE_MIN_BYTES = 64 << 20
+
+
+def use_bucketed_state(input_bytes: int | None) -> bool:
+    """Volume-based dispatch between the per-key keyed-state operators (the
+    faithful Flink analogs: one state row and one Python invocation per
+    entity) and their key-coarsened bucketed twins (the Python-scale
+    recipe, bit-exact emission equivalence asserted by the twin tests).
+
+    Why volume decides: applyInPandasWithState invokes the Python function
+    once per GROUP per micro-batch, so per-entity keying costs O(active
+    entities) interpreter crossings — the measured bottleneck at sf10
+    (220 MB/source): per-key 81-155 s vs bucketed 8.5-11.5 s on the same
+    entries (BENCH_r06_bucketed_state.json, AUDIT r7), while at sf0.1 the
+    two are within noise. The signal is the same pre-start source-size
+    estimate stream_jvm_state_width uses (pipelines._stream_input_bytes).
+
+    SPARK_GRAFT_BUCKETED_STATE=1/0 forces the choice regardless of volume —
+    the A/B and contended-host escape hatch."""
+    env = os.environ.get("SPARK_GRAFT_BUCKETED_STATE")
+    if env is not None:
+        return env.strip().lower() not in ("0", "false", "no", "")
+    return bool(input_bytes) and input_bytes >= BUCKETED_STATE_MIN_BYTES
 
 
 def fix_is_new_stream(events: DataFrame, key: str = "user_id") -> DataFrame:

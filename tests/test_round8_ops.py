@@ -1,0 +1,144 @@
+"""Round-8 unit tests: bench re-measure gate, scratch auto-root, bucketed
+dispatch, the float32-prefilter candidate helper, and LPA vote packing.
+
+All pure-Python/numpy — no SparkSession needed (the Spark-side behavior of
+the touched operators is covered by the oracle-parity gate and the existing
+twin tests)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+
+# ---------------------------------------------------------------------------
+# bench.py: two-class gate predicate + baseline reader
+# ---------------------------------------------------------------------------
+def test_gate_flagged_mirrors_two_class_gate():
+    import bench
+
+    # >2x baseline AND >1s -> flagged
+    assert bench._gate_flagged(5.0, 2.0)
+    # within 2x -> not flagged regardless of absolute size
+    assert not bench._gate_flagged(3.9, 2.0)
+    # sub-floor trips are noise, never flagged
+    assert not bench._gate_flagged(0.9, 0.1)
+    # a 0.00 baseline row has no ratio: the absolute floor decides
+    assert bench._gate_flagged(1.5, 0.0)
+    assert not bench._gate_flagged(0.5, 0.0)
+
+
+def test_read_baseline_parses_the_table():
+    import bench
+
+    rows = bench.read_baseline()
+    assert len(rows) > 200  # the full registry is baselined
+    assert all(isinstance(v, float) and v >= 0 for v in rows.values())
+
+
+# ---------------------------------------------------------------------------
+# session: scratch auto-root pressure fallback
+# ---------------------------------------------------------------------------
+def test_auto_scratch_root_rejects_shm_for_big_heaps(monkeypatch):
+    import gmall_spark.session as s
+
+    monkeypatch.setattr(s, "_AUTO_SCRATCH_ROOT", None)
+    monkeypatch.setenv("SPARK_GRAFT_DRIVER_MEM", "64g")
+    assert "/dev/shm" not in s._auto_scratch_root()
+
+    monkeypatch.setattr(s, "_AUTO_SCRATCH_ROOT", None)
+    monkeypatch.setenv("SPARK_GRAFT_DRIVER_MEM", "16g")
+    # small heap: decision depends on live /dev/shm free space — just assert
+    # it resolves and is stable across calls (the decision is cached)
+    first = s._auto_scratch_root()
+    assert s._auto_scratch_root() == first
+
+
+def test_scratch_env_override_wins(monkeypatch, tmp_path):
+    import gmall_spark.session as s
+
+    monkeypatch.setenv("SPARK_GRAFT_SCRATCH", str(tmp_path))
+    assert s.scratch_dir("x").startswith(str(tmp_path))
+
+
+# ---------------------------------------------------------------------------
+# streaming: volume-based bucketed-state dispatch
+# ---------------------------------------------------------------------------
+def test_use_bucketed_state_threshold_and_override(monkeypatch):
+    from gmall_spark.streaming import stateful
+
+    monkeypatch.delenv("SPARK_GRAFT_BUCKETED_STATE", raising=False)
+    assert not stateful.use_bucketed_state(None)
+    assert not stateful.use_bucketed_state(2 << 20)  # sf0.1-ish
+    assert stateful.use_bucketed_state(220 << 20)  # sf10-ish
+    monkeypatch.setenv("SPARK_GRAFT_BUCKETED_STATE", "1")
+    assert stateful.use_bucketed_state(0)
+    monkeypatch.setenv("SPARK_GRAFT_BUCKETED_STATE", "0")
+    assert not stateful.use_bucketed_state(1 << 40)
+
+
+# ---------------------------------------------------------------------------
+# similarity._block_topm_candidates: the float32 prefilter must contain the
+# exact float64 top-m (incl. ties) for every row — the property the kNN
+# kernels' bit-exactness rests on.
+# ---------------------------------------------------------------------------
+def _exact_topm_members(S64_row, m):
+    # the exact top-m value cut, ties included
+    if len(S64_row) <= m:
+        return set(range(len(S64_row)))
+    q = np.partition(S64_row, len(S64_row) - m)[len(S64_row) - m]
+    return set(np.nonzero(S64_row >= q)[0].tolist())
+
+
+@pytest.mark.parametrize("n_index", [7, 500, 20000])
+def test_f32_candidates_contain_exact_topm(n_index):
+    from gmall_spark.extras.similarity import _block_topm_candidates
+
+    rng = np.random.default_rng(42)
+    d, blk, m = 64, 23, 11
+    M = rng.random((n_index, d))
+    M /= np.sqrt((M * M).sum(1))[:, None]
+    Q = M[rng.integers(0, n_index, blk)]  # includes exact duplicates
+    S64 = Q @ M.T
+    S32 = Q.astype(np.float32) @ M.astype(np.float32).T
+    for r, cand in _block_topm_candidates(S32, m, n_index):
+        missing = _exact_topm_members(S64[r], m) - set(cand.tolist())
+        assert not missing, f"row {r}: exact top-{m} columns {missing} not in candidates"
+
+
+def test_f32_candidates_with_masked_columns():
+    from gmall_spark.extras.similarity import _block_topm_candidates
+
+    rng = np.random.default_rng(7)
+    n, blk, m = 5000, 9, 11
+    S32 = rng.random((blk, n)).astype(np.float32)
+    S32[:, ::2] = -np.inf  # half the index masked (the hard-negative case)
+    S64 = S32.astype(np.float64)
+    for r, cand in _block_topm_candidates(S32, m, n):
+        valid = cand[S32[r, cand] > -np.inf]
+        missing = {
+            c for c in _exact_topm_members(S64[r], m) if S64[r, c] > -np.inf
+        } - set(valid.tolist())
+        assert not missing
+
+
+def test_f32_candidates_tiny_corpus_returns_full():
+    from gmall_spark.extras.similarity import _block_topm_candidates
+
+    S32 = np.random.rand(3, 5).astype(np.float32)
+    for r, cand in _block_topm_candidates(S32, 11, 5):
+        assert set(cand.tolist()) == {0, 1, 2, 3, 4}
+
+
+# ---------------------------------------------------------------------------
+# LPA vote packing: dst<<32 | lab roundtrip at the id extremes
+# ---------------------------------------------------------------------------
+def test_lpa_pack_roundtrip_bounds():
+    # mirror the column arithmetic: code = (dst << 32) + lab;
+    # dst = code >>> 32; lab = code & 0xFFFFFFFF
+    for dst in (0, 1, (1 << 31) - 1):
+        for lab in (0, 1, (1 << 31) - 1):
+            code = (dst << 32) + lab
+            assert 0 <= code < (1 << 63)  # no int64 sign overflow
+            assert code >> 32 == dst
+            assert code & ((1 << 32) - 1) == lab
