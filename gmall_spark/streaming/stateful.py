@@ -31,6 +31,37 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+def _batch_frame(
+    pdfs: Iterator[pd.DataFrame], sort_cols: list[str] | None = None
+) -> pd.DataFrame | None:
+    """Concatenate a group's micro-batch chunks and sort ONCE globally —
+    the only order-sound way to consume the keyed-state chunk iterator.
+
+    Spark hands a group's rows as an iterator of Arrow-batch slices whose
+    ORDER IS ARBITRARY: rows within a shuffle partition are clustered by
+    key but not time-sorted, so a key whose rows straddle an Arrow-batch
+    boundary sees its later chunk first. The previous per-chunk
+    sort-then-carry pattern was therefore order-UNSOUND — it passed every
+    small-scale gate (groups rarely straddle a 10k-row Arrow batch there)
+    and lost 95 of 1,970,000 bounce rows in the first sf10 topology
+    verification (BENCH_r08_e2e_sf10_ab.json, the per-key arm; the
+    bucketed bounce twin already concatenated before sorting and matched
+    the oracle exactly). Memory: this buffers ONE group's batch slice —
+    bounded by a key's per-batch volume (per-entity keys: tens of rows)
+    or batch/n_buckets for the bucketed family, which already buffered.
+
+    Returns None when the batch holds no rows for the group; the result has
+    a fresh positional index (chunk concat repeats labels, and callers use
+    positional/iloc logic)."""
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if not chunks:
+        return None
+    pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+    return pdf.sort_values(
+        sort_cols or ["ts", "event_id"], kind="mergesort"
+    ).reset_index(drop=True)
+
+
 #: streaming source volume above which the production topologies dispatch
 #: the keyed operators to their bucketed twins — see use_bucketed_state.
 #: 64 MiB keeps every sf<=1 bench source on the faithful per-key shape
@@ -73,10 +104,12 @@ def fix_is_new_stream(events: DataFrame, key: str = "user_id") -> DataFrame:
         key_tuple: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         seen = state.exists and state.get[0] == 1
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
-            pdf = pdf.sort_values(["ts", "event_id"])
+        # buffer + ONE global sort: the iterator's chunk order is Arrow
+        # batch order, NOT event-time order (found at sf10, where a key's
+        # rows straddle Arrow-batch boundaries and a per-chunk sort +
+        # carry flagged a later event as the first) — see _batch_frame
+        pdf = _batch_frame(pdfs)
+        if pdf is not None:
             flags = pd.Series(0, index=pdf.index, dtype="int32")
             if not seen:
                 flags.iloc[0] = 1
@@ -106,10 +139,11 @@ def dedup_daily_stream(events: DataFrame, key: str = "user_id") -> DataFrame:
         key_tuple: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         seen = set((state.get[0] or "").split(",")) - {""} if state.exists else set()
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
-            pdf = pdf.sort_values(["ts", "event_id"])
+        # one global sort over the batch's chunks (see _batch_frame): the
+        # day's FIRST event must be the (ts, event_id) minimum of the whole
+        # batch, not of whichever Arrow chunk happened to arrive first
+        pdf = _batch_frame(pdfs)
+        if pdf is not None:
             dt = pdf["ts"].dt.strftime("%Y-%m-%d")
             firsts = pdf[(~dt.duplicated()) & (~dt.isin(seen))]
             seen.update(dt[~dt.isin(seen)].unique())
@@ -168,15 +202,18 @@ def detect_bounce_stream(
             return
 
         pending = tuple(state.get) if state.exists else None
-        chunks = [pdf.sort_values(["ts", "event_id"]) for pdf in pdfs if len(pdf)]
-        if not chunks:
+        # global sort across chunks (see _batch_frame): the lead() logic
+        # below and the trailing-pending pick are only correct over the
+        # batch's true event-time order — per-chunk sorts concatenated in
+        # Arrow order lost mid-batch timeout bounces at sf10
+        pdf = _batch_frame(pdfs)
+        if pdf is None:
             if pending is not None:
                 state.update(pending)
                 state.setTimeoutTimestamp(
                     int(pending[1].timestamp() * 1000) + timeout_secs * 1000
                 )
             return
-        pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
 
         # resolve the carried-over pending entry against the first new event
         out_frames = []
@@ -252,10 +289,13 @@ def ewma_stream(events: DataFrame, key: str = "user_id", alpha: float = 0.5) -> 
         key_tuple: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         acc, n = (state.get if state.exists else (0.0, 0))
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
-            pdf = pdf.sort_values(["ts", "event_id"])
+        # one globally-sorted frame per batch (see _batch_frame): the fold
+        # order must be the batch's true event-time order, and the oracle
+        # models ONE cumulative emission per (key, batch) — the previous
+        # per-chunk yield emitted once per Arrow chunk, a latent
+        # cardinality mismatch whenever a key straddled a chunk boundary
+        pdf = _batch_frame(pdfs)
+        if pdf is not None:
             for x in pdf["value"].tolist():
                 acc = acc * keep + x * alpha
             n += len(pdf)
@@ -398,10 +438,10 @@ def fix_is_new_tws(events: DataFrame, key: str = "user_id") -> DataFrame:
 
         def handleInputRows(self, key_tuple, rows, timerValues):
             seen = self.seen.exists() and self.seen.get()[0] == 1
-            for pdf in rows:
-                if not len(pdf):
-                    continue
-                pdf = pdf.sort_values(["ts", "event_id"])
+            # one global sort across the TWS chunk iterator — same
+            # order-soundness contract as the GroupState twins
+            pdf = _batch_frame(rows)
+            if pdf is not None:
                 flags = pd.Series(0, index=pdf.index, dtype="int32")
                 if not seen:
                     flags.iloc[0] = 1
@@ -509,10 +549,11 @@ def detect_bounce_tws(
 
         def handleInputRows(self, key_tuple, rows, timerValues):
             k = key_tuple[0]
-            chunks = [pdf.sort_values(["ts", "event_id"]) for pdf in rows if len(pdf)]
-            if not chunks:
+            # global sort across chunks (see _batch_frame) — per-chunk
+            # sorts concatenated in Arrow order lost mid-batch timeouts
+            pdf = _batch_frame(rows)
+            if pdf is None:
                 return
-            pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
 
             out_frames = []
             # resolve the carried-over pending entry against the first new
@@ -647,10 +688,10 @@ def dedup_daily_bucketed_stream(
         key_tuple: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         seen = set(state.get[0] or ()) if state.exists else set()
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
-            pdf = pdf.sort_values(["ts", "event_id"])
+        # global sort across chunks (see _batch_frame): within a bucket the
+        # per-(user, day) FIRST must be the batch-wide (ts, event_id) min
+        pdf = _batch_frame(pdfs)
+        if pdf is not None:
             day = pdf["ts"].to_numpy().astype("datetime64[D]").astype("int64")
             code = pd.Series(
                 pdf[key].to_numpy() * _DAY_BITS + day, index=pdf.index
@@ -913,10 +954,10 @@ def fix_is_new_bucketed_stream(
         key_tuple: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         seen = set(state.get[0] or ()) if state.exists else set()
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
-            pdf = pdf.sort_values(["ts", "event_id"])
+        # global sort across chunks (see _batch_frame): within a bucket a
+        # key's first-EVER event must be the batch-wide (ts, event_id) min
+        pdf = _batch_frame(pdfs)
+        if pdf is not None:
             uid = pdf[key]
             first = (~uid.duplicated()) & (~uid.isin(seen))
             seen.update(uid[first].tolist())

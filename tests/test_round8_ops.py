@@ -142,3 +142,46 @@ def test_lpa_pack_roundtrip_bounds():
             assert 0 <= code < (1 << 63)  # no int64 sign overflow
             assert code >> 32 == dst
             assert code & ((1 << 32) - 1) == lab
+
+
+# ---------------------------------------------------------------------------
+# Chunk-order soundness (the sf10 topology finding): a keyed-state group's
+# Arrow-chunk iterator is NOT time-ordered, so every keyed operator must
+# concat-then-sort (stateful._batch_frame), never sort-per-chunk-and-carry.
+# Forcing 4-row Arrow batches makes nearly every group straddle chunks at
+# sf0.001 — under the old per-chunk pattern these entries lose/misplace
+# rows and the oracle catches it.
+# ---------------------------------------------------------------------------
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize(
+    "entry",
+    [
+        "streaming_mb_bounce",
+        "streaming_mb_unique_visit",
+        "streaming_mb_is_new",
+        "streaming_mb_ewma",
+        "streaming_mb_bucketed_uv",
+        "streaming_mb_bucketed_is_new",
+    ],
+)
+def test_keyed_state_chunk_order_soundness(spark, entry):
+    import sys
+
+    sys.path.insert(0, "/root/repo/tests")
+    import oracle as orc
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "4")
+    try:
+        df = entrymod.queries()[entry](spark, sf)
+        ok, msg = orc.compare(df, orc.duck_connection(sf), entrymod.oracle_sql()[entry])
+        assert ok, f"{entry} under 4-row Arrow chunks: {msg[:400]}"
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
