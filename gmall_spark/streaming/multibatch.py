@@ -27,8 +27,10 @@ is still open when it arrives).
 
 This splitter is test scaffolding standing in for a partitioned Kafka topic —
 the ENGINE code under test (watermarks, stateful operators, windowed aggs) is
-identical to production; only the source is simulated. The driver-side
-chunk-file write is bounded by the testdata size, not a scale path.
+identical to production; only the source is simulated. The chunk build is
+fully distributed (two-phase global rank + per-chunk single-task writes;
+only per-partition counts touch the driver), so it holds to the sf100 probe
+corpus and beyond.
 """
 
 from __future__ import annotations
@@ -77,36 +79,90 @@ def chunk_events(
     if os.path.isdir(d) and len(os.listdir(d)) == n_batches:
         return d
     ev = load_table(spark, sf_dir, "events")
+
+    # Fully distributed chunking (the previous version toPandas()'d the
+    # whole table to rank+write driver-side — fine through sf10's 10M rows,
+    # a driver Arrow-collect blowup at sf100's 100M). Global 1-based rank
+    # by (ts, event_id) via the textbook two-phase recipe: range-partition
+    # on the sort key (ascending key ranges land in ascending partition
+    # ids), per-partition row_number, plus the summed counts of all earlier
+    # partitions — only the per-partition COUNTS (one row each) ever reach
+    # the driver.
     from pyspark.sql import Window
 
-    w = Window.orderBy("ts", "event_id")
+    n = ev.count()
+    parts = max(1, min(spark.sparkContext.defaultParallelism, n // 100_000 + 1))
+    # persist pins the sampled range boundaries: the counts job and the
+    # chunk writes must see the SAME partitioning or the offsets are wrong
+    rp = (
+        ev.repartitionByRange(parts, "ts", "event_id")
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = dict(rp.groupBy("_pid").count().collect())
+    acc, offsets = 0, {}
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_expr = F.coalesce(
+        F.element_at(
+            F.create_map(
+                *[F.lit(x) for kv in offsets.items() for x in kv]
+            ),
+            F.col("_pid"),
+        ),
+        F.lit(0),
+    )
+    w = Window.partitionBy("_pid").orderBy("ts", "event_id")
     ranked = (
-        ev.withColumn("rn", F.row_number().over(w))
-        .withColumn("n", F.lit(ev.count()))
+        rp.withColumn("rn", F.row_number().over(w) + off_expr)
+        .withColumn("n", F.lit(n))
     )
     chunk, arrival = _chunk_assignments(n_batches, late_every)
-    pdf = (
-        ranked.withColumn("arrival", arrival)
-        .drop("rn", "n")
-        .toPandas()
-        .sort_values(["ts", "event_id"])
-    )
-    # µs on disk: the stream schema declares `ts timestamp` (µs); a pandas
-    # default ns write would re-create the ns/µs drift load_table exists to fix
-    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    chunked = ranked.withColumn("arrival", arrival).drop("rn", "n", "_pid")
+
     tmp = d + "__writing"
     if os.path.isdir(tmp):
         import shutil
 
         shutil.rmtree(tmp)
     os.makedirs(tmp)
+    # µs on disk: the stream schema declares `ts timestamp` (µs) — pin the
+    # writer so no ns/µs drift can reappear (set/restore around the writes)
+    ts_conf = "spark.sql.parquet.outputTimestampType"
+    prev_ts = spark.conf.get(ts_conf, None)
+    spark.conf.set(ts_conf, "TIMESTAMP_MICROS")
     base = 1_600_000_000  # fixed epoch; only the ORDER of mtimes matters
-    for b in range(n_batches):
-        path = os.path.join(tmp, f"chunk{b}.parquet")
-        pdf[pdf["arrival"] == b].drop(columns=["arrival"]).to_parquet(
-            path, index=False
-        )
-        os.utime(path, (base + b * 10, base + b * 10))
+    try:
+        for b in range(n_batches):
+            out_b = os.path.join(tmp, f"_spark_chunk{b}")
+            # one file per chunk (1 file == 1 micro-batch for every
+            # maxFilesPerTrigger=1 consumer): repartition — NOT coalesce,
+            # which would collapse the rank stage itself to one task —
+            # shuffles the chunk to a single write task executor-side;
+            # row ORDER within the file is irrelevant, consumers sort
+            (
+                chunked.filter(F.col("arrival") == b)
+                .drop("arrival")
+                .repartition(1)
+                .write.parquet(out_b)
+            )
+            part = next(
+                f for f in os.listdir(out_b)
+                if f.startswith("part-") and f.endswith(".parquet")
+            )
+            path = os.path.join(tmp, f"chunk{b}.parquet")
+            os.rename(os.path.join(out_b, part), path)
+            import shutil
+
+            shutil.rmtree(out_b, ignore_errors=True)
+            os.utime(path, (base + b * 10, base + b * 10))
+    finally:
+        if prev_ts is None:
+            spark.conf.unset(ts_conf)
+        else:
+            spark.conf.set(ts_conf, prev_ts)
+        rp.unpersist()
     os.makedirs(os.path.dirname(d), exist_ok=True)
     try:
         os.rename(tmp, d)
