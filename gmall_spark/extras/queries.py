@@ -281,19 +281,29 @@ def embed_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_ann(emb, "vec_id", "embedding", n_bits=6, n_tables=12, k=5)
 
 
+#: corpus sizes up to this are "gate regime": small enough that a DuckDB
+#: oracle could be replaying the run bit-exactly (the driver gate corpus is
+#: ~500 vectors; both resolver floors hold through 16 Ki). Above it the run
+#: is a scale probe/bench where auto DIVERGING from the pinned density is
+#: the entire point (rows-only checks there) — asserting would block the
+#: auto twins at exactly the scales they exist for (the r8 sf10 audit
+#: caught the unguarded version doing precisely that).
+_AUTO_DENSITY_GATE_BAND = 16 * 1024
+
+
 def _assert_auto_density(df: DataFrame, resolver, expected: int, entry: str) -> None:
     """Fail-loud contract for the auto-density twins (r7 advice): their
     registered oracles are hard-pinned to the density "auto" resolves to at
     every gate corpus (4 LSH bits ≤4096 vectors; 16 IVF cells ≤16 Ki). If a
-    gate corpus ever crosses a resolver threshold, the entry would silently
-    compute with a wider signature and the gate would report an opaque
-    value-hash mismatch — assert the assumption HERE so the failure names
-    the cause and the fix. One metadata-fast count() on the parquet source;
-    the resolver re-counts inside the kernel path, which is fine: both
-    counts are footer reads."""
+    GATE-REGIME corpus (≤ _AUTO_DENSITY_GATE_BAND rows) crosses a resolver
+    threshold, the entry would silently compute with a wider signature and
+    the gate would report an opaque value-hash mismatch — assert the
+    assumption HERE so the failure names the cause and the fix. One
+    metadata-fast count() on the parquet source; the resolver re-counts
+    inside the kernel path, which is fine: both counts are footer reads."""
     n = df.count()
     got = resolver(n)
-    if got != expected:
+    if got != expected and n <= _AUTO_DENSITY_GATE_BAND:
         raise AssertionError(
             f"{entry}: auto density resolves to {got} at {n} corpus rows but "
             f"the registered oracle is pinned to {expected} — regenerate the "

@@ -185,3 +185,23 @@ def test_keyed_state_chunk_order_soundness(spark, entry):
             spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
         else:
             spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+
+def test_auto_density_assert_scopes_to_gate_band():
+    from gmall_spark.extras.queries import _assert_auto_density
+    from gmall_spark.extras.similarity import auto_lsh_bits
+
+    class FakeDF:
+        def __init__(self, n):
+            self._n = n
+
+        def count(self):
+            return self._n
+
+    # gate-regime corpus crossing the resolver threshold: fail LOUD
+    with pytest.raises(AssertionError, match="auto density resolves"):
+        _assert_auto_density(FakeDF(5000), auto_lsh_bits, 4, "t")
+    # gate-regime corpus matching the pinned density: fine
+    _assert_auto_density(FakeDF(500), auto_lsh_bits, 4, "t")
+    # scale regime: auto diverging is the point — never raise
+    _assert_auto_density(FakeDF(200_000), auto_lsh_bits, 4, "t")
