@@ -17,6 +17,13 @@ from gmall_spark.queries import register
 from gmall_spark.session import unpersist_with
 from gmall_spark.sources import load_table
 
+#: Deterministic query-sampling modulus shared by the audit-class entries
+#: (ann_recall_audit since r8, text_embed_knn since this round): queries
+#: with id % MOD == 0 are scored, the index/candidate side stays the full
+#: corpus. One constant so the Spark filters and the oracle WHERE clauses
+#: can never drift apart.
+_AUDIT_SAMPLE_MOD = 8
+
 
 # ---------------------------------------------------------------------------
 # Exact dedup — hash-groupBy. Scale: one shuffle on the 128-bit content hash;
@@ -762,7 +769,7 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_TEXT_KNN_ORACLE = """
+_TEXT_KNN_ORACLE = f"""
 WITH emb AS (
   SELECT doc_id, list_transform(range(0, 16), d ->
            (strpos('0123456789abcdef', substr(md5(coalesce(text, '')), 2*d + 1, 1)) - 1) * 16.0
@@ -775,6 +782,7 @@ sims AS (
   SELECT a.doc_id AS vec_id, b.doc_id AS neighbor_id,
          list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS sim
   FROM norm a JOIN norm b ON a.doc_id <> b.doc_id
+  WHERE a.doc_id % {_AUDIT_SAMPLE_MOD} = 0
 )
 SELECT vec_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk FROM (
   SELECT vec_id, neighbor_id,
@@ -788,12 +796,28 @@ SELECT vec_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk FROM (
 def text_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """text → (stub) embedding → exact cosine kNN: the composed pipeline.
     The md5-byte embedder is engine-portable, so the oracle replays the
-    whole chain — embedding, cosine, rank — in SQL."""
+    whole chain — embedding, cosine, rank — in SQL.
+
+    Queries are the same deterministic 1/8 sample as ann_recall_audit
+    (doc_id % 8 = 0); the INDEX stays the full corpus, so each sampled
+    query's top-3 is bit-identical to its row in an unsampled run
+    (per-query independence — brute_force_knn query_filter docstring).
+    This entry demonstrates the embed→kNN COMPOSITION; the unsampled
+    full-corpus exact baseline remains embed_knn. Before sampling this
+    was the sf10 audit's single biggest row (287s, 11.5% of the wall —
+    r7 verdict task 6 named it; ann_recall_audit got the same treatment
+    in the same round)."""
     from gmall_spark.extras import multimodal
 
     docs = load_table(spark, sf_dir, "documents")
     emb = multimodal.fake_text_embedder(docs, "doc_id", "text", dims=16)
-    return similarity.brute_force_knn(emb, "doc_id", "embedding", k=3)
+    return similarity.brute_force_knn(
+        emb,
+        "doc_id",
+        "embedding",
+        k=3,
+        query_filter=F.col("doc_id") % _AUDIT_SAMPLE_MOD == 0,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -2581,8 +2605,8 @@ def embed_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
 # computes both full pipelines and filters the same ids, so the gate
 # replays the sample exactly. Before sampling this entry + text_embed_knn
 # + hard_negatives were ~26% of the sf10 audit wall (r7 verdict task 6).
+# _AUDIT_SAMPLE_MOD is defined at module top (shared with text_embed_knn).
 # ---------------------------------------------------------------------------
-_AUDIT_SAMPLE_MOD = 8
 
 _ANN_RECALL_ORACLE = f"""
 WITH ann AS ({_LSH_ORACLE}),
