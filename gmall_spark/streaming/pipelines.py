@@ -401,8 +401,20 @@ def run_to_memory(
     Default width is session.stream_jvm_state_width() — right for JVM-state
     queries (window aggs, dedup, joins); keyed-PANDAS-state callers pass
     shuffle_partitions=stream_shuffle_width() (see both docstrings).
+
+    Sink choice is mode-driven. APPEND streams go straight to a parquet
+    FILE sink: executors write result partitions to scratch and the driver
+    never materializes a row — the shape that holds at any result size
+    (the r8 sf100 probe found the memory sink buffering a 40M-row result
+    in the driver JVM before the spool copy; that double-pay is gone).
+    UPDATE/COMPLETE keep the memory sink (the file sink is append-only by
+    contract) — those entries emit compact re-emitted aggregates, and the
+    result is spooled to parquet and the memory table dropped immediately
+    so nothing pins JVM heap across a sweep.
     """
-    from gmall_spark.session import stream_jvm_state_width
+    import os as _os
+
+    from gmall_spark.session import spool_dir, stream_jvm_state_width
 
     spark = df.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
@@ -410,6 +422,29 @@ def run_to_memory(
         "spark.sql.shuffle.partitions",
         str(shuffle_partitions or stream_jvm_state_width(_stream_input_bytes(df))),
     )
+    if output_mode == "append":
+        schema = df.schema
+        spool = spool_dir(f"filesink_{name}_")
+        out_path = _os.path.join(spool, "out")
+        try:
+            q = (
+                df.writeStream.format("parquet")
+                .queryName(name)
+                .option("path", out_path)
+                .option("checkpointLocation", _os.path.join(spool, "ckpt"))
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        # a zero-row stream commits no files; explicit schema + exist_ok
+        # mkdir keep the read lazy and empty-safe. The read sees the sink's
+        # _spark_metadata commit log, so only committed files are visible
+        # (partial task output from a failed attempt is never read).
+        _os.makedirs(out_path, exist_ok=True)
+        return spark.read.schema(schema).parquet(out_path)
     try:
         q = (
             df.writeStream.format("memory")
@@ -429,10 +464,6 @@ def run_to_memory(
     # with the sink's exact schema (explicit, so an empty result survives
     # the round-trip). RAM-backed scratch: the spool is written and read
     # once, immediately — exactly the IO worth keeping off a shared disk.
-    import tempfile
-
-    from gmall_spark.session import spool_dir
-
     tbl = spark.table(name)
     schema = tbl.schema
     spool = spool_dir(f"memsink_{name}_")
