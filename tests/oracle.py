@@ -13,8 +13,16 @@ from gmall_spark.schemas import TESTDATA_TABLES
 
 
 def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    import os
+
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
+        # scale-probe dirs (gen_sf --tables) carry only the fact tables a
+        # probe reads; register what exists so an oracle touching only
+        # those tables still replays — one referencing an absent table
+        # fails with DuckDB's own missing-view error, which is legible
+        if not os.path.exists(f"{sf_dir}/{t}.parquet"):
+            continue
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
