@@ -596,7 +596,19 @@ def label_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.array_append(F.collect_list("dst"), F.col("src")).alias("dsts"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    labels = adj.select(F.col("src").alias("node")).withColumn("lab", F.col("node"))
+    # Round 1 never needs the vote shuffle. With identity initialization
+    # (lab = node id) every incoming vote carries a DISTINCT label: the
+    # neighbor set is duplicate-free (pairs is distinct and symmetrized; the
+    # appended self-id can't collide — bipartite ids differ in parity), so
+    # every (dst, lab) count is exactly 1 and mode-with-min-tiebreak
+    # degenerates to min over the closed neighborhood = array_min(dsts).
+    # That replaces the sweep's single worst exchange — round 1 is the one
+    # round where labels are all-distinct, so its (dst, lab) shuffle gets
+    # ZERO partial-agg compression (full edge cardinality, 1.18B rows at
+    # sf100) — with a node-sized map over the already-persisted adjacency.
+    labels = iter_checkpoint(
+        adj.select(F.col("src").alias("node"), F.array_min("dsts").alias("lab"))
+    )
     # The per-round vote shuffle carries one row per distinct (dst, lab)
     # pair — ~3× pagerank's per-dst width on the same graph (the r7 sf100
     # probe's dominator). When every node id fits 31 bits, pack the pair
@@ -610,7 +622,7 @@ def label_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     packable = (
         bounds[0] is not None and bounds[0] >= 0 and bounds[1] < (1 << 31)
     )
-    for _ in range(_LPA_ROUNDS):
+    for _ in range(_LPA_ROUNDS - 1):
         edge_labels = adj.join(
             labels.select(F.col("node").alias("src"), "lab"), "src"
         ).select(F.explode("dsts").alias("dst"), "lab")
