@@ -1684,7 +1684,115 @@ def streaming_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(gated, _name("s_ndgate"), output_mode="complete")
 
 
-from gmall_spark.extras.queries import _hex_val_sql
+from gmall_spark.extras.queries import _hex_val_sql, _lsh_oracle
+
+#: pinned density for the streaming semantic gate — 4 bits is what
+#: auto_lsh_bits resolves to at every gate corpus (≤4096 vectors), so the
+#: pinned oracle replays the production auto behavior bit-exactly there;
+#: production intakes size this with auto_lsh_bits(corpus_count) exactly
+#: like the batch ANN auto twins.
+_SEM_GATE_BITS = 4
+_SEM_GATE_TABLES = 12
+
+
+@register(
+    "streaming_semantic_gate",
+    _lsh_oracle(_SEM_GATE_BITS)
+    + """
+    hits AS (
+      SELECT s.vec_id, c.vec_id AS corpus_id
+      FROM sigs s JOIN sigs c ON s.tbl = c.tbl AND s.sig = c.sig
+      WHERE s.vec_id % 7 <> 0 AND c.vec_id % 7 = 0
+    )
+    SELECT vec_id, CAST(count(DISTINCT corpus_id) AS BIGINT) AS semdup_ct
+    FROM hits GROUP BY 1
+    """,
+)
+def streaming_semantic_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SEMANTIC intake gate — the embedding-space twin of
+    `streaming_neardup_gate`: embedding rows ARRIVE as a stream (vec_id %
+    7 != 0) and are gated against the already-ingested corpus's
+    random-hyperplane LSH bucket index (the % 7 == 0 slice; in production,
+    the materialized signature index of everything ingested so far). Emits,
+    per arriving vector, how many corpus vectors share an LSH bucket in ANY
+    of the 12 signature tables — the SemDeDup-shaped admit/quarantine
+    signal for multimodal/embedding intake, completing the live gate family
+    (text MinHash + bloom decontamination + this).
+
+    Shape notes. The corpus side reuses the batch `similarity.signatures`
+    index build (one BLAS matmul per Arrow batch — a MapInPandas node in
+    the static plan). The ARRIVING vector is signed per-ROW inside one
+    scalar Arrow kernel against the same broadcast ±1 hyperplane tensor
+    (`similarity._hyperplanes` — md5-parity planes, so the DuckDB oracle
+    regenerates them bit-exactly in SQL): one float64 GEMM per Arrow batch,
+    zero shuffles to sign. Only the (tbl, sig) stream-static join + one
+    distinct + the gate count touch the engine — the join is the shuffle
+    shape (a corpus signature index outgrows executors at 100 TB), and
+    every micro-batch re-reads the static side, so index freshness needs no
+    cache-TTL protocol. Bits are PINNED at 4 only so the oracle replays
+    bit-identically (auto_lsh_bits resolves to 4 at every gate corpus);
+    the production knob is auto density, same contract as
+    `embed_ann_lsh_auto`.
+
+    Reference parity: `app/func/DimAsyncFunction.java`'s keyed gate probe,
+    generalized to content similarity (same anchor as the MinHash gate)."""
+    import numpy as np
+    import pandas as pd
+
+    from gmall_spark.extras import similarity
+    from gmall_spark.sources import load_table
+    from gmall_spark.streaming.pipelines import stream_table
+
+    emb_static = load_table(spark, sf_dir, "embeddings")
+    corpus = similarity.signatures(
+        emb_static.filter(F.col("vec_id") % 7 == 0),
+        "vec_id",
+        "embedding",
+        n_bits=_SEM_GATE_BITS,
+        n_tables=_SEM_GATE_TABLES,
+    ).select(F.col("vec_id").alias("corpus_id"), F.col("table").alias("tbl"), "sig")
+
+    first = emb_static.select("embedding").first()
+    dims = len(first[0]) if first and first[0] is not None else 0
+    bc = spark.sparkContext.broadcast(
+        similarity._hyperplanes(_SEM_GATE_TABLES, _SEM_GATE_BITS, dims).reshape(
+            _SEM_GATE_TABLES * _SEM_GATE_BITS, dims
+        )
+    )
+    weights = (2 ** np.arange(_SEM_GATE_BITS - 1, -1, -1)).astype("int64")
+
+    # untyped signature on purpose — see band_keys above (module-level
+    # `from __future__ import annotations` makes hints strings)
+    @F.pandas_udf("array<bigint>")
+    def sig_codes(vecs):
+        # per-row hyperplane signatures, SAME arithmetic as the batch
+        # signatures() kernel: float64 X @ W.T, sign test, binary weights —
+        # one array slot per table so posexplode's pos IS the table id
+        W = bc.value
+        rows = [None if v is None else np.asarray(v, dtype="float64") for v in vecs]
+        keep = [r for r in rows if r is not None]
+        if not keep:
+            return pd.Series([[] for _ in rows])
+        codes = (
+            (np.stack(keep) @ W.T > 0)
+            .reshape(len(keep), _SEM_GATE_TABLES, _SEM_GATE_BITS)
+            @ weights
+        )
+        it = iter(codes)
+        return pd.Series([[] if r is None else next(it).tolist() for r in rows])
+
+    stream = stream_table(
+        spark, sf_dir, "embeddings", "vec_id long, embedding array<float>, label int"
+    ).filter(F.col("vec_id") % 7 != 0)
+    gated = (
+        stream.select("vec_id", F.posexplode(sig_codes("embedding")).alias("tbl", "sig"))
+        .join(corpus, ["tbl", "sig"])
+        .select("vec_id", "corpus_id")
+        .distinct()  # a pair can collide in several tables; count vectors, not hits
+        .groupBy("vec_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("semdup_ct"))
+    )
+    return run_to_memory(gated, _name("s_semgate"), output_mode="complete")
 
 
 @register(

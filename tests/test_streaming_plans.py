@@ -114,6 +114,14 @@ EXPECTED: dict[str, tuple[dict[str, int], str]] = {
         "jvm",
     ),
     "streaming_scd2_enrich": ({"Join": 1}, "jvm"),  # broadcast dim side, no watermark
+    # MapInPandas 1 = the STATIC corpus LSH signature index build riding in
+    # the analyzed plan; the arriving vector is signed per-row in a scalar
+    # Arrow kernel (no node). Deduplicate = multi-table pair collapse,
+    # Aggregate = the one gate count.
+    "streaming_semantic_gate": (
+        {"Deduplicate": 1, "Aggregate": 1, "Join": 1, "MapInPandas": 1},
+        "jvm",
+    ),
     "streaming_semi_join": ({"EventTimeWatermark": 2, "Join": 1}, "jvm"),
     "streaming_session_stats": ({"EventTimeWatermark": 1, "Aggregate": 1}, "jvm"),
     "streaming_bucketed_uv": ({"FlatMapGroupsInPandasWithState": 1}, "pandas"),
