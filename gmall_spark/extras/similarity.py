@@ -905,6 +905,95 @@ def hard_negative_knn(
     )
 
 
+def pq_train_books(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int = 4,
+    k: int = 4,
+    iters: int = 2,
+    sub_dim: int = 16,
+) -> list | None:
+    """Train all ``m`` per-subspace PQ codebooks in ONE driver loop.
+
+    Bit-identical to ``m`` independent ``kmeans_centroids`` runs over the
+    SQL-sliced subvectors, at 1/m the full-data passes (guide §1.2 step 1 —
+    don't recompute what one pass can produce):
+
+    - seeds: the m seed sets are subspace slices of the SAME lowest-id rows,
+      so one ``orderBy(id).limit(k)`` pass yields all of them (numpy slicing
+      of the float64-cast vector equals float64-casting the SQL slice);
+    - each Lloyd round is ONE mapInPandas pass over the full vectors that
+      accumulates per-(task, subspace, cell) partial sums. Within a task the
+      accumulation order over rows is identical to the per-subspace kernel's
+      (same frame, same partitioning, same batch boundaries), and the driver
+      merge uses math.fsum, which is exactly rounded and therefore
+      independent of partial order — so the merged centroids match the
+      independent runs to the last ulp (pinned by
+      tests/test_round8_ops.py::test_pq_combined_trainer_bitexact).
+
+    Returns a list of m float64 centroid matrices, or None on empty input.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    base = df.select(id_col, vec_col)
+    seed_pdf = base.orderBy(id_col).limit(k).toPandas()
+    if not len(seed_pdf):
+        return None
+    seed_full = np.stack(seed_pdf[vec_col].to_numpy()).astype("float64")
+    books = [
+        seed_full[:, s * sub_dim : (s + 1) * sub_dim].copy() for s in range(m)
+    ]
+    sc = df.sparkSession.sparkContext
+    for _ in range(iters):
+        bc = sc.broadcast(books)
+
+        def partials(batches):
+            Cs = bc.value
+            acc_n = [np.zeros(len(C), dtype="int64") for C in Cs]
+            acc_s = [np.zeros((len(C), C.shape[1])) for C in Cs]
+            seen = False
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                seen = True
+                X = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+                for s, C in enumerate(Cs):
+                    Xs = X[:, s * sub_dim : (s + 1) * sub_dim]
+                    cell = _cell_dists(Xs, C).argmin(axis=1)
+                    np.add.at(acc_n[s], cell, 1)
+                    np.add.at(acc_s[s], cell, Xs)
+            if seen:
+                out_sub, out_cell, out_n, out_s = [], [], [], []
+                for s in range(len(Cs)):
+                    nz = np.nonzero(acc_n[s])[0]
+                    out_sub.extend([s] * len(nz))
+                    out_cell.extend(nz.tolist())
+                    out_n.extend(acc_n[s][nz].tolist())
+                    out_s.extend(acc_s[s][i].tolist() for i in nz)
+                yield pd.DataFrame(
+                    {"sub": out_sub, "cell": out_cell, "n": out_n, "s": out_s}
+                )
+
+        rows = base.mapInPandas(
+            partials, "sub int, cell int, n long, s array<double>"
+        ).collect()
+        groups: dict[tuple[int, int], list] = {}
+        for r in rows:
+            groups.setdefault((r["sub"], r["cell"]), []).append((r["n"], r["s"]))
+        new_books = [C.copy() for C in books]
+        for (s, cell), parts in groups.items():
+            n = sum(p[0] for p in parts)
+            new_books[s][cell] = [
+                math.fsum(p[1][d] for p in parts) / n for d in range(sub_dim)
+            ]
+        books = new_books
+    return books
+
+
 def pq_encode(
     df: DataFrame,
     id_col: str,
@@ -913,6 +1002,7 @@ def pq_encode(
     k: int = 4,
     iters: int = 2,
     sub_dim: int = 16,
+    books: list | None = None,
 ) -> DataFrame:
     """Product quantization — the embedding-compression step ANN systems run
     before the index: split each D-dim vector into ``m`` contiguous
@@ -925,18 +1015,25 @@ def pq_encode(
     Scale shape: codebook training is m runs of the fsum-merged partial-sum
     k-means (k·partitions tiny rows to the driver per round, never data);
     encoding is ONE Arrow pass with all m codebooks broadcast — at 100 TB
-    the corpus is touched m times for training sums and once for encoding,
-    and nothing wider than (id, m codes) is ever shuffled."""
+    the corpus is touched iters+1 times for training sums (pq_train_books
+    folds all m subspaces into each pass) and once for encoding, and nothing
+    wider than (id, m codes) is ever shuffled.
+
+    ``books`` (optional) supplies pre-trained codebooks — pq_ann trains them
+    once for its ADC lookup tables and passes them here, instead of paying a
+    second identical training."""
     import numpy as np
     import pandas as pd
 
-    from pyspark.sql import functions as F
-
-    books = []
-    for s in range(m):
-        sub = df.select(id_col, F.slice(vec_col, s * sub_dim + 1, sub_dim).alias("sv"))
-        C = kmeans_centroids(sub, id_col, "sv", n_clusters=k, iters=iters)
-        books.append(C)
+    if books is None:
+        books = pq_train_books(
+            df, id_col, vec_col, m=m, k=k, iters=iters, sub_dim=sub_dim
+        )
+    if books is None:
+        return _empty(
+            df,
+            f"{id_col} long, " + ", ".join(f"code_{s} int" for s in range(m)),
+        )
     sc = df.sparkSession.sparkContext
     bc = sc.broadcast(books)
 
@@ -988,14 +1085,17 @@ def pq_ann(
     base = df.select(id_col, vec_col).persist()
     base.count()
     try:
-        books = []
-        for s in range(m):
-            sub = base.select(
-                id_col, F.slice(vec_col, s * sub_dim + 1, sub_dim).alias("sv")
-            )
-            books.append(kmeans_centroids(sub, id_col, "sv", n_clusters=n_codes, iters=iters))
+        # One combined training pass feeds BOTH the ADC lookup tables and
+        # the code assignment: pq_encode used to retrain the identical
+        # deterministic codebooks from scratch (2x the training jobs for
+        # bit-identical matrices) — guide §1.2 step 1, don't recompute.
+        books = pq_train_books(
+            base, id_col, vec_col, m=m, k=n_codes, iters=iters, sub_dim=sub_dim
+        )
+        if books is None:
+            return _empty(df, f"{id_col} long, neighbor_id long, rnk long")
         codes_pdf = _guarded_index(
-            pq_encode(base, id_col, vec_col, m=m, k=n_codes, iters=iters),
+            pq_encode(base, id_col, vec_col, m=m, k=n_codes, iters=iters, books=books),
             [id_col] + [f"code_{s}" for s in range(m)],
             "pq_ann",
             "ivf_ann",

@@ -205,3 +205,46 @@ def test_auto_density_assert_scopes_to_gate_band():
     _assert_auto_density(FakeDF(500), auto_lsh_bits, 4, "t")
     # scale regime: auto diverging is the point — never raise
     _assert_auto_density(FakeDF(200_000), auto_lsh_bits, 4, "t")
+
+
+def test_pq_combined_trainer_bitexact(spark):
+    """pq_train_books (one pass per Lloyd round for all m subspaces) must
+    reproduce m independent kmeans_centroids runs over the SQL-sliced
+    subvectors to the LAST ULP — that equality is what lets pq_ann hand the
+    same books to pq_encode instead of retraining."""
+    from pyspark.sql import functions as F
+
+    from gmall_spark.extras import similarity
+    from gmall_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    combined = similarity.pq_train_books(
+        emb, "vec_id", "embedding", m=4, k=4, iters=2, sub_dim=16
+    )
+    for s in range(4):
+        sub = emb.select(
+            "vec_id", F.slice("embedding", s * 16 + 1, 16).alias("sv")
+        )
+        solo = similarity.kmeans_centroids(sub, "vec_id", "sv", n_clusters=4, iters=2)
+        assert np.array_equal(np.asarray(combined[s]), np.asarray(solo)), (
+            f"subspace {s}: combined trainer diverges from solo kmeans"
+        )
+
+
+def test_pq_encode_accepts_pretrained_books(spark):
+    """pq_encode(books=...) must emit the identical codes to its own
+    training path (the pq_ann share contract)."""
+    from gmall_spark.extras import similarity
+    from gmall_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    books = similarity.pq_train_books(
+        emb, "vec_id", "embedding", m=4, k=4, iters=2, sub_dim=16
+    )
+    own = similarity.pq_encode(emb, "vec_id", "embedding", m=4, k=4, iters=2)
+    given = similarity.pq_encode(
+        emb, "vec_id", "embedding", m=4, k=4, iters=2, books=books
+    )
+    a = sorted(map(tuple, own.collect()))
+    b = sorted(map(tuple, given.collect()))
+    assert a == b
