@@ -35,10 +35,12 @@ from __future__ import annotations
 
 import os
 import tempfile
+import threading
 import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQueryListener
 
 from gmall_spark.streaming.multibatch import stream_event_chunks
 from gmall_spark.streaming.stateful import (
@@ -74,42 +76,110 @@ def _dir(base: str, name: str) -> str:
     return d
 
 
-def _drain(queries, trigger_secs: float, timeout_secs: float) -> None:
-    """Block until every query has been idle for several consecutive polls —
-    the window in which stage-2 timers flush (the engine runs one extra
-    batch after a watermark advance) and their output drains through
-    stage 3.
+#: consecutive onQueryIdle events required from EVERY query with zero
+#: executed batches anywhere in between. An idle event means a trigger fired
+#: and the engine found no work (no batch executed), so 3 per query spans
+#: >= 2 full trigger periods of topology-wide silence — comfortably past the
+#: <=1-trigger file-discovery latency of any downstream layer, with margin
+#: for a trigger that was mid-listing when an upstream file landed.
+_IDLE_STREAK = 3
 
-    Idle = the LAST COMPLETED batch had no input rows AND no trigger is
-    currently active. The second conjunct is load-bearing: a watermark-flush
-    batch reports numInputRows=0 in lastProgress while the NEXT zero-input
-    eviction batch is still running, so input-rows alone can declare
-    quiescence mid-commit — the subsequent stop() then interrupts the state
-    store commit (observed once as CANNOT_WRITE_STATE_STORE.CANNOT_COMMIT
-    aborting the final window flush of the append topology).
+
+class _QuiesceListener(StreamingQueryListener):
+    """Event-driven quiescence watch over a fixed set of concurrent queries.
+
+    Counts, per tracked runId, the streak of consecutive onQueryIdle events.
+    ANY onQueryProgress event from ANY tracked query — i.e. any executed
+    batch, data-carrying or zero-input watermark-flush — resets EVERY
+    streak: its output (files, flushed timer rows) may feed a downstream
+    layer that has not discovered it yet, so the silence clock must restart
+    topology-wide. Events from untracked queries (anything else running on
+    the shared session) are ignored."""
+
+    def __init__(self, run_ids) -> None:
+        self.cond = threading.Condition()
+        self._streaks = {rid: 0 for rid in run_ids}
+
+    def min_streak(self) -> int:
+        with self.cond:
+            return min(self._streaks.values(), default=0)
+
+    def reset(self) -> None:
+        with self.cond:
+            for k in self._streaks:
+                self._streaks[k] = 0
+
+    def onQueryStarted(self, event) -> None:
+        pass
+
+    def onQueryProgress(self, event) -> None:
+        with self.cond:
+            if str(event.progress.runId) in self._streaks:
+                for k in self._streaks:
+                    self._streaks[k] = 0
+                self.cond.notify_all()
+
+    def onQueryIdle(self, event) -> None:
+        with self.cond:
+            rid = str(event.runId)
+            if rid in self._streaks:
+                self._streaks[rid] += 1
+                self.cond.notify_all()
+
+    def onQueryTerminated(self, event) -> None:
+        pass
+
+
+def _drain(queries, trigger_secs: float, timeout_secs: float) -> None:
+    """Block until every query has been idle long enough that stage-2 timers
+    have flushed (the engine runs one extra batch after a watermark advance)
+    and their output has drained through stage 3.
+
+    Event-driven (was: 6 consecutive 0.3 s lastProgress polls, a fixed
+    >=1.8 s tail per drain even after true quiescence): a temporary
+    StreamingQueryListener counts consecutive onQueryIdle events per query —
+    an idle event is the engine reporting a trigger fired and NO batch ran,
+    the strongest quiescence signal it emits, and stop() during an idle
+    streak cannot interrupt a state-store commit. Quiescence = every query
+    at >= _IDLE_STREAK idle events with zero executed batches anywhere in
+    the topology in between (see _QuiesceListener), re-verified at
+    declaration by the previous poll's condition as a belt: every
+    lastProgress shows numInputRows=0 AND no trigger is active (a
+    watermark-flush batch reports numInputRows=0 while the NEXT zero-input
+    eviction batch is still running, so lastProgress alone can declare
+    quiescence mid-commit — observed once as
+    CANNOT_WRITE_STATE_STORE.CANNOT_COMMIT aborting the final window flush).
 
     Callers MUST lower spark.sql.streaming.noDataProgressEventInterval
-    (default 10 s) before starting the queries: lastProgress only surfaces a
-    source-exhausted query's zero-input batch at that throttle cadence, so
-    each drain stage otherwise stalls ~10 s PER QUERY LAYER waiting for the
-    idle signal to appear, not for any real work (measured: a 1-file probe
-    query shows its (batchId=1, numInputRows=0) progress 0.6 s after the
-    data batch at a 300 ms interval vs 10.0 s at the default)."""
+    (default 10 s) before starting the queries: onQueryIdle is throttled at
+    that cadence, so each drain stage otherwise stalls ~10 s per idle event
+    waiting for the signal, not for any real work (measured: a 1-file probe
+    query emits idle events every ~0.3 s at a 300 ms interval vs 10.0 s at
+    the default — tools/probe_idle_events.py)."""
     deadline = time.monotonic() + timeout_secs
-    idle = 0
-    while idle < 6:
-        if time.monotonic() > deadline:
-            raise TimeoutError(
-                f"warehouse topology not quiescent within {timeout_secs}s"
-            )
-        time.sleep(max(trigger_secs, 0.25))
-        progs = [q.lastProgress for q in queries]
-        if all(
-            p is not None and p["numInputRows"] == 0 for p in progs
-        ) and not any(q.status.get("isTriggerActive") for q in queries):
-            idle += 1
-        else:
-            idle = 0
+    spark = SparkSession.getActiveSession()
+    watch = _QuiesceListener({str(q.runId) for q in queries})
+    spark.streams.addListener(watch)
+    try:
+        while True:
+            with watch.cond:
+                while min(watch._streaks.values(), default=0) < _IDLE_STREAK:
+                    remaining = deadline - time.monotonic()
+                    if remaining <= 0:
+                        raise TimeoutError(
+                            f"warehouse topology not quiescent within {timeout_secs}s"
+                        )
+                    watch.cond.wait(timeout=min(remaining, max(trigger_secs, 0.25)))
+            # belt re-verification outside the lock (py4j calls): identical
+            # to the old poll condition at its moment of declaration
+            progs = [q.lastProgress for q in queries]
+            if all(
+                p is not None and p["numInputRows"] == 0 for p in progs
+            ) and not any(q.status.get("isTriggerActive") for q in queries):
+                return
+            watch.reset()
+    finally:
+        spark.streams.removeListener(watch)
 
 
 def warehouse_e2e(
