@@ -177,34 +177,78 @@ def main() -> None:
             fh.write(line + "\n")
     except OSError as exc:
         print(f"bench: could not write {out_path}: {exc}", file=sys.stderr)
-    # The driver's stdout capture keeps a bounded TAIL — three rounds of
-    # BENCH_r{N}.json came back `parsed: null` because the compact headline
-    # printed FIRST and the 220-entry full line after it overflowed the
-    # window, cutting the headline and the full line's head.  Order matters:
-    # full line first (recoverable from BENCH_LOCAL.json regardless), compact
-    # single-line summary LAST so whatever tail survives is valid JSON.
-    worst = dict(
-        sorted(
-            ((k, v) for k, v in timings.items() if v >= 0),
-            key=lambda kv: -kv[1],
-        )[:10]
-    )
+    # The driver's stdout capture keeps a bounded TAIL — measured at exactly
+    # 2000 chars across all eight committed BENCH_r{N}.json artifacts — and
+    # parses only the LAST line, only when it is complete inside that window
+    # (r2–r4: a long last line truncated at the head -> parsed: null; r5–r8:
+    # a short compact last line parsed, but carried no per-query map, so
+    # PERF_r{7,8}.json lost two rounds of per-query comparison). The full
+    # 232-entry map is ~6000 chars and can NEVER fit, so the last line
+    # carries the LARGEST per-query subset that fits a hard budget below the
+    # window: the driver's 50 oracle-checked queries first (the set it
+    # cross-references with CORRECTNESS_r{N}.json — stable r6/r7/r8), then
+    # the remaining entries by descending wall time. Order matters: full
+    # line first (recoverable from BENCH_LOCAL.json regardless), bounded
+    # summary LAST so whatever tail survives is valid JSON with a real
+    # `queries` map.
     print(line)
-    print(
-        json.dumps(
-            {
-                "metric": "registry_queries_total_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "sf": sf,
-                "n_queries": len(timings),
-                "n_failed": sum(1 for v in timings.values() if v < 0),
-                "n_remeasured": len(retried),
-                "worst10": worst,
-                "full_artifact": out_path,
-            }
-        )
+    print(_summary_line(timings, total, sf, len(retried), out_path))
+
+
+#: hard byte budget for the LAST stdout line — the driver's tail window is
+#: 2000 chars; the margin absorbs a trailing newline and value-width drift
+_LAST_LINE_BUDGET = 1900
+
+
+def _declared_query_names() -> list[str]:
+    """The driver's oracle-checked query set, from the newest committed
+    CORRECTNESS_r{N}.json (identical across r6/r7/r8). Falls back to empty
+    (pure worst-first fill) when no artifact is present."""
+    import glob
+
+    arts = sorted(glob.glob("CORRECTNESS_r[0-9]*.json"))
+    for path in reversed(arts):
+        try:
+            with open(path) as fh:
+                d = json.load(fh)
+            if isinstance(d, dict) and d:
+                return list(d.keys())
+        except (OSError, ValueError):
+            continue
+    return []
+
+
+def _summary_line(
+    timings: dict[str, float], total: float, sf, n_remeasured: int, out_path: str
+) -> str:
+    base = {
+        "metric": "registry_queries_total_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "n_failed": sum(1 for v in timings.values() if v < 0),
+        "n_remeasured": n_remeasured,
+        "queries": {},
+        "queries_omitted_for_line_budget": len(timings),
+        "full_artifact": out_path,
+    }
+    declared = [n for n in _declared_query_names() if n in timings]
+    rest = sorted(
+        (n for n in timings if n not in set(declared)), key=lambda n: -timings[n]
     )
+    picked: dict[str, float] = {}
+    for name in declared + rest:
+        trial = dict(picked)
+        trial[name] = timings[name]
+        base["queries"] = trial
+        base["queries_omitted_for_line_budget"] = len(timings) - len(trial)
+        if len(json.dumps(base)) > _LAST_LINE_BUDGET:
+            break
+        picked = trial
+    base["queries"] = picked
+    base["queries_omitted_for_line_budget"] = len(timings) - len(picked)
+    return json.dumps(base)
 
 
 if __name__ == "__main__":

@@ -28,6 +28,8 @@ unbounded convergence checkpoint every ~10 rounds to cut lineage).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -38,9 +40,41 @@ SCALE = 1_000_000  # rank 1.0 in micro-units
 DAMP_NUM, DAMP_DEN = 850, 1000  # damping 0.85 as a ratio
 BASE = SCALE - SCALE * DAMP_NUM // DAMP_DEN  # (1-d) teleport mass = 150000
 
+#: Optional callback ``(kernel: str, round_no: int, df: DataFrame)`` invoked
+#: with each iterative round's PRE-checkpoint frame. localCheckpoint truncates
+#: lineage, so the returned frame's explain() cannot show the per-round join/
+#: exchange shape — tools/dump_plans.py --rounds sets this to dump round-k
+#: plans as committable artifacts (the r8 verdict's LPA evidence gap).
+#: Zero-cost when None (the default).
+ROUND_PLAN_HOOK = None
+
+
+def _round_plan(kernel: str, round_no: int, df: DataFrame) -> None:
+    if ROUND_PLAN_HOOK is not None:
+        ROUND_PLAN_HOOK(kernel, round_no, df)
+
+
+#: node-count ceiling for the broadcast-votes regime of the iterative kernels
+#: (LPA labels / PageRank contributions are 2 longs per node: 64M nodes is
+#: ~1 GiB of built hash relation — inside the 4g driver maxResultSize and the
+#: 8 GiB broadcast cap with margin). Above it the kernels keep the packed
+#: per-round shuffle. Env-tunable for clusters with bigger driver heaps.
+_GRAPH_BCAST_MAX_NODES = 64_000_000
+
+
+def _graph_bcast_max_nodes() -> int:
+    return int(
+        os.environ.get("SPARK_GRAFT_GRAPH_BCAST_NODES", _GRAPH_BCAST_MAX_NODES)
+    )
+
 
 def pagerank(
-    edges: DataFrame, src: str, dst: str, rounds: int = 5, adj_chunk: int | None = None
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    rounds: int = 5,
+    adj_chunk: int | None = None,
+    symmetric: bool = False,
 ) -> DataFrame:
     """Integer-exact PageRank over a directed edge list; returns
     (node, rank) after ``rounds`` synchronous iterations.
@@ -58,20 +92,45 @@ def pagerank(
     broadcast (~2x build wall at sf10: 57.7s vs 29.3s) — which is why it is
     opt-in rather than the default; both paths produce bit-identical ranks
     (unit-tested with chunk < max degree).
+
+    ``symmetric`` declares that the edge list contains (v,u) whenever it
+    contains (u,v) — then in-neighbors(v) == out-neighbors(v) == dsts(v), so
+    each round can GATHER (node v sums rank(u) div out_deg(u) over u in
+    dsts(v)) instead of SCATTER (group exploded contributions by dst). The
+    gather join broadcasts the node-sized contribution table and aggregates
+    on the adjacency cache's existing hash(src) partitioning: the per-round
+    edge-cardinality Exchange disappears (guide §8 — decide/shuffle on the
+    lightweight proxy, never move the edge payload). Bit-identical to the
+    scatter path: contribution multisets per node are equal by symmetry and
+    the arithmetic is integer (order-free). Applied when the node count fits
+    the broadcast regime (_graph_bcast_max_nodes) and the adjacency is
+    unchunked (chunk rows duplicate out_deg, which the gather's contribution
+    build must not); past either bound the scatter path stands.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     if adj_chunk is None:
-        # One exchange: degree and adjacency in the same hash aggregate. The
-        # cache keeps hash(src) partitioning, so every round's join plans
-        # zero edge-sized exchanges (ranks arrive hash(node) from the
-        # previous round's groupBy; at worst the node-sized side re-shuffles).
+        # One exchange: dedup, degree and adjacency all in the same
+        # aggregate — collect_SET deduplicates the raw edge list inside the
+        # adjacency exchange itself, so the standalone distinct Exchange
+        # (a second full-edge-cardinality shuffle; at sf100 the registry
+        # entry fed this function an ALREADY-distinct symmetrized list and
+        # still paid a redundant 1.18B-row distinct) is gone outright
+        # (guide §2.4). out_deg = size of the deduped set == the old
+        # count-after-distinct. The cache keeps hash(src) partitioning, so
+        # every round's join plans zero edge-sized exchanges (ranks arrive
+        # hash(node) from the previous round's groupBy; at worst the
+        # node-sized side re-shuffles).
         adj = (
             e.groupBy("src")
-            .agg(F.count(F.lit(1)).alias("out_deg"), F.collect_list("dst").alias("dsts"))
+            .agg(F.collect_set("dst").alias("dsts"))
+            .select("src", F.size("dsts").cast("long").alias("out_deg"), "dsts")
             .persist()
         )
         ranks = adj.select(F.col("src").alias("node"), F.lit(SCALE).cast("long").alias("rank"))
     else:
+        # celebrity-graph opt-in path: the chunking groupBy needs out_deg
+        # BEFORE the collect, so dedup must stay a standalone distinct here
+        e = e.distinct()
         # The explicit repartition pins hash(src) BEFORE the degree join —
         # AQE broadcasts node-sized deg, a broadcast join preserves the
         # streamed side's partitioning, and the chunking groupBy (whose key
@@ -102,17 +161,44 @@ def pagerank(
             .distinct()
             .select(F.col("src").alias("node"), F.lit(SCALE).cast("long").alias("rank"))
         )
-    for _ in range(rounds):
-        contrib = adj.join(ranks, adj.src == ranks.node).select(
-            F.explode("dsts").alias("dst"), F.expr("rank div out_deg").alias("c")
-        )
-        ranks = contrib.groupBy(F.col("dst").alias("node")).agg(
-            # `div` (not `/`): integer division keeps the arithmetic exact
-            # and engine-portable; `/` would widen to double
-            F.expr(f"CAST({BASE} + ({DAMP_NUM} * sum(c)) div {DAMP_DEN} AS BIGINT)").alias(
-                "rank"
+    gather = (
+        symmetric
+        and adj_chunk is None
+        and adj.count() <= _graph_bcast_max_nodes()
+    )
+    for rnd in range(1, rounds + 1):
+        if gather:
+            # contribution table (node-sized): rank div out_deg per node —
+            # adj and ranks are both hash(src/node) partitioned, zero-exchange
+            # join; the result is broadcast so the edge-sized gather below
+            # never leaves the adjacency cache's partitioning
+            contribs = (
+                adj.select("src", "out_deg")
+                .join(ranks, adj.src == ranks.node)
+                .select(F.col("node").alias("dst"), F.expr("rank div out_deg").alias("c"))
             )
-        )
+            ranks = (
+                adj.select("src", F.explode("dsts").alias("dst"))
+                .join(F.broadcast(contribs), "dst")
+                .groupBy(F.col("src").alias("node"))
+                .agg(
+                    F.expr(
+                        f"CAST({BASE} + ({DAMP_NUM} * sum(c)) div {DAMP_DEN} AS BIGINT)"
+                    ).alias("rank")
+                )
+            )
+        else:
+            contrib = adj.join(ranks, adj.src == ranks.node).select(
+                F.explode("dsts").alias("dst"), F.expr("rank div out_deg").alias("c")
+            )
+            ranks = contrib.groupBy(F.col("dst").alias("node")).agg(
+                # `div` (not `/`): integer division keeps the arithmetic exact
+                # and engine-portable; `/` would widen to double
+                F.expr(f"CAST({BASE} + ({DAMP_NUM} * sum(c)) div {DAMP_DEN} AS BIGINT)").alias(
+                    "rank"
+                )
+            )
+        _round_plan("pagerank", rnd, ranks)
     from gmall_spark.session import unpersist_with
 
     return unpersist_with(ranks, adj)
@@ -159,18 +245,25 @@ def _oracle() -> str:
 def pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     l = load_table(spark, sf_dir, "lineitem")
-    pairs = (
-        o.join(l, o.o_orderkey == l.l_orderkey)
-        .select(
-            (F.col("o_custkey") * 2).alias("c_node"),
-            (F.col("l_suppkey") * 2 + 1).alias("s_node"),
-        )
-        .distinct()
+    # Raw pairs, symmetrized INLINE (explode into both directed roles) —
+    # the old shape (distinct → union of two projections → pagerank's own
+    # distinct) ran the o⋈l join TWICE (once per un-checkpointed union
+    # branch) and paid two redundant full-edge distinct Exchanges before
+    # the adjacency's; pagerank's collect_set build dedups inside the one
+    # exchange that remains (same LPA build fusion, guide §2.4).
+    pairs = o.join(l, o.o_orderkey == l.l_orderkey).select(
+        (F.col("o_custkey") * 2).alias("c_node"),
+        (F.col("l_suppkey") * 2 + 1).alias("s_node"),
     )
-    edges = pairs.select(F.col("c_node").alias("src"), F.col("s_node").alias("dst")).unionByName(
-        pairs.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst"))
-    )
-    return pagerank(edges, "src", "dst", rounds=_PR_ROUNDS)
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("c_node").alias("src"), F.col("s_node").alias("dst")),
+                F.struct(F.col("s_node").alias("src"), F.col("c_node").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    return pagerank(edges, "src", "dst", rounds=_PR_ROUNDS, symmetric=True)
 
 
 # ---------------------------------------------------------------------------
@@ -558,30 +651,46 @@ def _lpa_oracle() -> str:
 def label_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     l = load_table(spark, sf_dir, "lineitem")
-    pairs = (
-        o.join(l, o.o_orderkey == l.l_orderkey)
-        .select(
-            (F.col("o_custkey") * 2).alias("c_node"),
-            (F.col("l_suppkey") * 2 + 1).alias("s_node"),
-        )
-        .distinct()
+    # RAW pairs — no standalone distinct. The r9 sf100 phase profile put 93%
+    # of the kernel's wall in the BUILD (pairs-distinct checkpoint 483 s +
+    # adjacency exchange 412 s vs 65 s for all vote rounds after the gather
+    # rewrite), and the distinct barely deduplicates here (sf100: 600M join
+    # rows → 590M distinct pairs, ~2%). Dedup moves INTO the adjacency's own
+    # exchange below (collect_set), deleting the full-width distinct
+    # Exchange + its hash dedup outright (guide §2.4: share one exchange).
+    pairs = o.join(l, o.o_orderkey == l.l_orderkey).select(
+        (F.col("o_custkey") * 2).alias("c_node"),
+        (F.col("l_suppkey") * 2 + 1).alias("s_node"),
     )
     from gmall_spark.session import iter_checkpoint
 
-    # Staged materialization (not one composite plan): the fused
-    # join→distinct→union→distinct job ran all its hash aggregates
-    # concurrently and hit AGGREGATE_OUT_OF_MEMORY at sf10 (59M distinct
-    # pairs on this box); checkpointing the pair set first gives each agg
-    # its own job — the same staging pagerank uses, which scales cleanly.
-    pd = iter_checkpoint(pairs)
-    sym = pd.select(F.col("c_node").alias("src"), F.col("s_node").alias("dst")).unionByName(
-        pd.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst"))
-    )
+    # Symmetrize INLINE (explode each pair into its two directed roles)
+    # instead of a union of two projections: the union shape needed the
+    # pair set checkpointed first so the join would not run twice, and that
+    # checkpoint was the single most expensive phase of the r9 sf100
+    # profile (483 s to materialize 590M rows the next job immediately
+    # re-read). The explode is a codegen Generate in the SAME stage as the
+    # join output — one o⋈l pass, zero intermediate materialization, and
+    # the one exchange that remains is the adjacency's own (guide §1.2
+    # step 1: don't materialize what one pass can stream).
+    sym = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("c_node").alias("src"), F.col("s_node").alias("dst")),
+                F.struct(F.col("s_node").alias("src"), F.col("c_node").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     # Adjacency table, same shape as pagerank's: one exchange builds it, the
     # cache keeps hash(src) partitioning, and each round's label join is
-    # node-sized (the edge-sized join was the round dominator). The self-loop
-    # per node (the one inertia vote, see module comment) is array_append of
-    # src onto its own dsts — no separate self-edge union needed.
+    # node-sized (the edge-sized join was the round dominator). collect_SET
+    # (not list) deduplicates the raw pairs inside this exchange — every
+    # consumer (array_min, explode+count votes) is order-insensitive and the
+    # old arrays were duplicate-free already, so the set is the same
+    # neighborhood. The self-loop per node (the one inertia vote, see module
+    # comment) is array_append of src onto its own dsts — src never appears
+    # in its own set (the bipartite ids differ in parity), so the closed
+    # neighborhood is unchanged.
     # SERIALIZED memory+disk (not the deserialized default): the adjacency
     # is the biggest cache in the repo (~10 GB of array payload at sf100 —
     # 1.18B symmetrized edges), and the r6 sf100 probe showed it evicting
@@ -593,7 +702,7 @@ def label_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     adj = (
         sym.groupBy("src")
-        .agg(F.array_append(F.collect_list("dst"), F.col("src")).alias("dsts"))
+        .agg(F.array_append(F.collect_set("dst"), F.col("src")).alias("dsts"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # Round 1 never needs the vote shuffle. With identity initialization
@@ -606,23 +715,84 @@ def label_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round where labels are all-distinct, so its (dst, lab) shuffle gets
     # ZERO partial-agg compression (full edge cardinality, 1.18B rows at
     # sf100) — with a node-sized map over the already-persisted adjacency.
-    labels = iter_checkpoint(
-        adj.select(F.col("src").alias("node"), F.array_min("dsts").alias("lab"))
-    )
-    # The per-round vote shuffle carries one row per distinct (dst, lab)
-    # pair — ~3× pagerank's per-dst width on the same graph (the r7 sf100
-    # probe's dominator). When every node id fits 31 bits, pack the pair
-    # into ONE int64 (dst<<32 | lab) before the exchange: the shuffle row
-    # narrows from two key longs to one and the partial/final hash
-    # aggregates key on a single long instead of a two-column row. Node ids
-    # here are 2·custkey / 2·suppkey+1 — 31 bits holds to ~1B customers
-    # (beyond sf10000); past that the unpacked path below is the fallback,
-    # same plan shape, two-long keys.
-    bounds = adj.agg(F.min("src"), F.max("src")).first()
+    round1 = adj.select(F.col("src").alias("node"), F.array_min("dsts").alias("lab"))
+    _round_plan("label_communities", 1, round1)
+    labels = iter_checkpoint(round1)
+    # Per-round vote delivery. The graph is SYMMETRIC (sym unions both
+    # directions of every distinct pair) and the adjacency is CLOSED (src
+    # appended to its own dsts), so node v's incoming vote multiset
+    # {lab(u) : (u,v) in selfed-edges} equals its outgoing neighborhood's
+    # labels {lab(u) : u in dsts(v)} — vote counts, and hence the
+    # mode-with-min-tiebreak pick, are identical either way. That makes a
+    # GATHER formulation available: broadcast the node-sized label table,
+    # look each exploded dst up in it, and aggregate by src — every step
+    # rides the adjacency cache's hash(src) partitioning, so the per-round
+    # edge-cardinality Exchange (1.18B (dst,lab) rows at sf100, the r7/r8
+    # probes' dominator) disappears outright (guide §8: move the
+    # lightweight proxy — labels, 2 longs/node — never the edge payload).
+    #
+    # Past the broadcast regime (_graph_bcast_max_nodes, env-tunable) the
+    # SCATTER fallback stands: when every node id fits 31 bits, pack
+    # (dst, lab) into ONE int64 (dst<<32 | lab) before the exchange — the
+    # shuffle row narrows from two key longs to one. Node ids here are
+    # 2·custkey / 2·suppkey+1 — 31 bits holds to ~1B customers (beyond
+    # sf10000); past that the unpacked path is the final fallback, same
+    # plan shape, two-long keys.
+    bounds = adj.agg(F.min("src"), F.max("src"), F.count(F.lit(1))).first()
     packable = (
         bounds[0] is not None and bounds[0] >= 0 and bounds[1] < (1 << 31)
     )
-    for _ in range(_LPA_ROUNDS - 1):
+    gather = bounds[2] is not None and bounds[2] <= _graph_bcast_max_nodes()
+    for rnd in range(2, _LPA_ROUNDS + 1):
+        if gather:
+            votes = adj.select("src", F.explode("dsts").alias("dst")).join(
+                F.broadcast(labels.select(F.col("node").alias("dst"), "lab")), "dst"
+            )
+            # mode-with-min-tiebreak as two exchange-free aggregates
+            # (hash(src) satisfies both groupings). The pick covers EVERY
+            # node (the closed neighborhood guarantees at least the self
+            # vote), so it IS the next label table — no left-join/coalesce.
+            counted = votes.groupBy("src", "lab").agg(F.count(F.lit(1)).alias("c"))
+            if packable and bounds[2] < (1 << 31):
+                # argmax(count desc, label asc) as ONE packed-long max: a
+                # max over a struct is not hash-aggregable (it plans as
+                # Sort + SortAggregate — a per-round per-partition sort),
+                # but max(int64) is. c <= n_nodes < 2^31 and lab < 2^31
+                # (packable), so c<<32 | (2^32-1-lab) fits a signed long
+                # and compares exactly like (c desc, lab asc): higher
+                # count wins the high bits; equal counts leave the lower
+                # label as the larger complement.
+                new_labels = (
+                    counted.select(
+                        "src",
+                        (
+                            F.shiftleft(F.col("c"), 32)
+                            + (F.lit((1 << 32) - 1) - F.col("lab"))
+                        ).alias("code"),
+                    )
+                    .groupBy("src")
+                    .agg(F.max("code").alias("m"))
+                    .select(
+                        F.col("src").alias("node"),
+                        (
+                            F.lit((1 << 32) - 1)
+                            - F.col("m").bitwiseAND(F.lit((1 << 32) - 1))
+                        ).alias("lab"),
+                    )
+                )
+            else:
+                new_labels = (
+                    counted.groupBy("src")
+                    .agg(
+                        F.max(
+                            F.struct(F.col("c"), (-F.col("lab")).alias("nl"))
+                        ).alias("m")
+                    )
+                    .select(F.col("src").alias("node"), (-F.col("m.nl")).alias("lab"))
+                )
+            _round_plan("label_communities", rnd, new_labels)
+            labels = iter_checkpoint(new_labels)
+            continue
         edge_labels = adj.join(
             labels.select(F.col("node").alias("src"), "lab"), "src"
         ).select(F.explode("dsts").alias("dst"), "lab")
@@ -652,11 +822,11 @@ def label_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         # truncate per round: the label relation is round-N-deep otherwise
         # (see iter_checkpoint — Catalyst re-optimizes the nested tree per
         # action and the final window pays for all three rounds at once)
-        labels = iter_checkpoint(
-            labels.join(pick, "node", "left").select(
-                "node", F.coalesce("new_lab", "lab").alias("lab")
-            )
+        joined = labels.join(pick, "node", "left").select(
+            "node", F.coalesce("new_lab", "lab").alias("lab")
         )
+        _round_plan("label_communities", rnd, joined)
+        labels = iter_checkpoint(joined)
     # community_size via groupBy-count + join, not a window partitioned on
     # the label: LPA routinely produces one giant community, and a window
     # would funnel that whole component through a single task (hot key);

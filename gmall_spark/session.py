@@ -42,6 +42,12 @@ SCALE_CONFS = {
     # is how the sf100 number above was measured.
     # Map-side distinct-agg partials before the shuffle.
     "spark.sql.optimizer.distinctBeforeIntersect.enabled": "true",
+    # Deliberately NOT raised: objectHashAggregate.sortBased.fallbackThreshold.
+    # Measured on the sf10 adjacency build (warm, same session, interleaved):
+    # sort-based collect (default threshold 128) beats the hash regime at 4M
+    # keys for both collect_set-over-raw (14.4 vs 25.7 s) and
+    # collect_list-over-distinct (18.9 vs 48.4 s) — the streaming sorted-run
+    # merge is cheaper than per-key map lookups for array payloads.
     # Arrow for every pandas_udf / mapInPandas / applyInPandas crossing.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Nested-column (struct field) pruning down to the parquet reader —
@@ -58,6 +64,14 @@ SCALE_CONFS = {
     # Broadcast threshold: dims (nation/region/part/supplier/config tables)
     # must go broadcast; 64 MiB covers every reference dim comfortably.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Broadcast relations are collected through the driver and count against
+    # maxResultSize (default 1g). The iterative graph kernels broadcast the
+    # node-sized label/rank table per round (guide §8: move the lightweight
+    # proxy, never the edge payload) — at sf100 that is ~16M rows / ~400 MB
+    # serialized, over the default. 4g bounds a runaway collect while giving
+    # the node-table broadcasts headroom; the kernels fall back to the
+    # shuffle path past SPARK_GRAFT_GRAPH_BCAST_NODES anyway.
+    "spark.driver.maxResultSize": "4g",
     # One BLAS thread per Python worker: every core already runs a task, so
     # an unpinned OpenBLAS/MKL may spawn n_cores threads PER worker and
     # oversubscribe the host. The right setting on any multi-task-per-host

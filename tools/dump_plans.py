@@ -1,15 +1,17 @@
 #!/usr/bin/env python
 """Dump ``explain('formatted')`` for registry entries to files.
 
-Usage: python tools/dump_plans.py <out_dir> <suffix> <entry> [entry ...]
+Usage: python tools/dump_plans.py <out_dir> <suffix> [--rounds] <entry> [...]
 
 Writes ``<out_dir>/<entry>_<suffix>.txt`` for each entry (suffix is usually
 ``before`` or ``after``). The plan captured is the physical plan of the
 DataFrame the registry function RETURNS; for iterative kernels (pagerank,
-LPA) the builder runs its fixpoint during the call and the returned frame
-reads the materialized result, so the per-round join plan is documented by
-the tool's stderr job descriptions / the entry's own plan lint instead —
-the dump still pins the result-side shape.
+LPA, BFS, SSSP, k-core) the builder runs its fixpoint during the call and
+localCheckpoint truncates lineage, so the returned frame's plan cannot show
+the per-round exchange shape. ``--rounds`` closes that gap (the r8 verdict's
+LPA evidence item): it registers extras.graph.ROUND_PLAN_HOOK and appends
+each round's PRE-checkpoint ``explain('formatted')`` to the same file, so
+exchange-narrowing claims are verifiable from the committed artifact alone.
 
 SPARK_GRAFT_SF_DIR picks the corpus (default /root/testdata/sf0.01 —
 explain needs schemas, not volume).
@@ -25,9 +27,19 @@ from contextlib import redirect_stdout
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _explain_text(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
 def main() -> int:
     out_dir, suffix = sys.argv[1], sys.argv[2]
     names = sys.argv[3:]
+    rounds = "--rounds" in names
+    if rounds:
+        names = [n for n in names if n != "--rounds"]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     os.makedirs(out_dir, exist_ok=True)
 
@@ -40,20 +52,34 @@ def main() -> int:
     rc = 0
     for name in names:
         path = os.path.join(out_dir, f"{name}_{suffix}.txt")
+        round_dumps: list[tuple[str, int, str]] = []
+        if rounds:
+            import gmall_spark.extras.graph as graphmod
+
+            graphmod.ROUND_PLAN_HOOK = lambda kernel, rnd, rdf: round_dumps.append(
+                (kernel, rnd, _explain_text(rdf))
+            )
         try:
             df = queries[name](spark, sf_dir)
-            buf = io.StringIO()
-            with redirect_stdout(buf):
-                df.explain("formatted")
+            text = _explain_text(df)
             with open(path, "w") as f:
                 f.write(f"# {name} — explain('formatted') @ {sf_dir} [{suffix}]\n")
-                f.write(buf.getvalue())
+                f.write(text)
+                for kernel, rnd, rtext in round_dumps:
+                    f.write(
+                        f"\n# {name} — {kernel} round {rnd} PRE-checkpoint plan "
+                        f"[{suffix}]\n"
+                    )
+                    f.write(rtext)
             print(f"dump_plans: wrote {path}", file=sys.stderr)
         except Exception as exc:  # keep going; a failed dump is legible
             rc = 1
             with open(path, "w") as f:
                 f.write(f"# {name} FAILED: {exc}\n")
             print(f"dump_plans: {name} FAILED: {exc}", file=sys.stderr)
+        finally:
+            if rounds:
+                graphmod.ROUND_PLAN_HOOK = None
     return rc
 
 
